@@ -1,0 +1,22 @@
+"""exonerate_tpu — a TPU-native generic pairwise sequence-comparison framework.
+
+A from-scratch reimplementation of the capabilities of exonerate
+(G. Slater & E. Birney), designed TPU-first: alignment models are declarative
+weighted finite-state automata (a model IR mirroring the reference C4 DSL,
+ref: src/c4/c4.h:61-194) from which generic engines are derived:
+
+- a NumPy reference interpreter (the correctness oracle, the analogue of
+  Viterbi_interpreted, ref: src/c4/viterbi.c:655-837),
+- a JAX anti-diagonal wavefront engine (jit/vmap/pjit; the analogue of the
+  reference's generated-C DP kernels, ref: src/c4/viterbi.c:869-1758),
+- Pallas TPU kernels for the hot 1:1 model family,
+- seeded heuristics (word seeding + HSP extension + banded gapped extension,
+  the analogue of seeder/hspset/sdp).
+
+Scores are int32 everywhere; outputs aim for byte parity with the reference.
+"""
+
+__version__ = "0.1.0"
+
+IMPOSSIBLY_LOW_SCORE = -987654321   # ref: src/c4/c4.h:29
+IMPOSSIBLY_HIGH_SCORE = 987654321   # ref: src/c4/c4.h:30

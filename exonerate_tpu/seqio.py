@@ -1,0 +1,245 @@
+"""Sequence objects and FASTA IO.
+
+TPU-native equivalent of the reference Sequence/FastaDB layer
+(ref: src/sequence/sequence.{h,c}, src/database/fastadb.{h,c}).  A Sequence
+holds its residues as a NumPy uint8 array (host-side; engines copy slices to
+device as needed) and supports the reference's lazy views — subseq, revcomp,
+filter, translate — as cheap array transforms.  FastaDB streams multi-file
+FASTA inputs with the reference's chunking semantics
+(--querychunkid/--querychunktotal, ref: src/database/fastadb.h:72-73).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .alphabet import (Alphabet, AlphabetType, COMPLEMENT, from_str,
+                       guess_type, TO_UPPER)
+
+
+@dataclass
+class Annotation:
+    """CDS annotation from an --annotation file
+    (ref: src/sequence/sequence.h:49-59)."""
+    cds_start: int
+    cds_length: int
+    strand: str = "+"
+
+
+class Sequence:
+    """A biological sequence (ref: src/sequence/sequence.h:79-145)."""
+
+    __slots__ = ("id", "definition", "data", "alphabet", "strand",
+                 "annotation", "head_id")
+
+    def __init__(self, sid: str, definition: Optional[str],
+                 data: np.ndarray | str | bytes,
+                 alphabet: Optional[Alphabet] = None,
+                 strand: str = ".",
+                 annotation: Optional[Annotation] = None):
+        self.id = sid
+        self.definition = definition
+        if isinstance(data, (str, bytes)):
+            data = from_str(data)
+        self.data = np.ascontiguousarray(data, dtype=np.uint8)
+        if alphabet is None:
+            alphabet = Alphabet(guess_type(self.data))
+        self.alphabet = alphabet
+        self.strand = strand  # '+', '-', '.'
+        self.annotation = annotation
+        self.head_id = sid  # original id before view transforms
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def len(self):
+        return len(self.data)
+
+    def symbol(self, pos: int) -> int:
+        return int(self.data[pos])
+
+    def substr(self, start: int, length: int) -> bytes:
+        return self.data[start:start + length].tobytes()
+
+    def __str__(self):
+        return self.data.tobytes().decode()
+
+    # -- lazy-equivalent views (ref: sequence.h:34-41) --------------------
+
+    def subseq(self, start: int, length: int) -> "Sequence":
+        s = Sequence(self.id, self.definition,
+                     self.data[start:start + length],
+                     self.alphabet, self.strand, self.annotation)
+        s.head_id = self.head_id
+        return s
+
+    def revcomp(self) -> "Sequence":
+        assert self.alphabet.type != AlphabetType.PROTEIN
+        strand = {"+": "-", "-": "+"}.get(self.strand, "-")
+        ann = self.annotation
+        if ann is not None:
+            ann = Annotation(len(self.data) - ann.cds_start - ann.cds_length,
+                             ann.cds_length, "-" if ann.strand == "+" else "+")
+        s = Sequence(self.id, self.definition, COMPLEMENT[self.data[::-1]],
+                     self.alphabet, strand, ann)
+        s.head_id = self.head_id
+        return s
+
+    def upper(self) -> "Sequence":
+        s = Sequence(self.id, self.definition, TO_UPPER[self.data],
+                     self.alphabet, self.strand, self.annotation)
+        s.head_id = self.head_id
+        return s
+
+    def translate_view(self, frame: int) -> "Sequence":
+        from .translate import default_code
+        pep = default_code().translate(self.data, frame)
+        s = Sequence(f"{self.id}:[translate({frame})]", self.definition, pep,
+                     Alphabet(AlphabetType.PROTEIN), self.strand)
+        s.head_id = self.head_id
+        return s
+
+    def gcg_checksum(self) -> int:
+        """GCG checksum (ref: src/sequence/sequence.c Sequence_checksum)."""
+        up = TO_UPPER[self.data].astype(np.int64)
+        idx = np.arange(len(up), dtype=np.int64)
+        return int(np.sum(((idx % 57) + 1) * up) % 10000)
+
+    def __repr__(self):
+        return f"Sequence({self.id!r}, len={len(self.data)})"
+
+
+# -- FASTA reading ---------------------------------------------------------
+
+def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
+               ) -> Iterator[Sequence]:
+    """Stream sequences from one FASTA file."""
+    sid = None
+    definition = None
+    chunks: list[bytes] = []
+    with open(path, "rb") as fh:
+        for raw in fh:
+            line = raw.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if sid is not None:
+                    yield _make_seq(sid, definition, chunks, alphabet)
+                header = line[1:].split(None, 1)
+                sid = header[0].decode() if header else ""
+                definition = header[1].decode() if len(header) > 1 else None
+                chunks = []
+            elif line and sid is not None:
+                chunks.append(line)
+    if sid is not None:
+        yield _make_seq(sid, definition, chunks, alphabet)
+
+
+def _make_seq(sid, definition, chunks, alphabet) -> Sequence:
+    data = np.frombuffer(b"".join(chunks), dtype=np.uint8).copy()
+    return Sequence(sid, definition, data, alphabet)
+
+
+def _expand_paths(paths: list[str], suffix: str = ".fa") -> list[str]:
+    """Recurse directories collecting files with the --fastasuffix
+    (ref: src/database/fastadb.c directory recursion)."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    if f.endswith(suffix):
+                        out.append(os.path.join(root, f))
+        else:
+            out.append(p)
+    return out
+
+
+class FastaDB:
+    """A (multi-file) FASTA database with rewind and chunked iteration
+    (ref: src/database/fastadb.h:45-128)."""
+
+    def __init__(self, paths: list[str] | str,
+                 alphabet: Optional[Alphabet] = None,
+                 suffix: str = ".fa",
+                 chunk_id: int = 0, chunk_total: int = 0):
+        if isinstance(paths, str):
+            paths = [paths]
+        self.paths = _expand_paths(paths, suffix)
+        if not self.paths:
+            raise FileNotFoundError(f"no FASTA inputs found in {paths}")
+        self.alphabet = alphabet
+        self.chunk_id = chunk_id        # 1-based, 0 = no chunking
+        self.chunk_total = chunk_total
+
+    def __iter__(self) -> Iterator[Sequence]:
+        """Iterate sequences, honoring chunk limits at sequence granularity
+        (ref: FastaDB_open_list_with_limit, exonerate.1:177-204)."""
+        n = 0
+        total = self.count() if self.chunk_total else 0
+        for path in self.paths:
+            for seq in iter_fasta(path, self.alphabet):
+                if self.chunk_total:
+                    # sequence k (0-based) belongs to chunk
+                    # floor(k * chunk_total / total) + 1
+                    chunk = (n * self.chunk_total) // max(total, 1) + 1
+                    n += 1
+                    if chunk != self.chunk_id:
+                        continue
+                yield seq
+
+    def count(self) -> int:
+        c = 0
+        for path in self.paths:
+            with open(path, "rb") as fh:
+                for line in fh:
+                    if line.startswith(b">"):
+                        c += 1
+        return c
+
+    def guess_type(self) -> AlphabetType:
+        for seq in self:
+            return guess_type(seq.data)
+        return AlphabetType.UNKNOWN
+
+    def fetch(self, sid: str) -> Optional[Sequence]:
+        for seq in self:
+            if seq.id == sid:
+                return seq
+        return None
+
+
+def read_fosn(path: str) -> list[str]:
+    """Read a file of sequence names / paths (FOSN, ref: analysis.c FOSN
+    expansion)."""
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(line)
+    return out
+
+
+def read_annotation_file(path: str) -> dict[str, Annotation]:
+    """Parse an --annotation file: lines of `id strand cds_start cds_length`
+    or `id cds_start cds_length` (ref: sequence.c annotation registry;
+    coordinates are 1-based start in the reference input format)."""
+    out: dict[str, Annotation] = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if len(parts) >= 4 and parts[1] in "+-":
+                sid, strand, start, length = (parts[0], parts[1],
+                                              int(parts[2]), int(parts[3]))
+            elif len(parts) >= 3:
+                sid, strand, start, length = (parts[0], "+",
+                                              int(parts[1]), int(parts[2]))
+            else:
+                continue
+            out[sid] = Annotation(start - 1, length, strand)
+    return out
