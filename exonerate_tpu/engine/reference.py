@@ -172,7 +172,7 @@ def viterbi(model: Model, region: Region, data,
                                            if src is not None else 0)
                                  for sh in t.dst_shadows}
                         tscore = int(t.calc.shadow_fn(
-                            tscore, svals, region, data,
+                            np, tscore, svals, region, data,
                             region.query_start + si, region.target_start + sj))
                 val = base + tscore
                 if t.calc is not None:

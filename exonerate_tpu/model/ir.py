@@ -448,6 +448,10 @@ class Model:
         model's START merges with src and END with dst
         (ref: C4_Model_insert, src/c4/c4.c:772-900)."""
         assert self.is_open
+        if src is None:
+            src = self.start_state.state
+        if dst is None:
+            dst = self.end_state.state
         ins_start = insert.start_state.state
         ins_end = insert.end_state.state
         calc_map: dict[int, Calc] = {}

@@ -65,7 +65,7 @@ def _path_score(model, res, region, data):
                 svals = {sh.name: shadow_lanes.get(sh.name, 0)
                          for sh in t.dst_shadows}
                 val = int(t.calc.shadow_fn(
-                    val, svals, region, data,
+                    np, val, svals, region, data,
                     region.query_start + i, region.target_start + j))
             total += val
         for sh in model.src_shadows(t.input):
