@@ -97,6 +97,8 @@ def viterbi(model: Model, region: Region, data,
     want_region = mode in ("region",)
     want_path = mode == "path"
     grids = _materialize_grids(model, region, data)
+    shadow_inputs = {id(c): c.shadow_inputs_fn(region, data)
+                     for c in model.calcs if c.shadow_inputs_fn is not None}
 
     start_state = model.start_state.state
     end_state = model.end_state.state
@@ -172,7 +174,8 @@ def viterbi(model: Model, region: Region, data,
                                            if src is not None else 0)
                                  for sh in t.dst_shadows}
                         tscore = int(t.calc.shadow_fn(
-                            np, tscore, svals, region, data,
+                            np, tscore, svals,
+                            shadow_inputs.get(id(t.calc), {}),
                             region.query_start + si, region.target_start + sj))
                 val = base + tscore
                 if t.calc is not None:

@@ -1,0 +1,347 @@
+"""JAX anti-diagonal wavefront DP engine.
+
+The TPU-native replacement for the reference's generated-C Viterbi kernels
+(ref: src/c4/viterbi.c:869-1758): the model IR is *traced* into a jitted
+`lax.scan` over anti-diagonals d = i + j.  Within a diagonal every cell is
+independent (advancing transitions read earlier diagonals; silent (0,0)
+transitions are applied in the model's topologically-sorted order within the
+step), so each step is pure vector work over the query axis — VPU-friendly
+and batchable with `vmap` over padded sequence-pair batches.
+
+Parity: integer int32 scores, transition evaluation in model order with
+strictly-greater replacement (first max wins), end-cell preference
+(score desc, target_pos asc, query_pos asc) — reproducing the reference's
+(j, i)-lexicographic first-max tie-breaking (ref: viterbi.c:766-800,
+SURVEY.md §8.2).
+
+Modes:
+- score:  best score.
+- region: score + end point + region-start point (extra carried lanes),
+  the analogue of the reference's reduced-space FIND_REGION
+  (ref: src/c4/viterbi.h:104-109).
+
+Calc grids are materialized per pair on host (NumPy) and *skewed* into
+diagonal-major [D, Q+1] arrays fed to the scan as `xs`, so the inner loop
+does no gathers for grid scores.  Shadow-dependent calcs (introns, split
+codons) run their shadow_fn vectorized over the diagonal with xp=jnp.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..model.ir import (IMPOSSIBLY_LOW_SCORE, IMPOSSIBLY_HIGH_SCORE,
+                        Model, Protect, Scope)
+from .region import Region
+from .reference import DPResult
+
+NEG = IMPOSSIBLY_LOW_SCORE
+
+
+# ---------------------------------------------------------------------------
+# input preparation (host side, NumPy)
+# ---------------------------------------------------------------------------
+
+def _grid_key(model: Model, t) -> str:
+    return f"g{model.calcs.index(t.calc)}_{t.advance_query}_{t.advance_target}"
+
+
+def prepare_inputs(model: Model, region: Region, data) -> dict[str, Any]:
+    """Materialize per-pair arrays: skewed calc grids keyed per
+    (calc, advance) plus shadow inputs.  Everything returned is a pure
+    array pytree — the jitted engine is a function of (inputs,) only."""
+    Q, T = region.query_length, region.target_length
+    D = Q + T + 1
+    i_idx = np.arange(Q + 1)
+    d_idx = np.arange(D)
+    inputs: dict[str, Any] = {}
+    grids = {id(c): np.asarray(c.materialize(region, data))
+             for c in model.calcs}
+    done = set()
+    for t in model.transitions:
+        if t.calc is None:
+            continue
+        key = _grid_key(model, t)
+        if key in done:
+            continue
+        done.add(key)
+        g = grids[id(t.calc)]
+        aq, at = t.advance_query, t.advance_target
+        if g.ndim == 0:
+            inputs[key] = g.astype(np.int32)
+            continue
+        qdep = g.shape[0] > 1
+        tdep = g.ndim > 1 and g.shape[1] > 1
+        if qdep and not tdep:
+            # query-position vector: value at si = i - aq, same every step
+            v = g[:, 0] if g.ndim > 1 else g
+            si = np.clip(i_idx - aq, 0, Q)
+            inputs[key] = v[si].astype(np.int32)          # [Q+1]
+        elif tdep and not qdep:
+            v = g[0] if g.ndim > 1 else g
+            # value at sj = d - i - at, per (d, i): skew the 1-D vector
+            sj = d_idx[:, None] - i_idx[None, :] - at
+            inputs[key] = v[np.clip(sj, 0, T)].astype(np.int32)  # [D, Q+1]
+        else:
+            si = np.clip(i_idx - aq, 0, Q)
+            sj = d_idx[:, None] - i_idx[None, :] - at
+            inputs[key] = g[si[None, :], np.clip(sj, 0, T)].astype(np.int32)
+    for c in model.calcs:
+        if c.shadow_inputs_fn is not None:
+            inputs[f"sh{model.calcs.index(c)}"] = c.shadow_inputs_fn(region,
+                                                                     data)
+    inputs["_qstart"] = np.int32(region.query_start)
+    inputs["_tstart"] = np.int32(region.target_start)
+    return inputs
+
+
+# ---------------------------------------------------------------------------
+# traced engine
+# ---------------------------------------------------------------------------
+
+def _scope_mask_start(scope: Scope, si, sj):
+    if scope == Scope.ANYWHERE:
+        return jnp.ones_like(si, dtype=bool)
+    if scope == Scope.EDGE:
+        return (si == 0) | (sj == 0)
+    if scope == Scope.QUERY:
+        return si == 0
+    if scope == Scope.TARGET:
+        return sj == 0
+    return (si == 0) & (sj == 0)
+
+
+def _scope_mask_end(scope: Scope, i, j, Q, T):
+    if scope == Scope.ANYWHERE:
+        return jnp.ones_like(i, dtype=bool)
+    if scope == Scope.EDGE:
+        return (i == Q) | (j == T)
+    if scope == Scope.QUERY:
+        return i == Q
+    if scope == Scope.TARGET:
+        return j == T
+    return (i == Q) & (j == T)
+
+
+def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
+    """Trace the model into a jittable function of the prepared inputs.
+
+    Returns fn(inputs) -> dict with 'score', 'query_end', 'target_end' and
+    (mode == 'region') 'query_start', 'target_start'.  Cache per (model
+    identity, Q, T, mode) — the analogue of the reference bootstrapper's
+    compiled-function archive (ref: src/model/bootstrapper.c:412-428).
+    """
+    assert not model.is_open
+    want_region = mode == "region"
+    S = len(model.states)
+    n_shadow = model.total_shadow_designations
+    L = n_shadow + (2 if want_region else 0)
+    rs_q, rs_t = n_shadow, n_shadow + 1
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    D = Q + T + 1
+    K = max(max((t.advance_query + t.advance_target
+                 for t in model.transitions), default=1), 1)
+
+    # static per-transition plan
+    plan = []
+    for t in model.transitions:
+        if t.input is end_state or t.output is start_state:
+            continue
+        shadow_starts = model.src_shadows(t.input)
+        plan.append(dict(
+            t=t,
+            key=_grid_key(model, t) if t.calc is not None else None,
+            shkey=(f"sh{model.calcs.index(t.calc)}"
+                   if t.calc is not None and t.calc.shadow_fn is not None
+                   else None),
+            start_lanes=[(sh.designation, sh.start) for sh in shadow_starts],
+            dst_shadows=[(sh.name, sh.designation) for sh in t.dst_shadows],
+        ))
+
+    i_vec = np.arange(Q + 1, dtype=np.int32)
+
+    def step(carry, xs):
+        prev, best = carry          # prev: [K, Q+1, S, 1+L] (prev[k] = d-1-k)
+        d, grid_rows = xs
+        i = jnp.asarray(i_vec)
+        j = d - i
+        cell_ok = (j >= 0) & (j <= T)
+        scores = jnp.full((Q + 1, S), NEG, dtype=jnp.int32)
+        lanes = jnp.zeros((Q + 1, S, L), dtype=jnp.int32) if L else None
+        is_set = jnp.zeros((Q + 1, S), dtype=bool)
+
+        for p in plan:
+            t = p["t"]
+            aq, at = t.advance_query, t.advance_target
+            adv = aq + at
+            si, sj = i - aq, j - at
+            src_ok = (si >= 0) & (sj >= 0) & cell_ok
+            inp, out = t.input, t.output
+            if inp is start_state:
+                scope = model.start_state.scope
+                src_ok = src_ok & _scope_mask_start(scope, si, sj)
+                base = jnp.zeros(Q + 1, dtype=jnp.int32)
+                src_lanes = (jnp.zeros((Q + 1, L), dtype=jnp.int32)
+                             if L else None)
+            else:
+                if adv == 0:
+                    src_scores = scores[:, inp.id]
+                    src_set = is_set[:, inp.id]
+                    src_l = lanes[:, inp.id] if L else None
+                else:
+                    diag = prev[adv - 1]
+                    src_scores = diag[:, inp.id, 0]
+                    src_set = None
+                    src_l = diag[:, inp.id, 1:] if L else None
+                if aq > 0:
+                    # element i reads source at i - aq
+                    src_scores = jnp.roll(src_scores, aq).at[:aq].set(NEG)
+                    if L:
+                        src_l = jnp.roll(src_l, aq, axis=0).at[:aq].set(0)
+                if adv == 0 and src_set is not None:
+                    src_scores = jnp.where(src_set, src_scores, NEG)
+                base = src_scores
+                src_lanes = src_l
+            if out is end_state:
+                src_ok = src_ok & _scope_mask_end(model.end_state.scope,
+                                                  i, j, Q, T)
+            # calc score at source position
+            if p["key"] is None:
+                calc = jnp.zeros((), dtype=jnp.int32)
+            else:
+                calc = grid_rows[p["key"]]
+            if p["shkey"] is not None:
+                svals = {name: (src_lanes[:, desig] if src_lanes is not None
+                                else jnp.zeros(Q + 1, dtype=jnp.int32))
+                         for name, desig in p["dst_shadows"]}
+                calc = t.calc.shadow_fn(
+                    jnp, calc, svals, grid_rows[p["shkey"]],
+                    si + grid_rows["_qstart"], sj + grid_rows["_tstart"])
+            val = base + calc
+            if t.calc is not None:
+                if t.calc.protect & Protect.UNDERFLOW:
+                    val = jnp.maximum(val, NEG)
+                if t.calc.protect & Protect.OVERFLOW:
+                    val = jnp.minimum(val, IMPOSSIBLY_HIGH_SCORE)
+            # guard against drift below NEG from stacked penalties
+            val = jnp.maximum(val, NEG)
+            val = jnp.where(src_ok & (base > NEG if inp is not start_state
+                                      else src_ok), val, NEG)
+            take = val > jnp.where(is_set[:, out.id], scores[:, out.id], NEG)
+            take = take & src_ok
+            scores = scores.at[:, out.id].set(
+                jnp.where(take, val, scores[:, out.id]))
+            is_set = is_set.at[:, out.id].set(is_set[:, out.id] | take)
+            if L:
+                new_lanes = src_lanes
+                for desig, kind in p["start_lanes"]:
+                    pos = (si + grid_rows["_qstart"] if kind == "query_pos"
+                           else sj + grid_rows["_tstart"])
+                    new_lanes = new_lanes.at[:, desig].set(pos)
+                if inp is start_state and want_region:
+                    new_lanes = new_lanes.at[:, rs_q].set(si)
+                    new_lanes = new_lanes.at[:, rs_t].set(sj)
+                lanes = lanes.at[:, out.id].set(
+                    jnp.where(take[:, None], new_lanes, lanes[:, out.id]))
+
+        # end registration with (score desc, j asc, i asc) preference
+        end_scores = jnp.where(is_set[:, end_state.id] & cell_ok,
+                               scores[:, end_state.id], NEG)
+        # within the diagonal j asc == i desc: among max scores take max i
+        m = jnp.max(end_scores)
+        ix = jnp.argmax(jnp.where(end_scores == m, i, -1))
+        c_score = end_scores[ix]
+        c_i = i[ix]
+        c_j = d - c_i
+        if want_region:
+            c_qs = lanes[ix, end_state.id, rs_q]
+            c_ts = lanes[ix, end_state.id, rs_t]
+        best_score, b_i, b_j, b_qs, b_ts = best
+        better = (c_score > best_score) | \
+                 ((c_score == best_score) &
+                  ((c_j < b_j) | ((c_j == b_j) & (c_i < b_i))))
+        best = (jnp.where(better, c_score, best_score),
+                jnp.where(better, c_i, b_i),
+                jnp.where(better, c_j, b_j),
+                jnp.where(better, c_qs, b_qs) if want_region else b_qs,
+                jnp.where(better, c_ts, b_ts) if want_region else b_ts)
+
+        # rotate diagonals
+        cur = jnp.concatenate(
+            [scores[:, :, None], lanes] if L else [scores[:, :, None]],
+            axis=2)
+        cur = jnp.where(is_set[:, :, None], cur,
+                        jnp.concatenate(
+                            [jnp.full((Q + 1, S, 1), NEG, jnp.int32)]
+                            + ([jnp.zeros((Q + 1, S, L), jnp.int32)]
+                               if L else []), axis=2))
+        prev = jnp.concatenate([cur[None], prev[:-1]], axis=0)
+        return (prev, best), None
+
+    def run(inputs):
+        # split inputs: [D, Q+1] arrays go through scan xs; others broadcast
+        xs_rows = {}
+        const_rows = {}
+        for k, v in inputs.items():
+            if (isinstance(v, (np.ndarray, jnp.ndarray))
+                    and getattr(v, "ndim", 0) == 2
+                    and v.shape == (D, Q + 1)):
+                xs_rows[k] = jnp.asarray(v)
+            else:
+                const_rows[k] = v
+        prev0 = jnp.full((K, Q + 1, S, 1 + L), NEG, dtype=jnp.int32)
+        if L:
+            prev0 = prev0.at[:, :, :, 1:].set(0)
+        best0 = (jnp.int32(NEG), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0))
+        d_seq = jnp.arange(D, dtype=jnp.int32)
+
+        def scan_step(carry, xs):
+            d, rows = xs
+            merged = dict(const_rows)
+            merged.update(rows)
+            return step(carry, (d, merged))
+
+        (prev, best), _ = lax.scan(scan_step, (prev0, best0),
+                                   (d_seq, xs_rows))
+        score, bi, bj, bqs, bts = best
+        out = {"score": score, "query_end": bi, "target_end": bj}
+        if want_region:
+            out["query_start"] = bqs
+            out["target_start"] = bts
+        return out
+
+    return run
+
+
+_CACHE: dict = {}
+
+
+def _get_fn(model: Model, Q: int, T: int, mode: str):
+    key = (id(model), Q, T, mode)
+    if key not in _CACHE:
+        _CACHE[key] = jax.jit(build_wavefront(model, Q, T, mode))
+    return _CACHE[key]
+
+
+def find_score(model: Model, region: Region, data) -> int:
+    inputs = prepare_inputs(model, region, data)
+    fn = _get_fn(model, region.query_length, region.target_length, "score")
+    return int(fn(inputs)["score"])
+
+
+def find_region(model: Model, region: Region, data) -> DPResult:
+    inputs = prepare_inputs(model, region, data)
+    fn = _get_fn(model, region.query_length, region.target_length, "region")
+    out = jax.tree_util.tree_map(int, fn(inputs))
+    return DPResult(score=out["score"],
+                    query_end=out["query_end"],
+                    target_end=out["target_end"],
+                    query_start=out["query_start"],
+                    target_start=out["target_start"])

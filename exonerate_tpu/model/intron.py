@@ -60,13 +60,18 @@ def _make_post_grid(on_query: bool, on_target: bool,
     return grid_fn
 
 
+def _intron_shadow_inputs(region, data: AlignData):
+    return {"min_intron": np.int32(data.intron.min_intron),
+            "max_intron": np.int32(data.intron.max_intron)}
+
+
 def _make_post_shadow_fn(on_query: bool, on_target: bool):
     """Length-window check using the intron-start shadow lane(s)
     (ref: Intron_CalcFunc !is_pre, src/model/intron.c:147-158):
     intron_length = pos - intron_start + 2; outside [min,max] -> impossible.
     """
-    def shadow_fn(xp, grid_val, svals, region, data: AlignData, qpos, tpos):
-        lo, hi = data.intron.min_intron, data.intron.max_intron
+    def shadow_fn(xp, grid_val, svals, inputs, qpos, tpos):
+        lo, hi = inputs["min_intron"], inputs["max_intron"]
         bad = False
         if on_query:
             length = qpos - _shadow_value(svals, "query intron") + 2
@@ -122,6 +127,7 @@ def intron_create(suffix: str, on_query: bool, on_target: bool,
         grid_fn=_make_post_grid(on_query, on_target, post_site, post_site,
                                 is_forward),
         shadow_fn=_make_post_shadow_fn(on_query, on_target),
+        shadow_inputs_fn=_intron_shadow_inputs,
         protect=Protect.UNDERFLOW)
 
     intron_state = m.add_state(f"intron {suffix}")

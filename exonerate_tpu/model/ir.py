@@ -79,11 +79,13 @@ class Calc:
     indexed by region-local offsets: entry [i, j] is the score of taking the
     transition whose source cell is (i, j).
 
-    ``shadow_fn(grid, shadow_vals, region, data)``, when set, post-combines the
-    grid score with the source cell's shadow lanes (e.g. the intron
-    length-window check, ref: src/model/intron.c:149-157); it receives the
-    broadcast grid value and a dict {shadow_name: lane_value} and must be
-    written in ``numpy``-generic style so it traces under JAX too.
+    ``shadow_fn(xp, grid, shadow_vals, inputs, qpos, tpos)``, when set,
+    post-combines the grid score with the source cell's shadow lanes (e.g.
+    the intron length-window check, ref: src/model/intron.c:149-157).  It is
+    written against the array module ``xp`` (numpy or jax.numpy) and pure
+    array ``inputs`` produced by ``shadow_inputs_fn(region, data)``, so the
+    same function runs scalar in the reference interpreter and vectorized /
+    traced in the JAX engines without retracing per sequence pair.
 
     max_score is the admissible upper bound used by heuristics
     (ref: src/c4/c4.h:75-89).
@@ -92,6 +94,7 @@ class Calc:
     max_score: int = 0
     grid_fn: Optional[Callable] = None
     shadow_fn: Optional[Callable] = None
+    shadow_inputs_fn: Optional[Callable] = None
     protect: Protect = Protect.NONE
     id: int = -1
 
@@ -213,9 +216,10 @@ class Model:
         return s
 
     def add_calc(self, name, max_score=0, grid_fn=None, shadow_fn=None,
-                 protect=Protect.NONE) -> Calc:
+                 shadow_inputs_fn=None, protect=Protect.NONE) -> Calc:
         assert self.is_open
-        c = Calc(name, max_score, grid_fn, shadow_fn, protect)
+        c = Calc(name, max_score, grid_fn, shadow_fn, shadow_inputs_fn,
+                 protect)
         self.calcs.append(c)
         return c
 
@@ -460,7 +464,8 @@ class Model:
                              and tc.grid_fn is c.grid_fn), None)
             if existing is None:
                 existing = self.add_calc(c.name, c.max_score, c.grid_fn,
-                                         c.shadow_fn, c.protect)
+                                         c.shadow_fn, c.shadow_inputs_fn,
+                                         c.protect)
             calc_map[id(c)] = existing
         state_map: dict[int, State] = {id(ins_start): src, id(ins_end): dst}
         for s in insert.states:
@@ -499,7 +504,8 @@ class Model:
         calc_map: dict[int, Calc] = {}
         for c in self.calcs:
             calc_map[id(c)] = m.add_calc(c.name, c.max_score, c.grid_fn,
-                                         c.shadow_fn, c.protect)
+                                         c.shadow_fn, c.shadow_inputs_fn,
+                                         c.protect)
         trans_map: dict[int, Transition] = {}
         for t in self.transitions:
             trans_map[id(t)] = m.add_transition(
@@ -593,7 +599,8 @@ class DerivedModel:
                 if t.calc is not None and id(t.calc) not in calc_map:
                     calc_map[id(t.calc)] = m.add_calc(
                         t.calc.name, t.calc.max_score, t.calc.grid_fn,
-                        t.calc.shadow_fn, t.calc.protect)
+                        t.calc.shadow_fn, t.calc.shadow_inputs_fn,
+                        t.calc.protect)
                 nt = m.add_transition(
                     t.name, state_map[id(t.input)], state_map[id(t.output)],
                     t.advance_query, t.advance_target,

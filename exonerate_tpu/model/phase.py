@@ -62,9 +62,8 @@ def _make_split_shadow_fn(match_type: MatchType, phase: int,
         p2 = (start - 1) if has_intron else (pos - 1)
         return p1, p2, pos
 
-    def shadow_fn(xp, grid_val, svals, region, data: AlignData, qpos, tpos):
-        cache = _seq_cache(data)
-        psub = data.mas.protein_submat.matrix
+    def shadow_fn(xp, grid_val, svals, inputs, qpos, tpos):
+        psub = inputs["psub"]
         valid = True
         # validity (ref: Phase_calc_is_valid, phase.c:176-188)
         if q_is_dna:
@@ -83,23 +82,31 @@ def _make_split_shadow_fn(match_type: MatchType, phase: int,
         if q_is_dna:
             qstart = _shadow_value(svals, "query intron") if on_query else 0
             qp = positions(xp, qpos, qstart, on_query)
-            qi = _codon_index(xp, cache["q_nt4"], cache["trans_idx"],
-                              *qp, len(data.query.data))
+            qi = _codon_index(xp, inputs["q_nt4"], inputs["trans_idx"],
+                              *qp, inputs["q_nt4"].shape[0])
         else:
-            qi = xp.take(cache["q_sym"],
-                         xp.clip(qpos, 0, len(data.query.data) - 1))
+            qi = xp.take(inputs["q_sym"],
+                         xp.clip(qpos, 0, inputs["q_sym"].shape[0] - 1))
         if t_is_dna:
             tstart = _shadow_value(svals, "target intron") if on_target else 0
             tp = positions(xp, tpos, tstart, on_target)
-            ti = _codon_index(xp, cache["t_nt4"], cache["trans_idx"],
-                              *tp, len(data.target.data))
+            ti = _codon_index(xp, inputs["t_nt4"], inputs["trans_idx"],
+                              *tp, inputs["t_nt4"].shape[0])
         else:
-            ti = xp.take(cache["t_sym"],
-                         xp.clip(tpos, 0, len(data.target.data) - 1))
+            ti = xp.take(inputs["t_sym"],
+                         xp.clip(tpos, 0, inputs["t_sym"].shape[0] - 1))
         score = psub[qi, ti] if xp is np else xp.asarray(psub)[qi, ti]
         return xp.where(valid, score, IMPOSSIBLY_LOW_SCORE)
 
     return shadow_fn
+
+
+def _phase_shadow_inputs(region, data: AlignData):
+    cache = _seq_cache(data)
+    return {"q_nt4": cache["q_nt4"], "t_nt4": cache["t_nt4"],
+            "q_sym": cache["q_sym"], "t_sym": cache["t_sym"],
+            "trans_idx": cache["trans_idx"],
+            "psub": data.mas.protein_submat.matrix}
 
 
 def _zero_grid(region, data):
@@ -137,11 +144,13 @@ def phase_create(suffix, match: Match, on_query: bool, on_target: bool,
     phase1_calc = m.add_calc(
         f"phase1post to dst {full_suffix}", match.max_score(),
         grid_fn=_zero_grid,
-        shadow_fn=_make_split_shadow_fn(match.type, 1, on_query, on_target))
+        shadow_fn=_make_split_shadow_fn(match.type, 1, on_query, on_target),
+        shadow_inputs_fn=_phase_shadow_inputs)
     phase2_calc = m.add_calc(
         f"phase2post to dst {full_suffix}", match.max_score(),
         grid_fn=_zero_grid,
-        shadow_fn=_make_split_shadow_fn(match.type, 2, on_query, on_target))
+        shadow_fn=_make_split_shadow_fn(match.type, 2, on_query, on_target),
+        shadow_inputs_fn=_phase_shadow_inputs)
 
     p1pre = m.add_state(f"phase1pre {full_suffix}")
     p1post = m.add_state(f"phase1post {full_suffix}")

@@ -55,6 +55,9 @@ def _path_score(model, res, region, data):
     """Re-score the traceback path independently."""
     from exonerate_tpu.engine.reference import _materialize_grids, _grid_value
     grids = _materialize_grids(model, region, data)
+    shadow_inputs = {id(c): (c.shadow_inputs_fn(region, data)
+                             if c.shadow_inputs_fn else {})
+                     for c in model.calcs}
     i, j = res.query_start, res.target_start
     total = 0
     shadow_lanes = {}
@@ -65,7 +68,7 @@ def _path_score(model, res, region, data):
                 svals = {sh.name: shadow_lanes.get(sh.name, 0)
                          for sh in t.dst_shadows}
                 val = int(t.calc.shadow_fn(
-                    np, val, svals, region, data,
+                    np, val, svals, shadow_inputs[id(t.calc)],
                     region.query_start + i, region.target_start + j))
             total += val
         for sh in model.src_shadows(t.input):
