@@ -68,8 +68,11 @@ def _is_member_table(members: bytes) -> np.ndarray:
 IS_DNA_CORE = _is_member_table(DNA_MEMBERS)
 IS_DNA = _is_member_table(DNA_AMBIG + b"U-")
 IS_PROTEIN = _is_member_table(PROTEIN_MEMBERS + b"U-")
-IS_SOFTMASKED = _make_table(lambda i: chr(i).islower())
-IS_ALPHA = _make_table(lambda i: chr(i).isalpha())
+IS_SOFTMASKED = _make_table(
+    lambda i: 1 if ord("a") <= i <= ord("z") else 0).astype(bool)
+IS_ALPHA = _make_table(
+    lambda i: 1 if (ord("a") <= i <= ord("z")
+                    or ord("A") <= i <= ord("Z")) else 0).astype(bool)
 
 
 class Alphabet:

@@ -1,0 +1,76 @@
+"""Waterman-Eggert suboptimal-alignment masking.
+
+TPU-native equivalent of the reference SubOpt (ref: src/c4/subopt.{h,c}):
+match positions of prior alignments block match transitions in later DPs.
+Positions are stored absolutely; engines ask for a per-row boolean mask in
+region-local coordinates (the dense replacement for the reference's
+RangeTree + row index).
+"""
+from __future__ import annotations
+
+from math import gcd
+
+import numpy as np
+
+from ..align.alignment import Alignment
+from ..model.ir import Label
+from .region import Region
+
+
+class SubOpt:
+    def __init__(self):
+        self.points: set[tuple[int, int]] = set()
+        self.by_row: dict[int, set[int]] = {}
+        self.path_count = 0
+
+    def add_alignment(self, alignment: Alignment):
+        """(ref: SubOpt_add_alignment, subopt.c:126-143)."""
+        qp = alignment.region.query_start
+        tp = alignment.region.target_start
+        for op in alignment.ops:
+            t = op.transition
+            if t.label == Label.MATCH:
+                g = gcd(t.advance_query, t.advance_target)
+                q_move = t.advance_query // g
+                t_move = t.advance_target // g
+                cq, ct = qp, tp
+                for _ in range(op.length):
+                    q_limit = cq + t.advance_query
+                    t_limit = ct + t.advance_target
+                    x, y = cq, ct
+                    while x < q_limit:
+                        self._add(x, y)
+                        x += q_move
+                        y += t_move
+                    cq, ct = q_limit, t_limit
+            qp += t.advance_query * op.length
+            tp += t.advance_target * op.length
+        self.path_count += 1
+
+    def _add(self, q: int, t: int):
+        if (q, t) not in self.points:
+            self.points.add((q, t))
+            self.by_row.setdefault(t, set()).add(q)
+
+    def blocked_row(self, region: Region, j_local: int):
+        """Boolean mask over region-local query positions for row j."""
+        row = self.by_row.get(region.target_start + j_local)
+        if not row:
+            return None
+        mask = np.zeros(region.query_length + 1, dtype=bool)
+        for q in row:
+            lq = q - region.query_start
+            if 0 <= lq <= region.query_length:
+                mask[lq] = True
+        return mask
+
+    def blocked_grid(self, region: Region) -> np.ndarray:
+        """Full [Q+1, T+1] mask (for the wavefront engine)."""
+        mask = np.zeros((region.query_length + 1,
+                         region.target_length + 1), dtype=bool)
+        for (q, t) in self.points:
+            lq, lt = q - region.query_start, t - region.target_start
+            if 0 <= lq <= region.query_length \
+                    and 0 <= lt <= region.target_length:
+                mask[lq, lt] = True
+        return mask

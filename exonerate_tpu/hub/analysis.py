@@ -1,0 +1,235 @@
+"""Analysis: the top-level comparison driver.
+
+TPU-native equivalent of the reference Analysis (ref: src/hub/analysis.c):
+guesses/forces alphabet types, builds the model + GAM, expands FOSN lists,
+runs the seeded pipeline (default) or the exhaustive pair loop, handles
+strand expansion (revcomp query/target passes, ref: fastapipe.c:41-51) and
+normalizes comparisons before handing them to the GAM
+(ref: analysis.c:102-138).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..alphabet import Alphabet, AlphabetType
+from ..seqio import FastaDB, Sequence, read_annotation_file
+from ..model.data import (AffineArgs, AlignData, FrameshiftArgs, IntronArgs,
+                          MatchArgs, NerArgs)
+from ..model import registry
+from ..model.registry import ModelType
+from ..model.match import Match, MatchType, match_type_find
+from ..seeds.hsp import HspArgs, HspParam
+from ..seeds.seeder import Seeder, SeederArgs
+from ..seeds.wordhood import WordHood
+from .gam import GAM, GamArgs
+
+
+@dataclass
+class AnalysisArgs:
+    """(ref: Analysis_ArgumentSet, analysis.c:31-66)."""
+    use_exhaustive: bool = False
+    use_bigseq: bool = False
+    use_revcomp: bool = True
+    force_scan: str = "none"
+    saturate_threshold: int = 0
+
+
+class Analysis:
+    def __init__(self, query_paths, target_paths,
+                 query_chunk=(0, 0), target_chunk=(0, 0),
+                 gas: Optional[GamArgs] = None,
+                 aas: Optional[AnalysisArgs] = None,
+                 match_args: Optional[MatchArgs] = None,
+                 affine_args: Optional[AffineArgs] = None,
+                 intron_args: Optional[IntronArgs] = None,
+                 frameshift_args: Optional[FrameshiftArgs] = None,
+                 ner_args: Optional[NerArgs] = None,
+                 hsp_args: Optional[HspArgs] = None,
+                 seeder_args: Optional[SeederArgs] = None,
+                 query_type: Optional[AlphabetType] = None,
+                 target_type: Optional[AlphabetType] = None,
+                 annotation_path: Optional[str] = None,
+                 fasta_suffix: str = ".fa",
+                 out=None, verbosity: int = 0):
+        self.gas = gas or GamArgs()
+        self.aas = aas or AnalysisArgs()
+        self.match_args = match_args or MatchArgs()
+        self.affine_args = affine_args or AffineArgs()
+        self.intron_args = intron_args or IntronArgs()
+        self.frameshift_args = frameshift_args or FrameshiftArgs()
+        self.ner_args = ner_args or NerArgs()
+        self.hsp_args = hsp_args or HspArgs()
+        self.seeder_args = seeder_args or SeederArgs()
+        self.verbosity = verbosity
+        self.annotations = (read_annotation_file(annotation_path)
+                            if annotation_path else {})
+
+        self.query_db = FastaDB(query_paths, suffix=fasta_suffix,
+                                chunk_id=query_chunk[0],
+                                chunk_total=query_chunk[1])
+        self.target_db = FastaDB(target_paths, suffix=fasta_suffix,
+                                 chunk_id=target_chunk[0],
+                                 chunk_total=target_chunk[1])
+        self.query_type = query_type or self.query_db.guess_type()
+        self.target_type = target_type or self.target_db.guess_type()
+        registry.check_input(self.gas.model_type, self.query_type,
+                             self.target_type)
+        self.model = registry.get_model(self.gas.model_type,
+                                        self.query_type, self.target_type,
+                                        self.intron_args)
+        self.translate_both = registry.translate_both(self.gas.model_type)
+        self.gam = GAM(self.model, self.gas, self._make_data, out=out)
+
+    # -- data -------------------------------------------------------------
+
+    def _make_data(self, query: Sequence, target: Sequence) -> AlignData:
+        data = AlignData(query, target, self.translate_both,
+                         self.match_args, self.affine_args,
+                         self.intron_args, self.frameshift_args,
+                         self.ner_args)
+        return data
+
+    def _load_seq(self, seq: Sequence, atype: AlphabetType) -> Sequence:
+        seq.alphabet = Alphabet(atype)
+        ann = self.annotations.get(seq.id)
+        if ann is not None:
+            seq.annotation = ann
+            seq.strand = "+"
+            if ann.strand == "-":
+                seq = seq.revcomp()
+        elif atype == AlphabetType.DNA:
+            seq.strand = "+"
+        return seq
+
+    def _expand_strands(self, seq: Sequence, revcomp: bool):
+        yield seq
+        if revcomp:
+            yield seq.revcomp()
+
+    # -- hsp params --------------------------------------------------------
+
+    def comparison_params(self) -> dict[str, HspParam]:
+        """Which HSP classes apply (ref: Comparison_Param +
+        Analysis_create wiring)."""
+        mt = self.gas.model_type
+        q, t = self.query_type, self.target_type
+        params: dict[str, HspParam] = {}
+        if registry.has_dual_match(mt):
+            params["dna"] = HspParam(
+                Match(MatchType.DNA2DNA, self.match_args), self.hsp_args)
+            params["codon"] = HspParam(
+                Match(MatchType.CODON2CODON, self.match_args),
+                self.hsp_args)
+        else:
+            match_type = match_type_find(q, t, self.translate_both)
+            kind = {MatchType.DNA2DNA: "dna",
+                    MatchType.CODON2CODON: "codon"}.get(match_type,
+                                                        "protein")
+            params[kind] = HspParam(Match(match_type, self.match_args),
+                                    self.hsp_args)
+        return params
+
+    def _wordhoods(self, params):
+        out = {}
+        for kind, p in params.items():
+            wh = WordHood.for_param(p)
+            if wh is not None:
+                out[kind] = wh
+        return out
+
+    # -- the drive ---------------------------------------------------------
+
+    def process(self):
+        if self.aas.use_exhaustive:
+            self._process_exhaustive()
+        else:
+            self._process_seeded()
+        self.gam.report()
+
+    def _process_exhaustive(self):
+        """(ref: analysis.c pair-loop path, Analysis_Pair_compare)."""
+        revcomp_query = (self.aas.use_revcomp
+                         and self.query_type == AlphabetType.DNA)
+        revcomp_target = (self.aas.use_revcomp
+                          and ((self.query_type == AlphabetType.PROTEIN
+                                and self.target_type == AlphabetType.DNA)
+                               or self.translate_both))
+        for query in self.query_db:
+            query = self._load_seq(query, self.query_type)
+            for qv in self._expand_strands(query, revcomp_query):
+                for target in self.target_db:
+                    target = self._load_seq(target, self.target_type)
+                    for tv in self._expand_strands(target, revcomp_target):
+                        self._compare_exhaustive(qv, tv)
+
+    def _compare_exhaustive(self, query: Sequence, target: Sequence):
+        q, t = self._normalize_pair(query, target)
+        results = self.gam.result_exhaustive(q, t)
+        self.gam.submit(results)
+
+    def _normalize_pair(self, query: Sequence, target: Sequence):
+        """Strand normalization before reporting
+        (ref: Analysis_report_func, analysis.c:102-138)."""
+        if (query.alphabet.type == AlphabetType.DNA
+                and target.alphabet.type == AlphabetType.DNA
+                and query.strand == "-" and target.strand != "-"
+                and not self.translate_both):
+            return query.revcomp(), target.revcomp()
+        return query, target
+
+    def _process_seeded(self):
+        """(ref: seeded FastaPipe path, analysis.c:1360-1420)."""
+        params = self.comparison_params()
+        revcomp_query = (self.aas.use_revcomp
+                         and self.query_type == AlphabetType.DNA)
+        revcomp_target = (self.aas.use_revcomp
+                          and ((self.query_type == AlphabetType.PROTEIN
+                                and self.target_type == AlphabetType.DNA)
+                               or self.translate_both))
+
+        def report(comparison):
+            self._report_comparison(comparison)
+
+        seeder = Seeder(params, report, self.seeder_args,
+                        self._wordhoods(params))
+        for query in self.query_db:
+            query = self._load_seq(query, self.query_type)
+            for qv in self._expand_strands(query, revcomp_query):
+                seeder.add_query(qv)
+        for target in self.target_db:
+            target = self._load_seq(target, self.target_type)
+            for tv in self._expand_strands(target, revcomp_target):
+                seeder.add_target(tv)
+
+    def _report_comparison(self, comparison):
+        # normalize dna2dna revcomp-query comparisons (analysis.c:113-118)
+        if (comparison.query.alphabet.type == AlphabetType.DNA
+                and comparison.target.alphabet.type == AlphabetType.DNA
+                and comparison.query.strand == "-"
+                and comparison.target.strand != "-"
+                and not self.translate_both):
+            self._comparison_revcomp(comparison)
+        if registry.is_gapped(self.gas.model_type):
+            results = self.gam.result_heuristic(comparison)
+        else:
+            results = self.gam.result_ungapped(comparison)
+        self.gam.submit(results)
+
+    @staticmethod
+    def _comparison_revcomp(comparison):
+        """(ref: Comparison_revcomp, comparison.c:238-251)."""
+        rc_q = comparison.query.revcomp()
+        rc_t = comparison.target.revcomp()
+        comparison.query = rc_q
+        comparison.target = rc_t
+        for hs in comparison.hspsets():
+            hs.query = rc_q
+            hs.target = rc_t
+            for h in hs.hsps:
+                h.query_start = len(rc_q) - h.query_end(hs.qadv)
+                h.target_start = len(rc_t) - h.target_end(hs.tadv)
+            # rebuild score caches on the revcomped sequences
+            m = hs.param.match
+            hs._qi = m._row_indices(rc_q, m.advance_query)
+            hs._ti = m._row_indices(rc_t, m.advance_target)

@@ -1,0 +1,244 @@
+"""GAM: the gapped alignment manager / result machinery.
+
+TPU-native equivalent of the reference GAM (ref: src/hub/gam.{h,c}): owns
+the model and engines, converts comparisons into alignments (ungapped
+shortcut, heuristic DP, exhaustive suboptimal enumeration), applies
+score/percent/bestn thresholds and dispatches every enabled output format.
+The reference's tmpfile-backed bestn machinery (gam.c:172-219) is replaced
+by an in-memory store with identical final-set semantics: an alignment is
+reported iff fewer than best_n strictly better alignments exist for the
+query, ranked 1..N in descending score order.
+"""
+from __future__ import annotations
+
+import enum
+import sys
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..align.alignment import Alignment, AlignmentArgs
+from ..align import formats
+from ..engine.region import Region
+from ..engine import reference as ref_engine
+from ..model.ir import Label, Model
+from ..model.registry import ModelType, translate_both, has_genomic_target
+from ..model.data import AlignData
+from ..seeds.hsp import Comparison, HSP, HspSet
+from ..seqio import Sequence
+
+
+class Refinement(enum.Enum):
+    NONE = "none"
+    FULL = "full"
+    REGION = "region"
+
+
+@dataclass
+class GamArgs:
+    """(ref: GAM_ArgumentSet, gam.c:93-155)."""
+    model_type: ModelType = ModelType.UNGAPPED
+    threshold: int = 100
+    percent_threshold: float = 0.0
+    show_alignment: bool = True
+    show_sugar: bool = False
+    show_cigar: bool = False
+    show_vulgar: bool = True
+    show_query_gff: bool = False
+    show_target_gff: bool = False
+    ryo: Optional[str] = None
+    best_n: int = 0
+    use_subopt: bool = True
+    use_gapped_extension: bool = True
+    refinement: Refinement = Refinement.NONE
+    refinement_boundary: int = 32
+
+
+@dataclass
+class _Stored:
+    score: int
+    text: str
+    order: int
+
+
+class GAM:
+    """(ref: GAM, gam.h:91-154)."""
+
+    def __init__(self, model: Model, gas: GamArgs,
+                 make_data, align_args: Optional[AlignmentArgs] = None,
+                 out=None, engine: str = "reference"):
+        self.model = model
+        self.gas = gas
+        self.make_data = make_data      # (query, target) -> AlignData
+        self.align_args = align_args or AlignmentArgs()
+        self.out = out or sys.stdout
+        self.engine = engine
+        # query_id -> list of stored results (bestn mode)
+        self.bestn_store: dict[str, list[_Stored]] = {}
+        self._order = 0
+
+    # -- thresholds (ref: GAM_get_query_threshold, gam.c:677-705) ---------
+
+    def query_threshold(self, query: Sequence, data: AlignData) -> int:
+        if self.gas.best_n:
+            stored = self.bestn_store.get(query.id)
+            if stored and len(stored) >= self.gas.best_n:
+                return min(s.score for s in stored)
+        if self.gas.percent_threshold:
+            match = data.match()
+            self_score = match.self_score(query)
+            return int(self_score * self.gas.percent_threshold / 100.0)
+        return self.gas.threshold
+
+    # -- result creation ---------------------------------------------------
+
+    def result_ungapped(self, comparison: Comparison
+                        ) -> list[tuple[Alignment, AlignData]]:
+        """(ref: GAM_Result_ungapped_create, gam.c:736-763)."""
+        if not comparison.has_hsps:
+            return []
+        data = self.make_data(comparison.query, comparison.target)
+        out = []
+        for hspset in comparison.hspsets():
+            hspset.filter_ungapped()
+            threshold = self.query_threshold(comparison.query, data)
+            for hsp in hspset.hsps:
+                if hsp.score >= threshold:
+                    out.append((self._hsp_alignment(hspset, hsp), data))
+        out.sort(key=lambda ad: -ad[0].score)
+        return out
+
+    def _hsp_alignment(self, hspset: HspSet, hsp: HSP) -> Alignment:
+        """(ref: Ungapped_Alignment_create, ungapped.c:168-198)."""
+        model = self.model
+        start2match = match2match = match2end = None
+        for t in model.transitions:
+            if t.input is model.start_state.state:
+                start2match = t
+            elif t.output is model.end_state.state:
+                match2end = t
+            else:
+                match2match = t
+        region = Region(hsp.query_start, hsp.target_start,
+                        hsp.query_end(hspset.qadv) - hsp.query_start,
+                        hsp.target_end(hspset.tadv) - hsp.target_start)
+        a = Alignment(model, region, hsp.score)
+        a.add(start2match, 1)
+        a.add(match2match, hsp.length)
+        a.add(match2end, 1)
+        return a
+
+    def result_heuristic(self, comparison: Comparison
+                         ) -> list[tuple[Alignment, AlignData]]:
+        """Heuristic gapped path (ref: GAM_Result_heuristic_create,
+        gam.c:1107-1180).  Round-1 implementation: seeded comparisons gate
+        a full local DP with suboptimal enumeration — at least as good as
+        the reference's SDP gapped extension on the same seeds; the banded
+        SDP equivalent replaces the inner DP for large pairs."""
+        if not comparison.has_hsps:
+            return []
+        return self.result_exhaustive(comparison.query, comparison.target)
+
+    def result_exhaustive(self, query: Sequence, target: Sequence
+                          ) -> list[tuple[Alignment, AlignData]]:
+        """Exhaustive suboptimal enumeration (ref: OPair +
+        GAM_Result_exhaustive_create, gam.c:1140-1180)."""
+        from ..engine.subopt import SubOpt
+        data = self.make_data(query, target)
+        region = Region(0, 0, len(query), len(target))
+        threshold = max(self.query_threshold(query, data), 1) \
+            if self.model.is_local else self.query_threshold(query, data)
+        subopt = SubOpt() if self.gas.use_subopt else None
+        out = []
+        while True:
+            res = ref_engine.find_path(self.model, region, data,
+                                       subopt=subopt)
+            if res.path is None or res.score < threshold:
+                break
+            al_region = Region(region.query_start + res.query_start,
+                               region.target_start + res.target_start,
+                               res.query_end - res.query_start,
+                               res.target_end - res.target_start)
+            alignment = Alignment.from_path(self.model, al_region,
+                                            res.score, res.path)
+            out.append((alignment, data))
+            if subopt is None or not self.model.is_local:
+                break
+            subopt.add_alignment(alignment)
+            if self.gas.best_n and len(out) >= max(self.gas.best_n * 4, 16):
+                break
+        return out
+
+    # -- submission (ref: GAM_Result_submit, gam.c:1252-1275) -------------
+
+    def submit(self, results: list[tuple[Alignment, AlignData]]):
+        if not results:
+            return
+        query = None
+        if self.gas.best_n:
+            for alignment, data in results:
+                self._bestn_submit(alignment, data)
+        else:
+            for alignment, data in results:
+                self.out.write(self._render(alignment, data, rank=-1))
+
+    def _bestn_submit(self, alignment: Alignment, data: AlignData):
+        qid = data.query.id
+        store = self.bestn_store.setdefault(qid, [])
+        n = self.gas.best_n
+        better = sum(1 for s in store if s.score > alignment.score)
+        if better >= n:
+            return
+        self._order += 1
+        store.append(_Stored(alignment.score,
+                             self._render(alignment, data, rank=None),
+                             self._order))
+        # evict: keep only entries with fewer than n strictly better
+        scores = sorted((s.score for s in store), reverse=True)
+        store[:] = [s for s in store
+                    if sum(1 for sc in scores if sc > s.score) < n]
+
+    def report(self):
+        """Final bestn replay (ref: GAM_report, gam.c:550-556): per query
+        in id-sorted order, descending score, ranks 1..N."""
+        if not self.gas.best_n:
+            return
+        for qid in sorted(self.bestn_store):
+            store = self.bestn_store[qid]
+            store.sort(key=lambda s: (-s.score, s.order))
+            for rank, s in enumerate(store, 1):
+                self.out.write(s.text.replace("%_EXONERATE_BESTN_RANK_%",
+                                              str(rank)))
+
+    # -- rendering (ref: GAM_display_alignment, gam.c:1210-1237) ----------
+
+    def _render(self, alignment: Alignment, data: AlignData,
+                rank) -> str:
+        gas = self.gas
+        q, t = data.query, data.target
+        parts = []
+        if gas.show_alignment:
+            parts.append(formats.display_human(alignment, q, t, data,
+                                               self.align_args))
+        if gas.show_sugar:
+            parts.append(formats.display_sugar(alignment, q, t,
+                                               self.align_args))
+        if gas.show_cigar:
+            parts.append(formats.display_cigar(alignment, q, t,
+                                               self.align_args))
+        if gas.show_vulgar:
+            parts.append(formats.display_vulgar(alignment, q, t,
+                                                self.align_args))
+        if gas.show_query_gff or gas.show_target_gff:
+            from ..align import gff
+            if gas.show_query_gff:
+                parts.append(gff.display_gff(alignment, q, t, data, True,
+                                             False, self.align_args))
+            if gas.show_target_gff:
+                parts.append(gff.display_gff(
+                    alignment, q, t, data, False,
+                    has_genomic_target(gas.model_type), self.align_args))
+        if gas.ryo:
+            from ..align import ryo
+            parts.append(ryo.display_ryo(alignment, q, t, data, gas.ryo,
+                                         rank, self.align_args))
+        return "".join(parts)

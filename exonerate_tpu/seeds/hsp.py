@@ -1,0 +1,384 @@
+"""HSPs: seeding, x-drop extension, sets.
+
+TPU-native equivalent of the reference HSPset module
+(ref: src/comparison/hspset.{h,c}).  The per-seed x-drop extension
+(ref: HSP_extend, hspset.c:748-815) is reformulated as vectorized prefix
+ops over the whole diagonal (cumsum + running max + first-failure scan),
+so each extension is a handful of NumPy vector ops instead of a scalar
+loop — the same formulation the batched JAX kernel uses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..alphabet import IS_SOFTMASKED
+from ..submat import SYMBOL_INDEX
+from ..seqio import Sequence
+from ..model.match import Match, MatchType
+from ..engine.region import Region
+
+
+@dataclass
+class HspArgs:
+    """HSP options (ref: HSP_ArgumentSet, hspset.c:23-89)."""
+    seed_repeat: int = 1
+    dna_wordlen: int = 12
+    protein_wordlen: int = 6
+    codon_wordlen: int = 12
+    dna_hsp_dropoff: int = 30
+    protein_hsp_dropoff: int = 20
+    codon_hsp_dropoff: int = 40
+    dna_hsp_threshold: int = 75
+    protein_hsp_threshold: int = 30
+    codon_hsp_threshold: int = 50
+    dna_word_limit: int = 0
+    protein_word_limit: int = 4
+    codon_word_limit: int = 4
+    geneseed_threshold: int = 0
+    geneseed_repeat: int = 3
+    filter_threshold: int = 0  # --hspfilter
+    use_word_dropoff: bool = True
+
+
+class HspParam:
+    """Per-match-class seeding parameters (ref: HSP_Param,
+    hspset.h:140-156)."""
+
+    def __init__(self, match: Match, args: Optional[HspArgs] = None):
+        self.match = match
+        self.args = args or HspArgs()
+        a = self.args
+        mt = match.type
+        if mt == MatchType.DNA2DNA:
+            self.wordlen = a.dna_wordlen
+            self.dropoff = a.dna_hsp_dropoff
+            self.threshold = a.dna_hsp_threshold
+            self.word_limit = a.dna_word_limit
+        elif mt == MatchType.CODON2CODON:
+            self.wordlen = a.codon_wordlen
+            self.dropoff = a.codon_hsp_dropoff
+            self.threshold = a.codon_hsp_threshold
+            self.word_limit = a.codon_word_limit
+        else:
+            self.wordlen = a.protein_wordlen
+            self.dropoff = a.protein_hsp_dropoff
+            self.threshold = a.protein_hsp_threshold
+            self.word_limit = a.protein_word_limit
+        self.seed_repeat = a.seed_repeat
+        self.filter_threshold = a.filter_threshold
+
+    @property
+    def seedlen(self) -> int:
+        # (ref: HSP_Param_set_wordlen, hspset.c:110-117)
+        return self.wordlen // self.match.advance_query
+
+
+@dataclass
+class HSP:
+    """(ref: HSP, hspset.h:67-74)."""
+    query_start: int
+    target_start: int
+    length: int
+    score: int
+    cobs: int = 0
+
+    def query_end(self, qadv: int) -> int:
+        return self.query_start + self.length * qadv
+
+    def target_end(self, tadv: int) -> int:
+        return self.target_start + self.length * tadv
+
+    def diagonal(self, qadv: int, tadv: int) -> int:
+        return self.target_start * qadv - self.query_start * tadv
+
+
+class HspSet:
+    """A set of HSPs for one (query, target, match-class)
+    (ref: HSPset, hspset.h:191-224)."""
+
+    def __init__(self, query: Sequence, target: Sequence,
+                 param: HspParam):
+        self.query = query
+        self.target = target
+        self.param = param
+        self.hsps: list[HSP] = []
+        self.is_finalised = False
+        m = param.match
+        self.qadv = m.advance_query
+        self.tadv = m.advance_target
+        # horizon: [section][qframe][tframe] -> (last_target_end,
+        # repeat_count, diag_mailbox) (ref: hspset.c:933-997); note the
+        # reference aliases diagonals modulo query length on purpose.
+        self._horizon: dict = {}
+        # per-position score rows cached for vectorized diagonal gathers
+        self._qi = m._row_indices(query, m.advance_query)
+        self._ti = m._row_indices(target, m.advance_target)
+        self._mat = m.submat.matrix
+        self._q_mask = IS_SOFTMASKED[query.data]
+        self._t_mask = IS_SOFTMASKED[target.data]
+        self._forbid_masked = (m.mas.softmask_query
+                               or m.mas.softmask_target)
+        ann = query.annotation
+        self._cds_veto = None
+        if ann is not None and query.alphabet.type.value == "dna":
+            n = len(query)
+            if m.type == MatchType.DNA2DNA:
+                bad = np.zeros(n, dtype=bool)
+                bad[ann.cds_start:ann.cds_start + ann.cds_length] = True
+                self._cds_veto = bad
+            elif m.type == MatchType.CODON2CODON:
+                pos = np.arange(n)
+                self._cds_veto = ((pos < ann.cds_start)
+                                  | (pos >= ann.cds_start + ann.cds_length)
+                                  | ((pos % 3) != (ann.cds_start % 3)))
+
+    # -- scoring along a diagonal -----------------------------------------
+
+    def _diag_scores(self, qpos: np.ndarray, tpos: np.ndarray) -> np.ndarray:
+        s = self._mat[self._qi[qpos], self._ti[tpos]]
+        if self._cds_veto is not None:
+            s = np.where(self._cds_veto[qpos], -987654321, s)
+        return s
+
+    def score_at(self, qpos: int, tpos: int) -> int:
+        return int(self._diag_scores(np.array([qpos]),
+                                     np.array([tpos]))[0])
+
+    # -- x-drop extension (ref: HSP_extend, hspset.c:748-815) -------------
+
+    def _extend_dir(self, s0: int, qpos0: int, tpos0: int, sign: int,
+                    forbid_masked: bool) -> tuple[int, int]:
+        """Extend from score s0 starting at the first new position
+        (qpos0, tpos0) stepping by sign*(qadv, tadv).
+        Returns (maxext, maxscore)."""
+        qadv, tadv = self.qadv * sign, self.tadv * sign
+        if sign < 0:
+            # left: positions valid while qpos >= 0 (ref loop condition)
+            n_q = qpos0 // self.qadv + 1 if qpos0 >= 0 else 0
+            n_t = tpos0 // self.tadv + 1 if tpos0 >= 0 else 0
+        else:
+            # right: valid while qpos + qadv <= len (whole unit fits)
+            n_q = max(0, (len(self.query) - qpos0) // self.qadv)
+            n_t = max(0, (len(self.target) - tpos0) // self.tadv)
+        n = min(n_q, n_t)
+        if n <= 0:
+            return 0, s0
+        qpos = qpos0 + np.arange(n) * qadv
+        tpos = tpos0 + np.arange(n) * tadv
+        if forbid_masked:
+            # stop before first masked position
+            masked = self._q_mask[qpos] | self._t_mask[tpos]
+            first = int(np.argmax(masked)) if masked.any() else n
+            if first == 0:
+                return 0, s0
+            qpos, tpos = qpos[:first], tpos[:first]
+            n = first
+        m = self._diag_scores(qpos, tpos).astype(np.int64)
+        cum = s0 + np.cumsum(m)
+        runmax = np.maximum.accumulate(np.maximum(cum, s0))
+        runmax = np.maximum(runmax, s0)
+        bad = (cum < runmax) & ((cum < 0)
+                               | (runmax - cum >= self.param.dropoff))
+        stop = int(np.argmax(bad)) if bad.any() else n
+        if stop == 0:
+            return 0, s0
+        sub = cum[:stop]
+        subrun = runmax[:stop]
+        hits = np.nonzero(sub == subrun)[0]
+        if len(hits) == 0:
+            return 0, s0
+        maxext = int(hits[-1]) + 1
+        return maxext, int(subrun[stop - 1])
+
+    def _extend(self, h: HSP, forbid_masked: bool):
+        qadv, tadv = self.qadv, self.tadv
+        maxext, maxscore = self._extend_dir(
+            h.score, h.query_start - qadv, h.target_start - tadv, -1,
+            forbid_masked)
+        h.query_start -= maxext * qadv
+        h.target_start -= maxext * tadv
+        h.length += maxext
+        maxext, maxscore = self._extend_dir(
+            maxscore, h.query_end(qadv), h.target_end(tadv), +1,
+            forbid_masked)
+        h.length += maxext
+        h.score = maxscore
+
+    def _trim_ends(self, h: HSP):
+        """(ref: HSP_trim_ends, hspset.c:852-880)."""
+        while h.length > 0 and self.score_at(h.query_start,
+                                             h.target_start) <= 0:
+            h.query_start += self.qadv
+            h.target_start += self.tadv
+            h.length -= 1
+        while h.length > 0:
+            qp = h.query_end(self.qadv) - self.qadv
+            tp = h.target_end(self.tadv) - self.tadv
+            if self.score_at(qp, tp) > 0:
+                break
+            h.length -= 1
+
+    def _init_score(self, h: HSP):
+        if h.length == 0:
+            h.score = 0
+            return
+        qpos = h.query_start + np.arange(h.length) * self.qadv
+        tpos = h.target_start + np.arange(h.length) * self.tadv
+        h.score = int(self._diag_scores(qpos, tpos).sum())
+
+    def find_cobs(self, h: HSP) -> int:
+        """Centre offset by score (ref: HSP_find_cobs, hspset.c:426-441)."""
+        qpos = h.query_start + np.arange(h.length) * self.qadv
+        tpos = h.target_start + np.arange(h.length) * self.tadv
+        cum = np.cumsum(self._diag_scores(qpos, tpos))
+        half = h.score >> 1
+        hit = np.nonzero(cum >= half)[0]
+        return int(hit[0]) if len(hit) else h.length
+
+    # -- seeding (ref: HSPset_seed_hsp, hspset.c:933-997) -----------------
+
+    def seed(self, query_start: int, target_start: int):
+        assert not self.is_finalised
+        qadv, tadv = self.qadv, self.tadv
+        diag_pos = target_start * qadv - query_start * tadv
+        qframe = query_start % qadv
+        tframe = target_start % tadv
+        qlen = len(self.query)
+        section = (diag_pos + qlen) % qlen
+        key = (section, qframe, tframe)
+        h_end, h_count, h_diag = self._horizon.get(key, (0, 0, None))
+        if self.param.seed_repeat > 1 and h_diag != diag_pos + qlen:
+            h_end, h_count, h_diag = 0, 0, diag_pos + qlen
+        if target_start < h_end:
+            return
+        if self.param.seed_repeat > 1:
+            h_count += 1
+            if h_count < self.param.seed_repeat:
+                self._horizon[key] = (h_end, h_count, h_diag)
+                return
+            h_count = 0
+        h = HSP(query_start, target_start, self.param.seedlen, 0)
+        self._trim_ends(h)
+        self._init_score(h)
+        if self._forbid_masked:
+            self._extend(h, True)
+            if h.score < self.param.threshold:
+                self._horizon[key] = (h.target_end(tadv), h_count, h_diag)
+                return
+        self._extend(h, False)
+        self._store(h)
+        self._horizon[key] = (h.target_end(tadv), h_count, h_diag)
+
+    def add_known_hsp(self, query_start: int, target_start: int,
+                      length: int):
+        """(ref: HSPset_add_known_hsp) — used by the server client path."""
+        h = HSP(query_start, target_start, length, 0)
+        self._init_score(h)
+        self._store(h)
+
+    def _store(self, h: HSP):
+        """(ref: HSP_store, hspset.c:888-927); the --hspfilter per-cobs
+        PQueue filter keeps the best filter_threshold HSPs per query
+        cobs position."""
+        if h.score < self.param.threshold:
+            return
+        if self.param.filter_threshold:
+            h.cobs = self.find_cobs(h)
+        self.hsps.append(h)
+
+    def finalise(self):
+        """(ref: HSPset_finalise, hspset.c:1123-1150)."""
+        if self.is_finalised:
+            return self
+        self.is_finalised = True
+        if self.param.filter_threshold and self.hsps:
+            # keep best filter_threshold per query cobs position
+            by_pos: dict[int, list[HSP]] = {}
+            for h in self.hsps:
+                pos = h.query_start + h.cobs * self.qadv
+                by_pos.setdefault(pos, []).append(h)
+            kept: list[HSP] = []
+            for pos in sorted(by_pos):
+                group = sorted(by_pos[pos], key=lambda x: x.score,
+                               reverse=True)[:self.param.filter_threshold]
+                # reference pops ascending from the PQueue
+                kept.extend(sorted(group, key=lambda x: x.score))
+            self.hsps = kept
+        else:
+            for h in self.hsps:
+                h.cobs = self.find_cobs(h)
+        return self
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.hsps
+
+    def filter_ungapped(self):
+        """Overlap filter for 3:3 HSPs on the same diagonal in different
+        frames (ref: HSPset_filter_ungapped, hspset.c:1187-1240)."""
+        if len(self.hsps) <= 1 or self.qadv != 3 or self.tadv != 3:
+            return
+        self.hsps.sort(key=lambda h: (h.diagonal(self.qadv, self.tadv),
+                                      h.query_start))
+        out: list[HSP] = []
+        prev = self.hsps[0]
+        del_prev = False
+        for curr in self.hsps[1:]:
+            del_curr = False
+            if (prev.diagonal(self.qadv, self.tadv)
+                    == curr.diagonal(self.qadv, self.tadv)
+                    and prev.query_end(self.qadv) > curr.query_start):
+                score = self._score_overlap(prev, curr)
+                if (score << 1) > (curr.score + prev.score):
+                    if prev.score < curr.score:
+                        del_prev = True
+                    else:
+                        del_curr = True
+            if not del_prev:
+                out.append(prev)
+            prev = curr
+            del_prev = del_curr
+        if not del_prev:
+            out.append(prev)
+        self.hsps = out
+
+    def _score_overlap(self, left: HSP, right: HSP) -> int:
+        """(ref: HSP_score_overlap, hspset.c:1164-1184)."""
+        score = 0
+        qp = left.query_end(self.qadv) - self.qadv
+        tp = left.target_end(self.tadv) - self.tadv
+        while qp >= right.query_start:
+            score += self.score_at(qp, tp)
+            qp -= self.qadv
+            tp -= self.tadv
+        return score
+
+
+class Comparison:
+    """Bundle of up to 3 HSP sets per pair (ref: src/comparison/
+    comparison.h:32-74)."""
+
+    def __init__(self, query: Sequence, target: Sequence,
+                 dna: Optional[HspSet] = None,
+                 protein: Optional[HspSet] = None,
+                 codon: Optional[HspSet] = None):
+        self.query = query
+        self.target = target
+        self.dna_hspset = dna
+        self.protein_hspset = protein
+        self.codon_hspset = codon
+
+    def hspsets(self):
+        return [h for h in (self.dna_hspset, self.protein_hspset,
+                            self.codon_hspset) if h is not None]
+
+    @property
+    def has_hsps(self) -> bool:
+        return any(not h.is_empty for h in self.hspsets())
+
+    def finalise(self):
+        for h in self.hspsets():
+            h.finalise()

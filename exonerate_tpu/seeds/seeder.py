@@ -1,0 +1,235 @@
+"""Word seeding: multiplexed query word tables + target scans.
+
+TPU-native equivalent of the reference Seeder (ref: src/comparison/
+seeder.{h,c}).  Where the reference streams target symbols through an
+FSM/VFSM trie, we use the VFSM arithmetic directly (a word is a base-N
+positional number, ref: src/struct/vfsm.h:73-86) over vectorized NumPy
+rolling windows: pack all query words into a hash table once, then pack all
+target windows in one vectorized pass and join.  Seed emission order
+(ascending target end position; per word, reverse insertion order of query
+words) matches the reference FSM traversal so horizon dedup behaves
+identically.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..alphabet import IS_SOFTMASKED
+from ..seqio import Sequence
+from ..model.match import Match, MatchType
+from .hsp import Comparison, HspParam, HspSet
+
+DNA_MEMBERS = "ACGT"
+PROTEIN_MEMBERS = "ARNDCQEGHILKMFPSTWYUV*"
+
+
+@dataclass
+class SeederArgs:
+    """(ref: Seeder_ArgumentSet, seeder.c:38-52)."""
+    fsm_memory_limit: int = 256
+    force_fsm: str = "none"
+    word_jump: int = 1
+    word_ambiguity: int = 1
+
+
+def member_codes(alphabet_is_protein: bool) -> np.ndarray:
+    members = PROTEIN_MEMBERS if alphabet_is_protein else DNA_MEMBERS
+    codes = np.full(256, -1, dtype=np.int64)
+    for i, ch in enumerate(members):
+        codes[ord(ch)] = i
+        codes[ord(ch.lower())] = i
+    return codes
+
+
+class _Loader:
+    """Per-match-class word table (ref: Seeder_Loader)."""
+
+    def __init__(self, hsp_param: HspParam, kind: str,
+                 args: SeederArgs):
+        self.hsp_param = hsp_param
+        self.kind = kind  # 'dna' | 'protein' | 'codon'
+        self.args = args
+        match = hsp_param.match
+        self.query_is_translated = match.advance_query == 3
+        self.target_is_translated = match.advance_target == 3
+        proteinish = match.type not in (MatchType.DNA2DNA,)
+        # comparison alphabet: protein for everything except dna2dna
+        # (ref: match.c comparison_alphabet assignments)
+        self.is_protein_words = match.type != MatchType.DNA2DNA
+        self.codes = member_codes(self.is_protein_words)
+        self.nsym = len(PROTEIN_MEMBERS if self.is_protein_words
+                        else DNA_MEMBERS)
+        if self.target_is_translated:
+            self.tpos_modifier = hsp_param.wordlen * 3 - 3
+        else:
+            self.tpos_modifier = hsp_param.wordlen - 1
+        # packed word -> list of (query_index, orig_qpos) in insertion order
+        self.words: dict[int, list[tuple[int, int]]] = {}
+        # packed word -> list of neighbour packed words (wordhood)
+        self.neighbours: dict[int, list[int]] = {}
+        self._wj_ctr = 0
+
+    # -- word packing -----------------------------------------------------
+
+    def _pack_valid(self, seq: Sequence, softmask: bool
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (packed, valid) arrays over window END positions."""
+        data = seq.data
+        W = self.hsp_param.wordlen
+        n = len(data)
+        if n < W:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=bool))
+        code = self.codes[data]
+        if softmask:
+            code = np.where(IS_SOFTMASKED[data], -1, code)
+        valid_sym = code >= 0
+        csum = np.concatenate([[0], np.cumsum(~valid_sym)])
+        # window [i-W+1 .. i] valid iff no invalid symbols inside
+        win_valid = (csum[W:] - csum[:-W]) == 0
+        packed = np.zeros(n - W + 1, dtype=np.int64)
+        safe = np.where(valid_sym, code, 0)
+        for k in range(W):
+            packed = packed * self.nsym + safe[k:n - W + 1 + k]
+        return packed, win_valid
+
+    def add_query(self, qidx: int, query: Sequence, match: Match,
+                  wordhood=None):
+        """(ref: Seeder_insert_query, seeder.c:478-559)."""
+        softmask = (match.mas.softmask_query
+                    and not self.query_is_translated)
+        frames = [0]
+        seqs = [query]
+        if self.query_is_translated:
+            frames = [1, 2, 3]
+            seqs = [query.translate_view(f) for f in frames]
+        for frame, seq in zip(frames, seqs):
+            packed, valid = self._pack_valid(seq, softmask)
+            W = self.hsp_param.wordlen
+            for i in np.nonzero(valid)[0]:
+                # word_jump counts valid words (ref: seeder.c:520-523)
+                if self._wj_ctr:
+                    self._wj_ctr -= 1
+                    continue
+                self._wj_ctr = self.args.word_jump - 1
+                pos = int(i)
+                orig = pos * 3 + frame - 1 if frame else pos
+                if not _word_is_valid(match, seq, pos, W):
+                    continue
+                w = int(packed[pos])
+                entry = self.words.get(w)
+                first = entry is None or not entry
+                if entry is None:
+                    entry = []
+                    self.words[w] = entry
+                entry.append((qidx, orig))
+                if first and wordhood is not None:
+                    for nb in wordhood.neighbours(w):
+                        if nb != w:
+                            self.neighbours.setdefault(nb, []).append(w)
+
+    def scan_target(self, target: Sequence, match: Match, emit: Callable):
+        """(ref: Seeder_add_target + VFSM traverse, seeder.c:696-716,
+        852-915).  emit(loader, qidx, qpos, tpos) per seed."""
+        softmask = (match.mas.softmask_target
+                    and not self.target_is_translated)
+        frames = [0]
+        seqs = [target]
+        if self.target_is_translated:
+            frames = [1, 2, 3]
+            seqs = [target.translate_view(f) for f in frames]
+        for frame, seq in zip(frames, seqs):
+            packed, valid = self._pack_valid(seq, softmask)
+            hits = np.nonzero(valid)[0]
+            for i in hits:
+                w = int(packed[i])
+                end = int(i) + self.hsp_param.wordlen - 1
+                tpos = end * 3 + frame - 1 if frame else end
+                target_pos = tpos - self.tpos_modifier
+                entry = self.words.get(w)
+                if entry:
+                    # seed list is LIFO in the reference (prepend)
+                    for qidx, qpos in reversed(entry):
+                        emit(self, qidx, qpos, target_pos)
+                for src in self.neighbours.get(w, ()):  # wordhood
+                    for qidx, qpos in reversed(self.words.get(src, ())):
+                        emit(self, qidx, qpos, target_pos)
+
+
+def _word_is_valid(match: Match, seq: Sequence, pos: int, length: int
+                   ) -> bool:
+    """CDS-annotation word veto (ref: Seeder_word_is_valid,
+    seeder.c:214-236)."""
+    ann = seq.annotation
+    if ann is None:
+        return True
+    if match.type == MatchType.DNA2DNA:
+        if (pos + length > ann.cds_start
+                and pos < ann.cds_start + ann.cds_length):
+            return False
+    elif match.type == MatchType.CODON2CODON:
+        if (pos < ann.cds_start
+                or pos + length >= ann.cds_start + ann.cds_length
+                or pos % 3 != ann.cds_start % 3):
+            return False
+    return True
+
+
+class Seeder:
+    """Multi-query seeding driver (ref: Seeder, seeder.h:158-192)."""
+
+    def __init__(self, comparison_params: dict[str, HspParam],
+                 report_func: Callable[[Comparison], None],
+                 args: Optional[SeederArgs] = None,
+                 wordhoods: Optional[dict] = None):
+        self.args = args or SeederArgs()
+        self.report_func = report_func
+        self.loaders = {kind: _Loader(p, kind, self.args)
+                        for kind, p in comparison_params.items()}
+        self.wordhoods = wordhoods or {}
+        self.queries: list[Sequence] = []
+
+    def add_query(self, query: Sequence):
+        qidx = len(self.queries)
+        self.queries.append(query)
+        for kind, loader in self.loaders.items():
+            loader.add_query(qidx, query, loader.hsp_param.match,
+                             self.wordhoods.get(kind))
+
+    def add_target(self, target: Sequence):
+        comparisons: dict[int, Comparison] = {}
+        active: list[int] = []
+
+        def emit(loader: _Loader, qidx: int, qpos: int, tpos: int):
+            comp = comparisons.get(qidx)
+            if comp is None:
+                comp = self._make_comparison(self.queries[qidx], target)
+                comparisons[qidx] = comp
+                active.append(qidx)
+            hs = getattr(comp, f"{loader.kind}_hspset")
+            hs.seed(qpos, tpos)
+
+        # scan with each loader (dna first, then protein, then codon —
+        # construction order, matching the reference loader order)
+        for kind in ("dna", "protein", "codon"):
+            loader = self.loaders.get(kind)
+            if loader is not None:
+                loader.scan_target(target, loader.hsp_param.match, emit)
+        for qidx in active:
+            comp = comparisons[qidx]
+            if comp.has_hsps:
+                comp.finalise()
+                self.report_func(comp)
+
+    def _make_comparison(self, query: Sequence, target: Sequence
+                         ) -> Comparison:
+        sets = {}
+        for kind, loader in self.loaders.items():
+            sets[kind] = HspSet(query, target, loader.hsp_param)
+        return Comparison(query, target,
+                          dna=sets.get("dna"),
+                          protein=sets.get("protein"),
+                          codon=sets.get("codon"))

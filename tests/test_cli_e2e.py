@@ -1,0 +1,59 @@
+"""End-to-end CLI tests against the reference integration cribs
+(ref: test/exonerate/exonerate.simple.test.sh)."""
+import io
+
+import pytest
+
+from exonerate_tpu.cli.exonerate import main
+
+CALM = "/root/reference/test/data/cdna/calm.human.dna.fasta"
+CDNA_DIR = "/root/reference/test/data/cdna"
+PROTEIN_DIR = "/root/reference/test/data/protein"
+
+
+def run_cli(argv):
+    out = io.StringIO()
+    main(argv, out=out)
+    return out.getvalue()
+
+
+def test_calm_selfalign_vulgar_10875():
+    # ref: test/exonerate/exonerate.simple.test.sh:24-31
+    text = run_cli(["--bestn", "1", "--showvulgar", "yes",
+                    "--showalignment", "no", CALM, CALM])
+    vulgar = [ln for ln in text.splitlines() if ln.startswith("vulgar:")]
+    assert vulgar, text
+    fields = vulgar[0].split()
+    assert fields[9] == "10875"
+    assert vulgar[0] == ("vulgar: EMBL:J04046 0 2175 + EMBL:J04046 0 2175"
+                        " + 10875 M 2175 2175")
+
+
+def test_calm_selfalign_cigar_and_sugar():
+    text = run_cli(["--bestn", "1", "--showvulgar", "no",
+                    "--showalignment", "no", "--showcigar", "yes",
+                    "--showsugar", "yes", CALM, CALM])
+    assert ("cigar: EMBL:J04046 0 2175 + EMBL:J04046 0 2175 + 10875 M 2175"
+            in text)
+    assert ("sugar: EMBL:J04046 0 2175 + EMBL:J04046 0 2175 + 10875"
+            in text)
+
+
+def test_revcomp_strand_reported():
+    # self-alignment also yields revcomp-strand results below bestn=1;
+    # raising bestn must show at least one minus-strand alignment of the
+    # palindromic word hits (threshold filters most).
+    text = run_cli(["--showvulgar", "yes", "--showalignment", "no",
+                    "--score", "200", CALM, CALM])
+    lines = [ln for ln in text.splitlines() if ln.startswith("vulgar:")]
+    assert any(" + 10875 M 2175 2175" in ln for ln in lines)
+
+
+def test_affine_local_protein_pair():
+    import glob
+    files = sorted(glob.glob(PROTEIN_DIR + "/*.fasta"))
+    assert files
+    text = run_cli(["-m", "affine:local", "--showvulgar", "yes",
+                    "--showalignment", "no", "--score", "50",
+                    files[0], files[0]])
+    assert "vulgar:" in text
