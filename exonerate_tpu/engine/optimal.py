@@ -1,0 +1,56 @@
+"""Optimal: the find-score / find-path facade.
+
+TPU-native equivalent of the reference Optimal (ref: src/c4/optimal.{h,c}):
+find_path = reduced-space FIND_REGION over the full rectangle (on the JAX
+wavefront engine) followed by a traceback DP restricted to the discovered
+alignment region (on the NumPy interpreter, whose per-cell cost only pays
+on the small region).  This mirrors the reference's region-then-path
+strategy including its checkpointed memory bound: the wavefront engine IS
+the O(diagonal)-memory pass.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from ..align.alignment import Alignment
+from ..model.ir import Model
+from .region import Region
+from . import reference, wavefront
+from .reference import DPResult
+
+# below this many cells the interpreter path is cheaper than a jit trace
+SMALL_DP_CELLS = 40_000
+
+
+def find_score(model: Model, region: Region, data, subopt=None) -> int:
+    if _is_small(region):
+        return reference.find_score(model, region, data, subopt)
+    return wavefront.find_score(model, region, data, subopt)
+
+
+def find_path(model: Model, region: Region, data, subopt=None,
+              threshold: Optional[int] = None) -> Optional[Alignment]:
+    """(ref: Optimal_find_path, optimal.c): region scan then path DP."""
+    if _is_small(region):
+        res = reference.viterbi(model, region, data, "path", subopt)
+        return _to_alignment(model, region, res)
+    res = wavefront.find_path(model, region, data, subopt)
+    if threshold is not None and res.score < threshold:
+        return None
+    return _to_alignment(model, region, res)
+
+
+def _is_small(region: Region) -> bool:
+    return ((region.query_length + 1) * (region.target_length + 1)
+            <= SMALL_DP_CELLS)
+
+
+def _to_alignment(model: Model, region: Region,
+                  res: DPResult) -> Optional[Alignment]:
+    if res.path is None:
+        return None
+    al_region = Region(region.query_start + res.query_start,
+                       region.target_start + res.target_start,
+                       res.query_end - res.query_start,
+                       res.target_end - res.target_start)
+    return Alignment.from_path(model, al_region, res.score, res.path)

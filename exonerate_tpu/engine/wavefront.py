@@ -51,15 +51,26 @@ def _grid_key(model: Model, t) -> str:
     return f"g{model.calcs.index(t.calc)}_{t.advance_query}_{t.advance_target}"
 
 
-def prepare_inputs(model: Model, region: Region, data) -> dict[str, Any]:
+def prepare_inputs(model: Model, region: Region, data,
+                   subopt=None) -> dict[str, Any]:
     """Materialize per-pair arrays: skewed calc grids keyed per
     (calc, advance) plus shadow inputs.  Everything returned is a pure
-    array pytree — the jitted engine is a function of (inputs,) only."""
+    array pytree — the jitted engine is a function of (inputs,) only.
+
+    subopt: optional SubOpt mask; its blocked cells ship as a skewed
+    boolean plane so re-running with a grown mask reuses the jit cache."""
     Q, T = region.query_length, region.target_length
     D = Q + T + 1
     i_idx = np.arange(Q + 1)
     d_idx = np.arange(D)
     inputs: dict[str, Any] = {}
+    # blocked-cell plane, addressed by DESTINATION cell (i, j = d - i)
+    # (ref: viterbi.c:701-704 SubOpt blocking of match transitions)
+    blocked = np.zeros((Q + 1, T + 1), dtype=bool) if subopt is None \
+        else subopt.blocked_grid(region)
+    sj = d_idx[:, None] - i_idx[None, :]
+    inputs["_blocked"] = blocked[i_idx[None, :], np.clip(sj, 0, T)] \
+        & (sj >= 0) & (sj <= T)
     grids = {id(c): np.asarray(c.materialize(region, data))
              for c in model.calcs}
     done = set()
@@ -137,7 +148,8 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
     compiled-function archive (ref: src/model/bootstrapper.c:412-428).
     """
     assert not model.is_open
-    want_region = mode == "region"
+    want_region = mode in ("region", "path")
+    want_path = mode == "path"
     S = len(model.states)
     n_shadow = model.total_shadow_designations
     L = n_shadow + (2 if want_region else 0)
@@ -156,6 +168,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
         shadow_starts = model.src_shadows(t.input)
         plan.append(dict(
             t=t,
+            plan_id=len(plan),
             key=_grid_key(model, t) if t.calc is not None else None,
             shkey=(f"sh{model.calcs.index(t.calc)}"
                    if t.calc is not None and t.calc.shadow_fn is not None
@@ -175,6 +188,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
         scores = jnp.full((Q + 1, S), NEG, dtype=jnp.int32)
         lanes = jnp.zeros((Q + 1, S, L), dtype=jnp.int32) if L else None
         is_set = jnp.zeros((Q + 1, S), dtype=bool)
+        tb = jnp.zeros((Q + 1, S), dtype=jnp.uint8) if want_path else None
 
         for p in plan:
             t = p["t"]
@@ -211,6 +225,8 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
             if out is end_state:
                 src_ok = src_ok & _scope_mask_end(model.end_state.scope,
                                                   i, j, Q, T)
+            if t.is_match:
+                src_ok = src_ok & ~grid_rows["_blocked"]
             # calc score at source position
             if p["key"] is None:
                 calc = jnp.zeros((), dtype=jnp.int32)
@@ -238,6 +254,10 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
             scores = scores.at[:, out.id].set(
                 jnp.where(take, val, scores[:, out.id]))
             is_set = is_set.at[:, out.id].set(is_set[:, out.id] | take)
+            if want_path:
+                tb = tb.at[:, out.id].set(
+                    jnp.where(take, jnp.uint8(p["plan_id"] + 1),
+                              tb[:, out.id]))
             if L:
                 new_lanes = src_lanes
                 for desig, kind in p["start_lanes"]:
@@ -282,7 +302,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
                             + ([jnp.zeros((Q + 1, S, L), jnp.int32)]
                                if L else []), axis=2))
         prev = jnp.concatenate([cur[None], prev[:-1]], axis=0)
-        return (prev, best), None
+        return (prev, best), (tb if want_path else jnp.zeros((), jnp.uint8))
 
     def run(inputs):
         # split inputs: [D, Q+1] arrays go through scan xs; others broadcast
@@ -308,13 +328,15 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
             merged.update(rows)
             return step(carry, (d, merged))
 
-        (prev, best), _ = lax.scan(scan_step, (prev0, best0),
-                                   (d_seq, xs_rows))
+        (prev, best), tbs = lax.scan(scan_step, (prev0, best0),
+                                     (d_seq, xs_rows))
         score, bi, bj, bqs, bts = best
         out = {"score": score, "query_end": bi, "target_end": bj}
         if want_region:
             out["query_start"] = bqs
             out["target_start"] = bts
+        if want_path:
+            out["tb"] = tbs
         return out
 
     return run
@@ -330,14 +352,15 @@ def _get_fn(model: Model, Q: int, T: int, mode: str):
     return _CACHE[key]
 
 
-def find_score(model: Model, region: Region, data) -> int:
-    inputs = prepare_inputs(model, region, data)
+def find_score(model: Model, region: Region, data, subopt=None) -> int:
+    inputs = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length, "score")
     return int(fn(inputs)["score"])
 
 
-def find_region(model: Model, region: Region, data) -> DPResult:
-    inputs = prepare_inputs(model, region, data)
+def find_region(model: Model, region: Region, data,
+                subopt=None) -> DPResult:
+    inputs = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length, "region")
     out = jax.tree_util.tree_map(int, fn(inputs))
     return DPResult(score=out["score"],
@@ -345,3 +368,48 @@ def find_region(model: Model, region: Region, data) -> DPResult:
                     target_end=out["target_end"],
                     query_start=out["query_start"],
                     target_start=out["target_start"])
+
+
+def find_path(model: Model, region: Region, data,
+              subopt=None) -> DPResult:
+    """Full path: device-side winning-transition planes + host walk-back.
+
+    The traceback cube is [D, Q+1, S] uint8 (plan ids), the device-memory
+    analogue of the reference's FIND_PATH traceback matrix
+    (ref: viterbi.c:458-460); the reference's checkpointed recursion
+    (--dpmemory) is the fallback for regions whose cube exceeds memory —
+    handled by the caller re-running on subregions.
+    """
+    inputs = prepare_inputs(model, region, data, subopt)
+    fn = _get_fn(model, region.query_length, region.target_length, "path")
+    out = fn(inputs)
+    tb = np.asarray(out["tb"])
+    res = DPResult(score=int(out["score"]),
+                   query_end=int(out["query_end"]),
+                   target_end=int(out["target_end"]),
+                   query_start=int(out["query_start"]),
+                   target_start=int(out["target_start"]))
+    # walk back (ref: Viterbi_Data_create_Alignment, viterbi.c:342-392)
+    plan_ts = [t for t in model.transitions
+               if t.input is not model.end_state.state
+               and t.output is not model.start_state.state]
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    i, j = res.query_end, res.target_end
+    state = end_state
+    path = []
+    while True:
+        tid = tb[i + j, i, state.id]
+        if tid == 0:
+            break
+        t = plan_ts[tid - 1]
+        path.append(t)
+        i -= t.advance_query
+        j -= t.advance_target
+        if t.input is start_state:
+            break
+        state = t.input
+    path.reverse()
+    res.path = path
+    res.query_start, res.target_start = i, j
+    return res

@@ -143,6 +143,7 @@ class GAM:
         """Exhaustive suboptimal enumeration (ref: OPair +
         GAM_Result_exhaustive_create, gam.c:1140-1180)."""
         from ..engine.subopt import SubOpt
+        from ..engine import optimal
         data = self.make_data(query, target)
         region = Region(0, 0, len(query), len(target))
         threshold = max(self.query_threshold(query, data), 1) \
@@ -150,16 +151,10 @@ class GAM:
         subopt = SubOpt() if self.gas.use_subopt else None
         out = []
         while True:
-            res = ref_engine.find_path(self.model, region, data,
-                                       subopt=subopt)
-            if res.path is None or res.score < threshold:
+            alignment = optimal.find_path(self.model, region, data,
+                                          subopt=subopt)
+            if alignment is None or alignment.score < threshold:
                 break
-            al_region = Region(region.query_start + res.query_start,
-                               region.target_start + res.target_start,
-                               res.query_end - res.query_start,
-                               res.target_end - res.target_start)
-            alignment = Alignment.from_path(self.model, al_region,
-                                            res.score, res.path)
             out.append((alignment, data))
             if subopt is None or not self.model.is_local:
                 break
