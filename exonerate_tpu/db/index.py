@@ -1,0 +1,146 @@
+"""On-disk word indexes (.esi equivalent).
+
+TPU-native redesign of the reference Index (ref: src/database/
+index.{h,c}): per-strand word tables (packed word -> postings offset/count)
+and postings (sequence id, position) as flat sorted numpy arrays.  Lookup
+is a vectorized searchsorted join — the structure doubles as the on-device
+index for sharded genome serving (SURVEY.md §2.13: the client/server
+"get hsps" redesigned as device arrays + collectives).
+Built by esd2esi; queried by Index.get_hsps (the server's seed RPC).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..seqio import Sequence
+from ..seeds.seeder import member_codes, DNA_MEMBERS, PROTEIN_MEMBERS
+from .dataset import Dataset
+
+MAGIC = "exonerate-tpu-esi-v1"
+
+
+def _pack_words(data: np.ndarray, codes: np.ndarray, W: int, nsym: int):
+    n = len(data)
+    if n < W:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool))
+    code = codes[data]
+    valid_sym = code >= 0
+    csum = np.concatenate([[0], np.cumsum(~valid_sym)])
+    win_valid = (csum[W:] - csum[:-W]) == 0
+    packed = np.zeros(n - W + 1, dtype=np.int64)
+    safe = np.where(valid_sym, code, 0)
+    for k in range(W):
+        packed = packed * nsym + safe[k:n - W + 1 + k]
+    return packed, win_valid
+
+
+def index_build(esd_path: str, out_path: str, wordlen: int = 12,
+                translated: bool = False):
+    """Build the word index over a Dataset.  With translated=True the
+    six-frame translations are indexed (protein-vs-DNA serving,
+    ref: index.h:55-147)."""
+    ds = Dataset(esd_path)
+    codes = member_codes(translated)
+    nsym = len(PROTEIN_MEMBERS if translated else DNA_MEMBERS)
+    words_all = []
+    seq_ids = []
+    positions = []
+    for i in range(len(ds)):
+        seq = ds.get_sequence(i)
+        if translated:
+            from ..translate import default_code
+            for frame in (1, 2, 3, -1, -2, -3):
+                pep = default_code().translate(seq.data, frame)
+                packed, valid = _pack_words(pep, codes, wordlen, nsym)
+                pos = np.nonzero(valid)[0]
+                if len(pos):
+                    words_all.append(packed[pos])
+                    seq_ids.append(np.full(len(pos), i, dtype=np.int32))
+                    # store frame-encoded positions: pos*8 + (frame+3)
+                    positions.append((pos * 8 + (frame + 3)).astype(
+                        np.int64))
+        else:
+            packed, valid = _pack_words(seq.data, codes, wordlen, nsym)
+            pos = np.nonzero(valid)[0]
+            if len(pos):
+                words_all.append(packed[pos])
+                seq_ids.append(np.full(len(pos), i, dtype=np.int32))
+                positions.append(pos.astype(np.int64))
+    if words_all:
+        words = np.concatenate(words_all)
+        sids = np.concatenate(seq_ids)
+        poss = np.concatenate(positions)
+    else:
+        words = np.zeros(0, dtype=np.int64)
+        sids = np.zeros(0, dtype=np.int32)
+        poss = np.zeros(0, dtype=np.int64)
+    order = np.lexsort((poss, sids, words))
+    words, sids, poss = words[order], sids[order], poss[order]
+    uniq, starts, counts = np.unique(words, return_index=True,
+                                     return_counts=True)
+    np.savez_compressed(
+        out_path,
+        magic=np.array(MAGIC),
+        esd_path=np.array(esd_path),
+        wordlen=np.int64(wordlen),
+        translated=np.array(translated),
+        word_table=uniq,
+        word_starts=starts.astype(np.int64),
+        word_counts=counts.astype(np.int64),
+        post_seq=sids,
+        post_pos=poss)
+
+
+class Index:
+    """(ref: Index, index.h:37-147)."""
+
+    def __init__(self, path: str, dataset: Optional[Dataset] = None):
+        try:
+            self._z = np.load(path, allow_pickle=False)
+        except Exception:
+            self._z = np.load(path + ".npz", allow_pickle=False)
+        assert str(self._z["magic"]) == MAGIC, "bad esi file"
+        self.wordlen = int(self._z["wordlen"])
+        self.translated = bool(self._z["translated"])
+        self.word_table = self._z["word_table"]
+        self.word_starts = self._z["word_starts"]
+        self.word_counts = self._z["word_counts"]
+        self.post_seq = self._z["post_seq"]
+        self.post_pos = self._z["post_pos"]
+        self.dataset = dataset or Dataset(str(self._z["esd_path"]))
+        self.codes = member_codes(self.translated)
+        self.nsym = len(PROTEIN_MEMBERS if self.translated
+                        else DNA_MEMBERS)
+
+    def lookup_word(self, packed: int) -> tuple[np.ndarray, np.ndarray]:
+        ix = np.searchsorted(self.word_table, packed)
+        if ix >= len(self.word_table) or self.word_table[ix] != packed:
+            return (np.zeros(0, dtype=np.int32),
+                    np.zeros(0, dtype=np.int64))
+        s = int(self.word_starts[ix])
+        c = int(self.word_counts[ix])
+        return self.post_seq[s:s + c], self.post_pos[s:s + c]
+
+    def get_hsp_seeds(self, query: Sequence, wordhood=None
+                      ) -> dict[int, list[tuple[int, int]]]:
+        """All (query_pos, target_pos) seed pairs per target sequence —
+        the server's `get hsps` payload (ref: Index_get_HSPsets,
+        index.h:140-147; protocol exonerate-server.c:315-378)."""
+        packed, valid = _pack_words(query.data, self.codes, self.wordlen,
+                                    self.nsym)
+        out: dict[int, list[tuple[int, int]]] = {}
+        for qpos in np.nonzero(valid)[0]:
+            wlist = [int(packed[qpos])]
+            if wordhood is not None:
+                wlist = wordhood.neighbours(wlist[0])
+            for w in wlist:
+                sids, poss = self.lookup_word(w)
+                for sid, tpos in zip(sids, poss):
+                    out.setdefault(int(sid), []).append(
+                        (int(qpos), int(tpos)))
+        # seeds in target-position order per target (seeding order parity)
+        for sid in out:
+            out[sid].sort(key=lambda qt: qt[1])
+        return out
