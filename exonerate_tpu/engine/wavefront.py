@@ -52,27 +52,24 @@ def _grid_key(model: Model, t) -> str:
 
 
 def prepare_inputs(model: Model, region: Region, data,
-                   subopt=None) -> dict[str, Any]:
-    """Materialize per-pair arrays: skewed calc grids keyed per
-    (calc, advance) plus shadow inputs.  Everything returned is a pure
-    array pytree — the jitted engine is a function of (inputs,) only.
+                   subopt=None) -> tuple[dict[str, Any], tuple]:
+    """Materialize per-pair arrays in compact forms: factored match calcs
+    ship O(Q+T) index vectors + a small table; 1-D calcs ship vectors; only
+    genuinely 2-D grids ship whole planes (skewed on device).  Returns
+    (inputs, kinds) where kinds is the static classification used to trace
+    the engine (part of the jit cache key).
 
-    subopt: optional SubOpt mask; its blocked cells ship as a skewed
-    boolean plane so re-running with a grown mask reuses the jit cache."""
+    subopt: optional SubOpt mask; blocked cells ship as a boolean plane so
+    re-running with a grown mask reuses the jit cache."""
     Q, T = region.query_length, region.target_length
-    D = Q + T + 1
     i_idx = np.arange(Q + 1)
-    d_idx = np.arange(D)
     inputs: dict[str, Any] = {}
-    # blocked-cell plane, addressed by DESTINATION cell (i, j = d - i)
+    kinds: dict[str, str] = {}
+    # blocked-cell plane, addressed by DESTINATION cell
     # (ref: viterbi.c:701-704 SubOpt blocking of match transitions)
-    blocked = np.zeros((Q + 1, T + 1), dtype=bool) if subopt is None \
-        else subopt.blocked_grid(region)
-    sj = d_idx[:, None] - i_idx[None, :]
-    inputs["_blocked"] = blocked[i_idx[None, :], np.clip(sj, 0, T)] \
-        & (sj >= 0) & (sj <= T)
-    grids = {id(c): np.asarray(c.materialize(region, data))
-             for c in model.calcs}
+    inputs["_blocked"] = (np.zeros((Q + 1, T + 1), dtype=bool)
+                          if subopt is None
+                          else subopt.blocked_grid(region))
     done = set()
     for t in model.transitions:
         if t.calc is None:
@@ -81,34 +78,45 @@ def prepare_inputs(model: Model, region: Region, data,
         if key in done:
             continue
         done.add(key)
-        g = grids[id(t.calc)]
         aq, at = t.advance_query, t.advance_target
+        si = np.clip(i_idx - aq, 0, Q)
+        if t.calc.factored_fn is not None:
+            f = t.calc.factored_fn(region, data)
+            inputs[key] = {
+                "q_idx_s": f["q_idx"][si].astype(np.int32),
+                "t_idx": f["t_idx"].astype(np.int32),
+                "table": f["table"].astype(np.int32),
+                "q_override_s": f.get(
+                    "q_override",
+                    np.zeros(Q + 1, np.int32))[si].astype(np.int32),
+            }
+            kinds[key] = "factored"
+            continue
+        g = np.asarray(t.calc.materialize(region, data))
         if g.ndim == 0:
             inputs[key] = g.astype(np.int32)
+            kinds[key] = "scalar"
             continue
         qdep = g.shape[0] > 1
         tdep = g.ndim > 1 and g.shape[1] > 1
         if qdep and not tdep:
-            # query-position vector: value at si = i - aq, same every step
             v = g[:, 0] if g.ndim > 1 else g
-            si = np.clip(i_idx - aq, 0, Q)
             inputs[key] = v[si].astype(np.int32)          # [Q+1]
+            kinds[key] = "qvec"
         elif tdep and not qdep:
             v = g[0] if g.ndim > 1 else g
-            # value at sj = d - i - at, per (d, i): skew the 1-D vector
-            sj = d_idx[:, None] - i_idx[None, :] - at
-            inputs[key] = v[np.clip(sj, 0, T)].astype(np.int32)  # [D, Q+1]
+            inputs[key] = v.astype(np.int32)              # [T+1]
+            kinds[key] = "tvec"
         else:
-            si = np.clip(i_idx - aq, 0, Q)
-            sj = d_idx[:, None] - i_idx[None, :] - at
-            inputs[key] = g[si[None, :], np.clip(sj, 0, T)].astype(np.int32)
+            inputs[key] = g.astype(np.int32)              # [Q+1, T+1]
+            kinds[key] = "grid2d"
     for c in model.calcs:
         if c.shadow_inputs_fn is not None:
             inputs[f"sh{model.calcs.index(c)}"] = c.shadow_inputs_fn(region,
                                                                      data)
     inputs["_qstart"] = np.int32(region.query_start)
     inputs["_tstart"] = np.int32(region.target_start)
-    return inputs
+    return inputs, tuple(sorted(kinds.items()))
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +147,8 @@ def _scope_mask_end(scope: Scope, i, j, Q, T):
     return (i == Q) & (j == T)
 
 
-def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
+def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
+                    kinds: tuple = ()):
     """Trace the model into a jittable function of the prepared inputs.
 
     Returns fn(inputs) -> dict with 'score', 'query_end', 'target_end' and
@@ -178,6 +187,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
         ))
 
     i_vec = np.arange(Q + 1, dtype=np.int32)
+    kind_map = dict(kinds)
 
     def step(carry, xs):
         prev, best = carry          # prev: [K, Q+1, S, 1+L] (prev[k] = d-1-k)
@@ -227,11 +237,21 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
                                                   i, j, Q, T)
             if t.is_match:
                 src_ok = src_ok & ~grid_rows["_blocked"]
-            # calc score at source position
+            # calc score at source position (form picked statically)
             if p["key"] is None:
                 calc = jnp.zeros((), dtype=jnp.int32)
             else:
-                calc = grid_rows[p["key"]]
+                kind = kind_map.get(p["key"], "grid2d")
+                v = grid_rows[p["key"]]
+                if kind == "factored":
+                    tj = jnp.take(v["t_idx"], jnp.clip(sj, 0, T))
+                    gathered = v["table"][v["q_idx_s"], tj]
+                    calc = jnp.where(v["q_override_s"] != 0,
+                                     v["q_override_s"], gathered)
+                elif kind == "tvec":
+                    calc = jnp.take(v, jnp.clip(sj, 0, T))
+                else:  # scalar, qvec (const per step) or skewed grid2d row
+                    calc = v
             if p["shkey"] is not None:
                 svals = {name: (src_lanes[:, desig] if src_lanes is not None
                                 else jnp.zeros(Q + 1, dtype=jnp.int32))
@@ -304,15 +324,35 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
         prev = jnp.concatenate([cur[None], prev[:-1]], axis=0)
         return (prev, best), (tb if want_path else jnp.zeros((), jnp.uint8))
 
+    # advances per grid key, for the on-device skew of 2-D planes
+    adv_of_key = {}
+    for t in model.transitions:
+        if t.calc is not None:
+            adv_of_key[_grid_key(model, t)] = (t.advance_query,
+                                               t.advance_target)
+
+    def _skew(plane, aq, at, fill):
+        """[Q+1, T+1] -> diagonal-major [D, Q+1] on device (one gather)."""
+        d_col = jnp.arange(D, dtype=jnp.int32)[:, None]
+        i_row = jnp.asarray(i_vec)[None, :]
+        si = jnp.clip(i_row - aq, 0, Q)
+        sj = d_col - i_row - at
+        ok = (sj >= 0) & (sj <= T) & (i_row - aq >= 0)
+        vals = plane[jnp.broadcast_to(si, (D, Q + 1)),
+                     jnp.clip(sj, 0, T)]
+        return jnp.where(ok, vals, fill)
+
     def run(inputs):
-        # split inputs: [D, Q+1] arrays go through scan xs; others broadcast
+        # 2-D planes (grid2d calcs, blocked mask) skew on device and feed
+        # the scan as xs; everything else broadcasts as a constant
         xs_rows = {}
         const_rows = {}
         for k, v in inputs.items():
-            if (isinstance(v, (np.ndarray, jnp.ndarray))
-                    and getattr(v, "ndim", 0) == 2
-                    and v.shape == (D, Q + 1)):
-                xs_rows[k] = jnp.asarray(v)
+            if k == "_blocked":
+                xs_rows[k] = _skew(jnp.asarray(v), 0, 0, False)
+            elif kind_map.get(k) == "grid2d":
+                aq, at = adv_of_key[k]
+                xs_rows[k] = _skew(jnp.asarray(v, jnp.int32), aq, at, 0)
             else:
                 const_rows[k] = v
         prev0 = jnp.full((K, Q + 1, S, 1 + L), NEG, dtype=jnp.int32)
@@ -345,23 +385,25 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score"):
 _CACHE: dict = {}
 
 
-def _get_fn(model: Model, Q: int, T: int, mode: str):
-    key = (id(model), Q, T, mode)
+def _get_fn(model: Model, Q: int, T: int, mode: str, kinds: tuple):
+    key = (id(model), Q, T, mode, kinds)
     if key not in _CACHE:
-        _CACHE[key] = jax.jit(build_wavefront(model, Q, T, mode))
+        _CACHE[key] = jax.jit(build_wavefront(model, Q, T, mode, kinds))
     return _CACHE[key]
 
 
 def find_score(model: Model, region: Region, data, subopt=None) -> int:
-    inputs = prepare_inputs(model, region, data, subopt)
-    fn = _get_fn(model, region.query_length, region.target_length, "score")
+    inputs, kinds = prepare_inputs(model, region, data, subopt)
+    fn = _get_fn(model, region.query_length, region.target_length,
+                 "score", kinds)
     return int(fn(inputs)["score"])
 
 
 def find_region(model: Model, region: Region, data,
                 subopt=None) -> DPResult:
-    inputs = prepare_inputs(model, region, data, subopt)
-    fn = _get_fn(model, region.query_length, region.target_length, "region")
+    inputs, kinds = prepare_inputs(model, region, data, subopt)
+    fn = _get_fn(model, region.query_length, region.target_length,
+                 "region", kinds)
     out = jax.tree_util.tree_map(int, fn(inputs))
     return DPResult(score=out["score"],
                     query_end=out["query_end"],
@@ -380,8 +422,9 @@ def find_path(model: Model, region: Region, data,
     (--dpmemory) is the fallback for regions whose cube exceeds memory —
     handled by the caller re-running on subregions.
     """
-    inputs = prepare_inputs(model, region, data, subopt)
-    fn = _get_fn(model, region.query_length, region.target_length, "path")
+    inputs, kinds = prepare_inputs(model, region, data, subopt)
+    fn = _get_fn(model, region.query_length, region.target_length,
+                 "path", kinds)
     out = fn(inputs)
     tb = np.asarray(out["tb"])
     res = DPResult(score=int(out["score"]),

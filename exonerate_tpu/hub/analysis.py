@@ -65,14 +65,23 @@ class Analysis:
         self.annotations = (read_annotation_file(annotation_path)
                             if annotation_path else {})
 
+        from .client import is_server_path
+        self.server_targets = [p for p in (target_paths or [])
+                               if is_server_path(p)]
         self.query_db = FastaDB(query_paths, suffix=fasta_suffix,
                                 chunk_id=query_chunk[0],
                                 chunk_total=query_chunk[1])
-        self.target_db = FastaDB(target_paths, suffix=fasta_suffix,
-                                 chunk_id=target_chunk[0],
-                                 chunk_total=target_chunk[1])
+        if self.server_targets:
+            self.target_db = None
+        else:
+            self.target_db = FastaDB(target_paths, suffix=fasta_suffix,
+                                     chunk_id=target_chunk[0],
+                                     chunk_total=target_chunk[1])
         self.query_type = query_type or self.query_db.guess_type()
-        self.target_type = target_type or self.target_db.guess_type()
+        if self.server_targets:
+            self.target_type = target_type or AlphabetType.DNA
+        else:
+            self.target_type = target_type or self.target_db.guess_type()
         registry.check_input(self.gas.model_type, self.query_type,
                              self.target_type)
         self.model = registry.get_model(self.gas.model_type,
@@ -141,7 +150,11 @@ class Analysis:
     # -- the drive ---------------------------------------------------------
 
     def process(self):
-        if self.aas.use_exhaustive:
+        if self.server_targets:
+            from .client import run_client_analysis
+            for hostport in self.server_targets:
+                run_client_analysis(self, hostport)
+        elif self.aas.use_exhaustive:
             self._process_exhaustive()
         else:
             self._process_seeded()

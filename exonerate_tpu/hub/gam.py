@@ -130,13 +130,42 @@ class GAM:
     def result_heuristic(self, comparison: Comparison
                          ) -> list[tuple[Alignment, AlignData]]:
         """Heuristic gapped path (ref: GAM_Result_heuristic_create,
-        gam.c:1107-1180).  Round-1 implementation: seeded comparisons gate
-        a full local DP with suboptimal enumeration — at least as good as
-        the reference's SDP gapped extension on the same seeds; the banded
-        SDP equivalent replaces the inner DP for large pairs."""
+        gam.c:1107-1180): cluster seeds into locus regions and run the
+        wavefront DP with suboptimal enumeration per region — the dense
+        TPU replacement for the reference's sparse SDP extension."""
+        from ..engine.subopt import SubOpt
+        from ..engine import optimal
+        from .heuristic import cluster_hsps, cluster_regions
         if not comparison.has_hsps:
             return []
-        return self.result_exhaustive(comparison.query, comparison.target)
+        query, target = comparison.query, comparison.target
+        data = self.make_data(query, target)
+        genomic = has_genomic_target(self.gas.model_type)
+        t_join = (data.intron.max_intron if genomic
+                  else max(data.ner.max_ner, 10000))
+        clusters = cluster_hsps(comparison, t_join, 10000)
+        regions = cluster_regions(comparison, clusters,
+                                  target_margin=1000, query_margin=1000)
+        threshold = self.query_threshold(query, data)
+        if self.model.is_local:
+            threshold = max(threshold, 1)
+        subopt = SubOpt() if self.gas.use_subopt else None
+        out = []
+        for region in regions:
+            while True:
+                alignment = optimal.find_path(self.model, region, data,
+                                              subopt=subopt)
+                if alignment is None or alignment.score < threshold:
+                    break
+                out.append((alignment, data))
+                if subopt is None or not self.model.is_local:
+                    break
+                subopt.add_alignment(alignment)
+                if self.gas.best_n and len(out) >= max(
+                        self.gas.best_n * 4, 16):
+                    break
+        out.sort(key=lambda ad: -ad[0].score)
+        return out
 
     def result_exhaustive(self, query: Sequence, target: Sequence
                           ) -> list[tuple[Alignment, AlignData]]:

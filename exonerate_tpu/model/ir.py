@@ -87,6 +87,14 @@ class Calc:
     same function runs scalar in the reference interpreter and vectorized /
     traced in the JAX engines without retracing per sequence pair.
 
+    ``factored_fn(region, data)``, when set, returns a compact factored
+    form ``{"q_idx": [Q+1] int32, "t_idx": [T+1] int32,
+    "table": [k, k] int32, "q_add": optional [Q+1] int32}`` such that
+    grid[i, j] == table[q_idx[i], t_idx[j]] + q_add[i].  The JAX engines
+    prefer it over grid_fn: it ships O(Q+T) data to the device instead of
+    O(Q*T) — the device-side equivalent of the reference's per-cell
+    Submat_lookup macro expansion (ref: viterbi.c:869-984).
+
     max_score is the admissible upper bound used by heuristics
     (ref: src/c4/c4.h:75-89).
     """
@@ -95,6 +103,7 @@ class Calc:
     grid_fn: Optional[Callable] = None
     shadow_fn: Optional[Callable] = None
     shadow_inputs_fn: Optional[Callable] = None
+    factored_fn: Optional[Callable] = None
     protect: Protect = Protect.NONE
     id: int = -1
 
@@ -216,10 +225,11 @@ class Model:
         return s
 
     def add_calc(self, name, max_score=0, grid_fn=None, shadow_fn=None,
-                 shadow_inputs_fn=None, protect=Protect.NONE) -> Calc:
+                 shadow_inputs_fn=None, factored_fn=None,
+                 protect=Protect.NONE) -> Calc:
         assert self.is_open
         c = Calc(name, max_score, grid_fn, shadow_fn, shadow_inputs_fn,
-                 protect)
+                 factored_fn, protect)
         self.calcs.append(c)
         return c
 
@@ -465,7 +475,7 @@ class Model:
             if existing is None:
                 existing = self.add_calc(c.name, c.max_score, c.grid_fn,
                                          c.shadow_fn, c.shadow_inputs_fn,
-                                         c.protect)
+                                         c.factored_fn, c.protect)
             calc_map[id(c)] = existing
         state_map: dict[int, State] = {id(ins_start): src, id(ins_end): dst}
         for s in insert.states:
@@ -505,7 +515,7 @@ class Model:
         for c in self.calcs:
             calc_map[id(c)] = m.add_calc(c.name, c.max_score, c.grid_fn,
                                          c.shadow_fn, c.shadow_inputs_fn,
-                                         c.protect)
+                                         c.factored_fn, c.protect)
         trans_map: dict[int, Transition] = {}
         for t in self.transitions:
             trans_map[id(t)] = m.add_transition(
@@ -600,7 +610,7 @@ class DerivedModel:
                     calc_map[id(t.calc)] = m.add_calc(
                         t.calc.name, t.calc.max_score, t.calc.grid_fn,
                         t.calc.shadow_fn, t.calc.shadow_inputs_fn,
-                        t.calc.protect)
+                        t.calc.factored_fn, t.calc.protect)
                 nt = m.add_transition(
                     t.name, state_map[id(t.input)], state_map[id(t.output)],
                     t.advance_query, t.advance_target,

@@ -117,6 +117,41 @@ class Match:
             return _translated_indices(seq, self.mas.translate)
         return SYMBOL_INDEX[seq.data]
 
+    def score_factored(self, query: Sequence, target: Sequence,
+                       region: Region) -> dict:
+        """Factored form: grid[i,j] = table[q_idx[i], t_idx[j]] + q_add[i]
+        (see Calc.factored_fn).  The CDS annotation veto becomes a q_add
+        plane of IMPOSSIBLY_LOW offsets."""
+        qlen, tlen = region.query_length, region.target_length
+        qi = np.zeros(qlen + 1, dtype=np.int32)
+        ti = np.zeros(tlen + 1, dtype=np.int32)
+        qi[:qlen] = self._row_indices(query, self.advance_query)[
+            region.query_start:region.query_start + qlen]
+        ti[:tlen] = self._row_indices(target, self.advance_target)[
+            region.target_start:region.target_start + tlen]
+        qi[qlen:] = 24
+        ti[tlen:] = 24
+        # q_override REPLACES the table value where nonzero (the CDS
+        # annotation veto, ref: match.c:276-281, 513-519)
+        override = np.zeros(qlen + 1, dtype=np.int32)
+        ann = query.annotation
+        if ann is not None and query.alphabet.type == AlphabetType.DNA:
+            qpos = region.query_start + np.arange(qlen + 1)
+            if self.type == MatchType.DNA2DNA:
+                bad = ((qpos >= ann.cds_start)
+                       & (qpos < ann.cds_start + ann.cds_length))
+            elif self.type == MatchType.CODON2CODON:
+                bad = ((qpos < ann.cds_start)
+                       | (qpos >= ann.cds_start + ann.cds_length)
+                       | ((qpos % 3) != (ann.cds_start % 3)))
+            else:
+                bad = np.zeros(qlen + 1, dtype=bool)
+            override = np.where(bad, MATCH_IMPOSSIBLY_LOW_SCORE,
+                                0).astype(np.int32)
+        return {"q_idx": qi, "t_idx": ti,
+                "table": self.submat.matrix.astype(np.int32),
+                "q_override": override}
+
     def score_grid(self, query: Sequence, target: Sequence,
                    region: Region) -> np.ndarray:
         """Full [Q+1, T+1] int32 grid; entry [i, j] scores the match whose

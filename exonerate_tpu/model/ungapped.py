@@ -13,6 +13,13 @@ def make_match_grid_fn(mtype: MatchType):
     return grid_fn
 
 
+def make_match_factored_fn(mtype: MatchType):
+    def factored_fn(region: Region, data: AlignData):
+        return data.match(mtype).score_factored(data.query, data.target,
+                                                region)
+    return factored_fn
+
+
 def ungapped_create(match_type: MatchType) -> Model:
     """One match state looping with the match calc; silent start/end links
     (ref: Ungapped_create, src/model/ungapped.c:106-166)."""
@@ -20,7 +27,8 @@ def ungapped_create(match_type: MatchType) -> Model:
     m = Model(f"ungapped:{match_type_name(match_type)}")
     match_state = m.add_state("match")
     match_calc = m.add_calc("match", match.max_score(),
-                            grid_fn=make_match_grid_fn(match_type))
+                            grid_fn=make_match_grid_fn(match_type),
+                            factored_fn=make_match_factored_fn(match_type))
     m.add_transition("start to match", None, match_state, 0, 0)
     m.add_transition("match to end", match_state, None, 0, 0)
     m.add_transition("match", match_state, match_state,
