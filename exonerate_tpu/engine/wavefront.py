@@ -190,15 +190,22 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
     kind_map = dict(kinds)
 
     def step(carry, xs):
-        prev, best = carry          # prev: [K, Q+1, S, 1+L] (prev[k] = d-1-k)
+        # carry: prev = tuple of K diagonals (prev[k] = diagonal d-1-k),
+        # each a tuple over states of (score [Q+1], lanes [Q+1, L]).
+        # Per-state vectors keep every update O(Q) and make the diagonal
+        # rotation a zero-copy tuple rebind.
+        prev, best = carry
         d, grid_rows = xs
         i = jnp.asarray(i_vec)
         j = d - i
         cell_ok = (j >= 0) & (j <= T)
-        scores = jnp.full((Q + 1, S), NEG, dtype=jnp.int32)
-        lanes = jnp.zeros((Q + 1, S, L), dtype=jnp.int32) if L else None
-        is_set = jnp.zeros((Q + 1, S), dtype=bool)
-        tb = jnp.zeros((Q + 1, S), dtype=jnp.uint8) if want_path else None
+        scores = [None] * S
+        lanes_c = [None] * S
+        is_set = [None] * S
+        tb_c = ([jnp.zeros((Q + 1,), jnp.uint8) for _ in range(S)]
+                if want_path else None)
+        zero_lanes = jnp.zeros((Q + 1, L), jnp.int32)
+        neg_vec = jnp.full((Q + 1,), NEG, jnp.int32)
 
         for p in plan:
             t = p["t"]
@@ -208,28 +215,22 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
             src_ok = (si >= 0) & (sj >= 0) & cell_ok
             inp, out = t.input, t.output
             if inp is start_state:
-                scope = model.start_state.scope
-                src_ok = src_ok & _scope_mask_start(scope, si, sj)
+                src_ok = src_ok & _scope_mask_start(
+                    model.start_state.scope, si, sj)
                 base = jnp.zeros(Q + 1, dtype=jnp.int32)
-                src_lanes = (jnp.zeros((Q + 1, L), dtype=jnp.int32)
-                             if L else None)
+                src_lanes = zero_lanes
             else:
                 if adv == 0:
-                    src_scores = scores[:, inp.id]
-                    src_set = is_set[:, inp.id]
-                    src_l = lanes[:, inp.id] if L else None
+                    if scores[inp.id] is None:
+                        continue  # statically unreachable this cell
+                    src_scores = jnp.where(is_set[inp.id],
+                                           scores[inp.id], NEG)
+                    src_l = lanes_c[inp.id]
                 else:
-                    diag = prev[adv - 1]
-                    src_scores = diag[:, inp.id, 0]
-                    src_set = None
-                    src_l = diag[:, inp.id, 1:] if L else None
+                    src_scores, src_l = prev[adv - 1][inp.id]
                 if aq > 0:
-                    # element i reads source at i - aq
                     src_scores = jnp.roll(src_scores, aq).at[:aq].set(NEG)
-                    if L:
-                        src_l = jnp.roll(src_l, aq, axis=0).at[:aq].set(0)
-                if adv == 0 and src_set is not None:
-                    src_scores = jnp.where(src_set, src_scores, NEG)
+                    src_l = jnp.roll(src_l, aq, axis=0).at[:aq].set(0)
                 base = src_scores
                 src_lanes = src_l
             if out is end_state:
@@ -253,8 +254,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
                 else:  # scalar, qvec (const per step) or skewed grid2d row
                     calc = v
             if p["shkey"] is not None:
-                svals = {name: (src_lanes[:, desig] if src_lanes is not None
-                                else jnp.zeros(Q + 1, dtype=jnp.int32))
+                svals = {name: src_lanes[:, desig]
                          for name, desig in p["dst_shadows"]}
                 calc = t.calc.shadow_fn(
                     jnp, calc, svals, grid_rows[p["shkey"]],
@@ -265,43 +265,53 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
                     val = jnp.maximum(val, NEG)
                 if t.calc.protect & Protect.OVERFLOW:
                     val = jnp.minimum(val, IMPOSSIBLY_HIGH_SCORE)
-            # guard against drift below NEG from stacked penalties
             val = jnp.maximum(val, NEG)
-            val = jnp.where(src_ok & (base > NEG if inp is not start_state
-                                      else src_ok), val, NEG)
-            take = val > jnp.where(is_set[:, out.id], scores[:, out.id], NEG)
-            take = take & src_ok
-            scores = scores.at[:, out.id].set(
-                jnp.where(take, val, scores[:, out.id]))
-            is_set = is_set.at[:, out.id].set(is_set[:, out.id] | take)
+            if inp is start_state:
+                val = jnp.where(src_ok, val, NEG)
+            else:
+                val = jnp.where(src_ok & (base > NEG), val, NEG)
+            cur = scores[out.id] if scores[out.id] is not None else neg_vec
+            cur_set = (is_set[out.id] if is_set[out.id] is not None
+                       else jnp.zeros(Q + 1, bool))
+            take = (val > jnp.where(cur_set, cur, NEG)) & src_ok
+            scores[out.id] = jnp.where(take, val, cur)
+            is_set[out.id] = cur_set | take
             if want_path:
-                tb = tb.at[:, out.id].set(
-                    jnp.where(take, jnp.uint8(p["plan_id"] + 1),
-                              tb[:, out.id]))
+                tb_c[out.id] = jnp.where(
+                    take, jnp.uint8(p["plan_id"] + 1), tb_c[out.id])
             if L:
                 new_lanes = src_lanes
                 for desig, kind in p["start_lanes"]:
-                    pos = (si + grid_rows["_qstart"] if kind == "query_pos"
+                    pos = (si + grid_rows["_qstart"]
+                           if kind == "query_pos"
                            else sj + grid_rows["_tstart"])
                     new_lanes = new_lanes.at[:, desig].set(pos)
                 if inp is start_state and want_region:
                     new_lanes = new_lanes.at[:, rs_q].set(si)
                     new_lanes = new_lanes.at[:, rs_t].set(sj)
-                lanes = lanes.at[:, out.id].set(
-                    jnp.where(take[:, None], new_lanes, lanes[:, out.id]))
+                old = (lanes_c[out.id] if lanes_c[out.id] is not None
+                       else zero_lanes)
+                lanes_c[out.id] = jnp.where(take[:, None], new_lanes, old)
+            elif lanes_c[out.id] is None:
+                lanes_c[out.id] = zero_lanes
 
         # end registration with (score desc, j asc, i asc) preference
-        end_scores = jnp.where(is_set[:, end_state.id] & cell_ok,
-                               scores[:, end_state.id], NEG)
-        # within the diagonal j asc == i desc: among max scores take max i
+        if scores[end_state.id] is not None:
+            end_scores = jnp.where(is_set[end_state.id] & cell_ok,
+                                   scores[end_state.id], NEG)
+        else:
+            end_scores = neg_vec
         m = jnp.max(end_scores)
         ix = jnp.argmax(jnp.where(end_scores == m, i, -1))
         c_score = end_scores[ix]
         c_i = i[ix]
         c_j = d - c_i
-        if want_region:
-            c_qs = lanes[ix, end_state.id, rs_q]
-            c_ts = lanes[ix, end_state.id, rs_t]
+        if want_region and lanes_c[end_state.id] is not None:
+            c_qs = lanes_c[end_state.id][ix, rs_q]
+            c_ts = lanes_c[end_state.id][ix, rs_t]
+        else:
+            c_qs = jnp.int32(0)
+            c_ts = jnp.int32(0)
         best_score, b_i, b_j, b_qs, b_ts = best
         better = (c_score > best_score) | \
                  ((c_score == best_score) &
@@ -312,17 +322,20 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
                 jnp.where(better, c_qs, b_qs) if want_region else b_qs,
                 jnp.where(better, c_ts, b_ts) if want_region else b_ts)
 
-        # rotate diagonals
-        cur = jnp.concatenate(
-            [scores[:, :, None], lanes] if L else [scores[:, :, None]],
-            axis=2)
-        cur = jnp.where(is_set[:, :, None], cur,
-                        jnp.concatenate(
-                            [jnp.full((Q + 1, S, 1), NEG, jnp.int32)]
-                            + ([jnp.zeros((Q + 1, S, L), jnp.int32)]
-                               if L else []), axis=2))
-        prev = jnp.concatenate([cur[None], prev[:-1]], axis=0)
-        return (prev, best), (tb if want_path else jnp.zeros((), jnp.uint8))
+        # assemble the new diagonal; rotation is a tuple rebind (no copy)
+        cur_diag = []
+        for s in range(S):
+            if scores[s] is None:
+                cur_diag.append((neg_vec, zero_lanes))
+            else:
+                sc = jnp.where(is_set[s], scores[s], NEG)
+                ln = (jnp.where(is_set[s][:, None], lanes_c[s], 0)
+                      if lanes_c[s] is not None else zero_lanes)
+                cur_diag.append((sc, ln))
+        prev = (tuple(cur_diag),) + prev[:-1]
+        ys = (jnp.stack(tb_c, axis=1) if want_path
+              else jnp.zeros((), jnp.uint8))
+        return (prev, best), ys
 
     # advances per grid key, for the on-device skew of 2-D planes
     adv_of_key = {}
@@ -355,9 +368,10 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
                 xs_rows[k] = _skew(jnp.asarray(v, jnp.int32), aq, at, 0)
             else:
                 const_rows[k] = v
-        prev0 = jnp.full((K, Q + 1, S, 1 + L), NEG, dtype=jnp.int32)
-        if L:
-            prev0 = prev0.at[:, :, :, 1:].set(0)
+        neg_vec = jnp.full((Q + 1,), NEG, jnp.int32)
+        zero_lanes = jnp.zeros((Q + 1, L), jnp.int32)
+        diag0 = tuple((neg_vec, zero_lanes) for _ in range(S))
+        prev0 = tuple(diag0 for _ in range(K))
         best0 = (jnp.int32(NEG), jnp.int32(0), jnp.int32(0),
                  jnp.int32(0), jnp.int32(0))
         d_seq = jnp.arange(D, dtype=jnp.int32)
