@@ -89,6 +89,7 @@ class Analysis:
                                         self.intron_args)
         self.translate_both = registry.translate_both(self.gas.model_type)
         self.gam = GAM(self.model, self.gas, self._make_data, out=out)
+        self.gam.geneseed_threshold = self.hsp_args.geneseed_threshold
 
     # -- data -------------------------------------------------------------
 
@@ -156,9 +157,37 @@ class Analysis:
                 run_client_analysis(self, hostport)
         elif self.aas.use_exhaustive:
             self._process_exhaustive()
+        elif self.aas.use_bigseq:
+            self._process_bigseq()
         else:
             self._process_seeded()
         self.gam.report()
+
+    def _process_bigseq(self):
+        """Big-sequence mode (ref: BSAM, src/hub/bsam.c): pairwise
+        exact-seed scanning in linear memory.  The reference concatenates
+        the pair and runs the DejaVu repeat finder; the packed-word join
+        is already linear in the sequence lengths, so bigseq mode is the
+        seeded pipeline run one pair at a time with exact words only."""
+        params = self.comparison_params()
+        revcomp_query = (self.aas.use_revcomp
+                         and self.query_type == AlphabetType.DNA)
+        revcomp_target = (self.aas.use_revcomp
+                          and ((self.query_type == AlphabetType.PROTEIN
+                                and self.target_type == AlphabetType.DNA)
+                               or self.translate_both))
+        for query in self.query_db:
+            query = self._load_seq(query, self.query_type)
+            for qv in self._expand_strands(query, revcomp_query):
+                for target in self.target_db:
+                    target = self._load_seq(target, self.target_type)
+                    for tv in self._expand_strands(target,
+                                                   revcomp_target):
+                        seeder = Seeder(params,
+                                        self._report_comparison,
+                                        self.seeder_args, {})
+                        seeder.add_query(qv)
+                        seeder.add_target(tv)
 
     def _process_exhaustive(self):
         """(ref: analysis.c pair-loop path, Analysis_Pair_compare)."""
@@ -205,7 +234,8 @@ class Analysis:
             self._report_comparison(comparison)
 
         seeder = Seeder(params, report, self.seeder_args,
-                        self._wordhoods(params))
+                        self._wordhoods(params),
+                        self.aas.saturate_threshold)
         for query in self.query_db:
             query = self._load_seq(query, self.query_type)
             for qv in self._expand_strands(query, revcomp_query):

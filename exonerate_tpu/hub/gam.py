@@ -75,6 +75,7 @@ class GAM:
         # query_id -> list of stored results (bestn mode)
         self.bestn_store: dict[str, list[_Stored]] = {}
         self._order = 0
+        self.geneseed_threshold = 0
 
     # -- thresholds (ref: GAM_get_query_threshold, gam.c:677-705) ---------
 
@@ -94,18 +95,49 @@ class GAM:
     def result_ungapped(self, comparison: Comparison
                         ) -> list[tuple[Alignment, AlignData]]:
         """(ref: GAM_Result_ungapped_create, gam.c:736-763)."""
+        from ..engine.subopt import SubOpt
         if not comparison.has_hsps:
             return []
         data = self.make_data(comparison.query, comparison.target)
+        subopt = (SubOpt() if self.gas.refinement != Refinement.NONE
+                  else None)
         out = []
         for hspset in comparison.hspsets():
             hspset.filter_ungapped()
             threshold = self.query_threshold(comparison.query, data)
             for hsp in hspset.hsps:
                 if hsp.score >= threshold:
-                    out.append((self._hsp_alignment(hspset, hsp), data))
+                    alignment = self._hsp_alignment(hspset, hsp)
+                    alignment = self._refine(alignment, data, subopt)
+                    out.append((alignment, data))
+                    if subopt is not None:
+                        subopt.add_alignment(alignment)
         out.sort(key=lambda ad: -ad[0].score)
         return out
+
+    def _refine(self, alignment: Alignment, data: AlignData,
+                subopt) -> Alignment:
+        """(ref: GAM_Result_refine_alignment, gam.c:605-655): re-DP over
+        the full rectangle or the boundary-padded alignment region; keep
+        the refined alignment only if it scores at least as well."""
+        from ..engine import optimal
+        if self.gas.refinement == Refinement.NONE:
+            return alignment
+        q, t = data.query, data.target
+        if self.gas.refinement == Refinement.FULL:
+            region = Region(0, 0, len(q), len(t))
+        else:
+            b = self.gas.refinement_boundary
+            qs = max(0, alignment.region.query_start - b)
+            ts = max(0, alignment.region.target_start - b)
+            region = Region(
+                qs, ts,
+                min(len(q), alignment.region.query_end + b) - qs,
+                min(len(t), alignment.region.target_end + b) - ts)
+        refined = optimal.find_path(self.model, region, data, subopt)
+        if refined is not None and refined.score >= alignment.score:
+            return refined
+        return alignment
 
     def _hsp_alignment(self, hspset: HspSet, hsp: HSP) -> Alignment:
         """(ref: Ungapped_Alignment_create, ungapped.c:168-198)."""
@@ -144,6 +176,11 @@ class GAM:
         t_join = (data.intron.max_intron if genomic
                   else max(data.ner.max_ner, 10000))
         clusters = cluster_hsps(comparison, t_join, 10000)
+        # geneseed gating (ref: GAM geneseed reachability filter,
+        # gam.c:1044-1105): only loci anchored by a strong seed survive
+        if self.geneseed_threshold:
+            clusters = [c for c in clusters
+                        if c.score >= self.geneseed_threshold]
         regions = cluster_regions(comparison, clusters,
                                   target_margin=1000, query_margin=1000)
         threshold = self.query_threshold(query, data)

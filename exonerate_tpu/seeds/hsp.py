@@ -272,6 +272,41 @@ class HspSet:
         self._store(h)
         self._horizon[key] = (h.target_end(tadv), h_count, h_diag)
 
+    def seed_batch(self, seeds: list[tuple[int, int]]):
+        """Process a presorted seed list, preferring the native C++
+        seeding machine (native/seedlib.cpp) and falling back to the
+        per-seed Python path."""
+        if not seeds:
+            return
+        if self.param.filter_threshold or self.is_finalised:
+            for q, t in seeds:
+                self.seed(q, t)
+            return
+        from .. import native
+        if native.get_lib() is None or self.hsps or self._horizon:
+            for q, t in seeds:
+                self.seed(q, t)
+            return
+        arr = np.asarray(seeds, dtype=np.int64)
+        res = native.seed_all(
+            self._qi, self._ti, self._mat,
+            self._cds_veto,
+            self._q_mask if self._forbid_masked else None,
+            self._t_mask if self._forbid_masked else None,
+            self._forbid_masked, self.qadv, self.tadv,
+            self.param.seedlen, self.param.dropoff,
+            self.param.threshold, self.param.seed_repeat,
+            arr[:, 0], arr[:, 1])
+        if res is None:
+            for q, t in seeds:
+                self.seed(q, t)
+            return
+        qs, ts, lens, scores, cobs = res
+        for k in range(len(qs)):
+            self.hsps.append(HSP(int(qs[k]), int(ts[k]), int(lens[k]),
+                                 int(scores[k]), int(cobs[k])))
+        self.is_finalised = True
+
     def add_known_hsp(self, query_start: int, target_start: int,
                       length: int):
         """(ref: HSPset_add_known_hsp) — used by the server client path."""

@@ -184,33 +184,51 @@ class Seeder:
     def __init__(self, comparison_params: dict[str, HspParam],
                  report_func: Callable[[Comparison], None],
                  args: Optional[SeederArgs] = None,
-                 wordhoods: Optional[dict] = None):
+                 wordhoods: Optional[dict] = None,
+                 saturate_threshold: int = 0):
         self.args = args or SeederArgs()
         self.report_func = report_func
         self.loaders = {kind: _Loader(p, kind, self.args)
                         for kind, p in comparison_params.items()}
         self.wordhoods = wordhoods or {}
         self.queries: list[Sequence] = []
+        self.saturate_threshold = saturate_threshold
+        self.total_query_length = 0
+
+    def _expect(self, loader, length: int) -> int:
+        """(ref: Seeder_get_expect, seeder.c:454-459)."""
+        w = loader.hsp_param.wordlen
+        return int((length - w + 1) / (loader.nsym ** w)
+                   + self.saturate_threshold)
 
     def add_query(self, query: Sequence):
         qidx = len(self.queries)
         self.queries.append(query)
+        self.total_query_length += len(query)
         for kind, loader in self.loaders.items():
             loader.add_query(qidx, query, loader.hsp_param.match,
                              self.wordhoods.get(kind))
+            if self.saturate_threshold:
+                # numb saturated query words (ref: seeder.c:93-100)
+                expect = self._expect(loader,
+                                      self.total_query_length)
+                for w, entry in list(loader.words.items()):
+                    if len(entry) > expect:
+                        loader.words[w] = []
 
     def add_target(self, target: Sequence):
-        comparisons: dict[int, Comparison] = {}
+        # collect seeds per (query, match-class) in emission order, then
+        # run each batch through the (native) seeding machine
+        batches: dict[tuple[int, str], list[tuple[int, int]]] = {}
         active: list[int] = []
 
         def emit(loader: _Loader, qidx: int, qpos: int, tpos: int):
-            comp = comparisons.get(qidx)
-            if comp is None:
-                comp = self._make_comparison(self.queries[qidx], target)
-                comparisons[qidx] = comp
-                active.append(qidx)
-            hs = getattr(comp, f"{loader.kind}_hspset")
-            hs.seed(qpos, tpos)
+            key = (qidx, loader.kind)
+            if key not in batches:
+                batches[key] = []
+                if qidx not in active:
+                    active.append(qidx)
+            batches[key].append((qpos, tpos))
 
         # scan with each loader (dna first, then protein, then codon —
         # construction order, matching the reference loader order)
@@ -219,7 +237,11 @@ class Seeder:
             if loader is not None:
                 loader.scan_target(target, loader.hsp_param.match, emit)
         for qidx in active:
-            comp = comparisons[qidx]
+            comp = self._make_comparison(self.queries[qidx], target)
+            for kind in ("dna", "protein", "codon"):
+                seeds = batches.get((qidx, kind))
+                if seeds:
+                    getattr(comp, f"{kind}_hspset").seed_batch(seeds)
             if comp.has_hsps:
                 comp.finalise()
                 self.report_func(comp)

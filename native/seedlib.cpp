@@ -1,0 +1,196 @@
+// seedlib: native seeding hot loops for exonerate-tpu.
+//
+// C++ implementation of the HSP seeding machine — the reference's hottest
+// host-side loops (ref: src/comparison/hspset.c:700-1000: per-diagonal
+// horizon dedup, end trimming, masked/unmasked x-drop extension, storing)
+// — driven per (query, target, match-class) over a presorted seed list.
+// The Python HspSet (exonerate_tpu/seeds/hsp.py) is the behavioural
+// specification; both implementations are cross-checked in tests.
+//
+// Build: g++ -O3 -shared -fPIC -o libseedlib.so seedlib.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kImpossiblyLow = -987654321LL;
+
+struct Params {
+    const int32_t* q_idx;   // submat row index per query position
+    int64_t qlen;
+    const int32_t* t_idx;
+    int64_t tlen;
+    const int32_t* submat;  // [dim, dim]
+    int64_t dim;
+    const uint8_t* q_veto;  // optional per-query-pos CDS veto (may be null)
+    const uint8_t* q_mask;  // softmask flags (may be null)
+    const uint8_t* t_mask;
+    int forbid_masked;
+    int64_t qadv, tadv;
+    int64_t seedlen, dropoff, threshold, seed_repeat;
+};
+
+struct Hsp {
+    int64_t q, t, len, score, cobs;
+};
+
+inline int64_t cell_score(const Params& p, int64_t qp, int64_t tp) {
+    if (p.q_veto && p.q_veto[qp]) return kImpossiblyLow;
+    return p.submat[p.q_idx[qp] * p.dim + p.t_idx[tp]];
+}
+
+inline bool masked(const Params& p, int64_t qp, int64_t tp) {
+    return (p.q_mask && p.q_mask[qp]) || (p.t_mask && p.t_mask[tp]);
+}
+
+// (ref: HSP_extend, hspset.c:748-815)
+void extend(const Params& p, Hsp& h, bool forbid_masked) {
+    int64_t maxscore = h.score, score = h.score;
+    int64_t qp = h.q - p.qadv, tp = h.t - p.tadv;
+    int64_t maxext = 0, ext = 1;
+    for (; qp >= 0 && tp >= 0; ++ext) {
+        if (forbid_masked && masked(p, qp, tp)) break;
+        score += cell_score(p, qp, tp);
+        if (maxscore <= score) {
+            maxscore = score;
+            maxext = ext;
+        } else {
+            if (score < 0) break;
+            if (maxscore - score >= p.dropoff) break;
+        }
+        qp -= p.qadv;
+        tp -= p.tadv;
+    }
+    qp = h.q + h.len * p.qadv;
+    tp = h.t + h.len * p.tadv;
+    h.q -= maxext * p.qadv;
+    h.t -= maxext * p.tadv;
+    h.len += maxext;
+    score = maxscore;
+    maxext = 0;
+    for (ext = 1; qp + p.qadv <= p.qlen && tp + p.tadv <= p.tlen; ++ext) {
+        if (forbid_masked && masked(p, qp, tp)) break;
+        score += cell_score(p, qp, tp);
+        if (maxscore <= score) {
+            maxscore = score;
+            maxext = ext;
+        } else {
+            if (score < 0) break;
+            if (maxscore - score >= p.dropoff) break;
+        }
+        qp += p.qadv;
+        tp += p.tadv;
+    }
+    h.len += maxext;
+    h.score = maxscore;
+}
+
+// (ref: HSP_trim_ends, hspset.c:852-880)
+void trim_ends(const Params& p, Hsp& h) {
+    while (h.len > 0 && cell_score(p, h.q, h.t) <= 0) {
+        h.q += p.qadv;
+        h.t += p.tadv;
+        --h.len;
+    }
+    while (h.len > 0) {
+        int64_t qp = h.q + (h.len - 1) * p.qadv;
+        int64_t tp = h.t + (h.len - 1) * p.tadv;
+        if (cell_score(p, qp, tp) > 0) break;
+        --h.len;
+    }
+}
+
+void init_score(const Params& p, Hsp& h) {
+    int64_t s = 0, qp = h.q, tp = h.t;
+    for (int64_t k = 0; k < h.len; ++k) {
+        s += cell_score(p, qp, tp);
+        qp += p.qadv;
+        tp += p.tadv;
+    }
+    h.score = s;
+}
+
+// (ref: HSP_find_cobs, hspset.c:426-441)
+int64_t find_cobs(const Params& p, const Hsp& h) {
+    int64_t s = 0, qp = h.q, tp = h.t;
+    int64_t half = h.score >> 1;
+    for (int64_t k = 0; k < h.len; ++k) {
+        s += cell_score(p, qp, tp);
+        if (s >= half) return k;
+        qp += p.qadv;
+        tp += p.tadv;
+    }
+    return h.len;
+}
+
+struct Horizon {
+    int64_t end = 0, count = 0, diag = INT64_MIN;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Process all seeds (in target-position order) against one pair.
+// Returns the number of HSPs written into out (capacity cap).
+int64_t seedlib_seed_all(
+    const int32_t* q_idx, int64_t qlen, const int32_t* t_idx, int64_t tlen,
+    const int32_t* submat, int64_t dim, const uint8_t* q_veto,
+    const uint8_t* q_mask, const uint8_t* t_mask, int forbid_masked,
+    int64_t qadv, int64_t tadv, int64_t seedlen, int64_t dropoff,
+    int64_t threshold, int64_t seed_repeat, const int64_t* seeds_q,
+    const int64_t* seeds_t, int64_t n_seeds, Hsp* out, int64_t cap) {
+    Params p{q_idx, qlen, t_idx, tlen, submat, dim, q_veto,
+             q_mask, t_mask, forbid_masked, qadv, tadv,
+             seedlen, dropoff, threshold, seed_repeat};
+    // horizon keyed by (section, qframe, tframe)
+    // (ref: hspset.c:933-997, including the deliberate modulo-qlen
+    // diagonal aliasing)
+    std::unordered_map<int64_t, Horizon> horizon;
+    int64_t n_out = 0;
+    for (int64_t s = 0; s < n_seeds && n_out < cap; ++s) {
+        int64_t query_start = seeds_q[s];
+        int64_t target_start = seeds_t[s];
+        int64_t diag_pos = target_start * qadv - query_start * tadv;
+        int64_t qframe = query_start % qadv;
+        int64_t tframe = target_start % tadv;
+        int64_t section = ((diag_pos + qlen) % qlen + qlen) % qlen;
+        int64_t key = (section * qadv + qframe) * tadv + tframe;
+        Horizon& hz = horizon[key];
+        if (seed_repeat > 1 && hz.diag != diag_pos + qlen) {
+            hz.end = 0;
+            hz.count = 0;
+            hz.diag = diag_pos + qlen;
+        }
+        if (target_start < hz.end) continue;
+        if (seed_repeat > 1) {
+            if (++hz.count < seed_repeat) continue;
+            hz.count = 0;
+        }
+        Hsp h{query_start, target_start, seedlen, 0, 0};
+        trim_ends(p, h);
+        init_score(p, h);
+        if (forbid_masked) {
+            extend(p, h, true);
+            if (h.score < threshold) {
+                hz.end = h.t + h.len * tadv;
+                continue;
+            }
+        }
+        extend(p, h, false);
+        hz.end = h.t + h.len * tadv;
+        if (h.score < threshold) continue;
+        h.cobs = 0;
+        out[n_out++] = h;
+    }
+    // cobs at finalise (ref: HSPset_finalise, hspset.c:1123-1150)
+    for (int64_t k = 0; k < n_out; ++k) {
+        out[k].cobs = find_cobs(p, out[k]);
+    }
+    return n_out;
+}
+
+}  // extern "C"
