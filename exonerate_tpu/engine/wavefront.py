@@ -66,10 +66,13 @@ def prepare_inputs(model: Model, region: Region, data,
     inputs: dict[str, Any] = {}
     kinds: dict[str, str] = {}
     # blocked-cell plane, addressed by DESTINATION cell
-    # (ref: viterbi.c:701-704 SubOpt blocking of match transitions)
-    inputs["_blocked"] = (np.zeros((Q + 1, T + 1), dtype=bool)
-                          if subopt is None
-                          else subopt.blocked_grid(region))
+    # (ref: viterbi.c:701-704 SubOpt blocking of match transitions);
+    # omitted entirely when empty and bit-packed otherwise to keep
+    # host->device transfer tiny
+    blocked = None if subopt is None else subopt.blocked_grid(region)
+    if blocked is not None and blocked.any():
+        inputs["_blocked"] = np.packbits(blocked, axis=1)
+        kinds["_blocked"] = "blocked"
     done = set()
     for t in model.transitions:
         if t.calc is None:
@@ -236,7 +239,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
             if out is end_state:
                 src_ok = src_ok & _scope_mask_end(model.end_state.scope,
                                                   i, j, Q, T)
-            if t.is_match:
+            if t.is_match and "_blocked" in kind_map:
                 src_ok = src_ok & ~grid_rows["_blocked"]
             # calc score at source position (form picked statically)
             if p["key"] is None:
@@ -362,7 +365,17 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
         const_rows = {}
         for k, v in inputs.items():
             if k == "_blocked":
-                xs_rows[k] = _skew(jnp.asarray(v), 0, 0, False)
+                # bit-packed [Q+1, ceil((T+1)/8)]: unpack while skewing
+                packed = jnp.asarray(v)
+                d_col = jnp.arange(D, dtype=jnp.int32)[:, None]
+                i_row = jnp.asarray(i_vec)[None, :]
+                sj = d_col - i_row
+                ok = (sj >= 0) & (sj <= T)
+                sjc = jnp.clip(sj, 0, T)
+                byte = packed[jnp.broadcast_to(i_row, (D, Q + 1)),
+                              sjc >> 3]
+                bit = (byte >> (7 - (sjc & 7).astype(jnp.uint8))) & 1
+                xs_rows[k] = (bit != 0) & ok
             elif kind_map.get(k) == "grid2d":
                 aq, at = adv_of_key[k]
                 xs_rows[k] = _skew(jnp.asarray(v, jnp.int32), aq, at, 0)

@@ -90,3 +90,28 @@ def test_protein2genome_random():
 def test_coding2coding_random():
     model = coding2coding_create()
     check(model, rand_dna(30), rand_dna(45), translate_both=True)
+
+
+def test_subopt_blocking_parity():
+    """Waterman-Eggert iterations must agree between engines (exercises
+    the bit-packed blocked plane)."""
+    from exonerate_tpu.engine.subopt import SubOpt
+    from exonerate_tpu.align.alignment import Alignment
+    model = affine_create(AffineModelType.LOCAL, AlphabetType.DNA,
+                          AlphabetType.DNA)
+    q, t = rand_dna(40), rand_dna(60)
+    data = AlignData(q, t)
+    region = Region(0, 0, len(q), len(t))
+    so_w, so_r = SubOpt(), SubOpt()
+    for _ in range(3):
+        wf = wavefront.find_path(model, region, data, subopt=so_w)
+        rf = reference.find_path(model, region, data, subopt=so_r)
+        assert wf.score == rf.score
+        assert [x.id for x in wf.path] == [x.id for x in rf.path]
+        al = Alignment.from_path(
+            model, Region(wf.query_start, wf.target_start,
+                          wf.query_end - wf.query_start,
+                          wf.target_end - wf.target_start),
+            wf.score, wf.path)
+        so_w.add_alignment(al)
+        so_r.add_alignment(al)
