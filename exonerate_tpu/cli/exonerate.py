@@ -347,8 +347,9 @@ def main(argv=None, out=None):
     parser = build_parser()
     v = parser.parse(argv)
     out = out or sys.stdout
+    import socket
     out.write("Command line: [exonerate " + " ".join(argv) + "]\n")
-    out.write("Hostname: [exonerate-tpu]\n")
+    out.write("Hostname: [%s]\n" % socket.gethostname())
     analysis = make_analysis(v, out=out)
     analysis.process()
     out.write("-- completed exonerate analysis\n")

@@ -52,7 +52,7 @@ def _grid_key(model: Model, t) -> str:
 
 
 def prepare_inputs(model: Model, region: Region, data,
-                   subopt=None) -> tuple[dict[str, Any], tuple]:
+                   subopt=None, pad_to=None) -> tuple[dict[str, Any], tuple]:
     """Materialize per-pair arrays in compact forms: factored match calcs
     ship O(Q+T) index vectors + a small table; 1-D calcs ship vectors; only
     genuinely 2-D grids ship whole planes (skewed on device).  Returns
@@ -62,6 +62,8 @@ def prepare_inputs(model: Model, region: Region, data,
     subopt: optional SubOpt mask; blocked cells ship as a boolean plane so
     re-running with a grown mask reuses the jit cache."""
     Q, T = region.query_length, region.target_length
+    Qp, Tp = pad_to if pad_to is not None else (Q, T)
+    assert Qp >= Q and Tp >= T
     i_idx = np.arange(Q + 1)
     inputs: dict[str, Any] = {}
     kinds: dict[str, str] = {}
@@ -119,7 +121,41 @@ def prepare_inputs(model: Model, region: Region, data,
                                                                      data)
     inputs["_qstart"] = np.int32(region.query_start)
     inputs["_tstart"] = np.int32(region.target_start)
+    inputs["_qlen"] = np.int32(Q)
+    inputs["_tlen"] = np.int32(T)
+    if pad_to is not None:
+        inputs = _pad_inputs(inputs, kinds, Q, T, Qp, Tp)
     return inputs, tuple(sorted(kinds.items()))
+
+
+def _pad_inputs(inputs, kinds, Q, T, Qp, Tp):
+    """Pad per-pair arrays to a bucket shape (catch-all submat index 24
+    for factored vectors; zeros elsewhere)."""
+    out = {}
+    for k, v in inputs.items():
+        kind = kinds.get(k)
+        if kind == "factored":
+            out[k] = {
+                "q_idx_s": np.pad(v["q_idx_s"], (0, Qp - Q),
+                                  constant_values=24),
+                "t_idx": np.pad(v["t_idx"], (0, Tp - T),
+                                constant_values=24),
+                "table": v["table"],
+                "q_override_s": np.pad(v["q_override_s"], (0, Qp - Q)),
+            }
+        elif kind == "qvec":
+            out[k] = np.pad(v, (0, Qp - Q))
+        elif kind == "tvec":
+            out[k] = np.pad(v, (0, Tp - T))
+        elif kind == "grid2d":
+            out[k] = np.pad(v, ((0, Qp - Q), (0, Tp - T)))
+        elif kind == "blocked":
+            grid = np.unpackbits(v, axis=1)[:, :T + 1]
+            grid = np.pad(grid, ((0, Qp - Q), (0, Tp - T)))
+            out[k] = np.packbits(grid, axis=1)
+        else:
+            out[k] = v
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -138,16 +174,16 @@ def _scope_mask_start(scope: Scope, si, sj):
     return (si == 0) & (sj == 0)
 
 
-def _scope_mask_end(scope: Scope, i, j, Q, T):
+def _scope_mask_end(scope: Scope, i, j, qlen, tlen):
     if scope == Scope.ANYWHERE:
         return jnp.ones_like(i, dtype=bool)
     if scope == Scope.EDGE:
-        return (i == Q) | (j == T)
+        return (i == qlen) | (j == tlen)
     if scope == Scope.QUERY:
-        return i == Q
+        return i == qlen
     if scope == Scope.TARGET:
-        return j == T
-    return (i == Q) & (j == T)
+        return j == tlen
+    return (i == qlen) & (j == tlen)
 
 
 def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
@@ -201,7 +237,9 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
         d, grid_rows = xs
         i = jnp.asarray(i_vec)
         j = d - i
-        cell_ok = (j >= 0) & (j <= T)
+        qlen = grid_rows["_qlen"]
+        tlen = grid_rows["_tlen"]
+        cell_ok = (j >= 0) & (j <= tlen) & (i <= qlen)
         scores = [None] * S
         lanes_c = [None] * S
         is_set = [None] * S
@@ -238,7 +276,7 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
                 src_lanes = src_l
             if out is end_state:
                 src_ok = src_ok & _scope_mask_end(model.end_state.scope,
-                                                  i, j, Q, T)
+                                                  i, j, qlen, tlen)
             if t.is_match and "_blocked" in kind_map:
                 src_ok = src_ok & ~grid_rows["_blocked"]
             # calc score at source position (form picked statically)
@@ -483,3 +521,49 @@ def find_path(model: Model, region: Region, data,
     res.path = path
     res.query_start, res.target_start = i, j
     return res
+
+
+# ---------------------------------------------------------------------------
+# batched pairs (the production throughput path)
+# ---------------------------------------------------------------------------
+
+def _bucket(n: int, step: int = 256) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def _get_batched_fn(model: Model, Qp: int, Tp: int, mode: str,
+                    kinds: tuple):
+    key = (id(model), Qp, Tp, mode, kinds, "batched")
+    if key not in _CACHE:
+        _CACHE[key] = jax.jit(
+            jax.vmap(build_wavefront(model, Qp, Tp, mode, kinds)))
+    return _CACHE[key]
+
+
+def find_region_batched(model: Model, jobs: list) -> list[DPResult]:
+    """Score a batch of (region, data) pairs in bucketed, vmapped calls —
+    the TPU replacement for the reference's per-comparison thread pool
+    (ref: jobqueue.c; disabled in the fork for races, SURVEY.md §2.13).
+    """
+    out: list[DPResult] = [None] * len(jobs)
+    buckets: dict = {}
+    for n, (region, data) in enumerate(jobs):
+        Qp = _bucket(region.query_length)
+        Tp = _bucket(region.target_length)
+        inputs, kinds = prepare_inputs(model, region, data,
+                                       pad_to=(Qp, Tp))
+        buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
+    for (Qp, Tp, kinds), items in buckets.items():
+        fn = _get_batched_fn(model, Qp, Tp, "region", kinds)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[inp for _, inp in items])
+        res = fn(stacked)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        for b, (n, _) in enumerate(items):
+            out[n] = DPResult(
+                score=int(res["score"][b]),
+                query_end=int(res["query_end"][b]),
+                target_end=int(res["target_end"][b]),
+                query_start=int(res["query_start"][b]),
+                target_start=int(res["target_start"][b]))
+    return out
