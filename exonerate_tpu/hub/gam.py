@@ -172,6 +172,8 @@ class GAM:
             return []
         query, target = comparison.query, comparison.target
         data = self.make_data(query, target)
+        if not self.gas.use_gapped_extension:
+            return self._result_bsdp(comparison, data)
         genomic = has_genomic_target(self.gas.model_type)
         t_join = (data.intron.max_intron if genomic
                   else max(data.ner.max_ner, 10000))
@@ -202,6 +204,30 @@ class GAM:
                         self.gas.best_n * 4, 16):
                     break
         out.sort(key=lambda ad: -ad[0].score)
+        return out
+
+    def _result_bsdp(self, comparison: Comparison, data: AlignData
+                     ) -> list[tuple[Alignment, AlignData]]:
+        """--gappedextension no: the BSDP HSP-graph heuristic
+        (ref: GAM_Result_BSDP_create, gam.c:797-850)."""
+        from .bsdp import BsdpSolver
+        span_q = max((sp.max_query for sp in self.model.spans), default=0)
+        span_t = max((sp.max_target for sp in self.model.spans),
+                     default=0)
+        solver = BsdpSolver(self.model, data, comparison,
+                            max_span_target=span_t, max_span_query=span_q)
+        out = []
+        threshold = self.query_threshold(comparison.query, data)
+        while True:
+            alignment = solver.next_path(max(threshold, 1))
+            if alignment is None:
+                break
+            out.append((alignment, data))
+            if not self.gas.use_subopt:
+                break
+            if self.gas.best_n and len(out) >= max(self.gas.best_n * 4,
+                                                   16):
+                break
         return out
 
     def result_exhaustive(self, query: Sequence, target: Sequence

@@ -587,60 +587,143 @@ class Model:
 
 class DerivedModel:
     """A sub-model between chosen src/dst states with a transition map back
-    to the original (ref: C4_DerivedModel, src/c4/c4.h:337-355).  Used by the
-    heuristics to run DP on fragments of the full model."""
+    to the original (ref: C4_DerivedModel, src/c4/c4.h:337-355; the
+    src/dst-as-new-terminals construction of C4_Model_select,
+    c4.c:2217-2290).  The new START takes over src's outgoing transitions
+    and the new END takes over dst's incoming transitions, while all
+    interior states (including interior copies of src/dst when they loop)
+    keep the full graph between them.  Used by the heuristics to run DP on
+    fragments of the full model."""
 
     def __init__(self, original: Model, src: State, dst: State,
                  start_scope: Scope, end_scope: Scope):
         self.original = original
         m = Model(f"derived:{original.name}:{src.name}:{dst.name}")
-        # keep reachable subgraph between src and dst
-        keep_states = self._between(original, src, dst)
-        state_map = {id(src): m.start_state.state, id(dst): m.end_state.state}
-        for s in keep_states:
-            if id(s) not in state_map:
-                state_map[id(s)] = m.add_state(s.name)
+        o_start = original.start_state.state
+        o_end = original.end_state.state
+        interior: dict[int, State] = {}
+
+        def interior_of(s: State) -> Optional[State]:
+            if s is o_start or s is o_end:
+                return None
+            if id(s) not in interior:
+                interior[id(s)] = m.add_state(s.name)
+            return interior[id(s)]
+
         calc_map: dict[int, Calc] = {}
+
+        def map_calc(c):
+            if c is None:
+                return None
+            if id(c) not in calc_map:
+                calc_map[id(c)] = m.add_calc(
+                    c.name, c.max_score, c.grid_fn, c.shadow_fn,
+                    c.shadow_inputs_fn, c.factored_fn, c.protect)
+            return calc_map[id(c)]
+
         self.transition_map: dict[int, Transition] = {}
+        new_of_old: dict[int, list[Transition]] = {}
+
+        def add(orig_t: Transition, new_in, new_out):
+            nt = m.add_transition(orig_t.name, new_in, new_out,
+                                  orig_t.advance_query,
+                                  orig_t.advance_target,
+                                  map_calc(orig_t.calc), orig_t.label,
+                                  orig_t.label_data)
+            self.transition_map[id(nt)] = orig_t
+            new_of_old.setdefault(id(orig_t), []).append(nt)
+            return nt
+
+        reach_dst = self._reaches(original, dst, forward=False)
+        reach_src = self._reaches(original, src, forward=True)
+        # transitions from src -> new START's outputs
+        for t in original.output_transitions(src):
+            if t.output is dst:
+                add(t, None, None)
+                if t.output is not o_end and id(t.output) in reach_dst \
+                        and t.input is t.output:
+                    pass
+            if id(t.output) not in reach_dst and t.output is not dst:
+                continue
+            out = (interior_of(t.output) if t.output is not o_end
+                   else None)
+            if t.output is dst and t.output is not o_end:
+                out = interior_of(t.output)
+            if out is not None:
+                add(t, None, out)
+        # transitions into dst -> new END's inputs
+        for t in original.input_transitions(dst):
+            if id(t.input) not in reach_src and t.input is not src:
+                continue
+            inp = (interior_of(t.input) if t.input is not o_start
+                   else None)
+            if t.input is src and t.input is not o_start:
+                inp = interior_of(t.input)
+            if inp is not None:
+                add(t, inp, None)
+        # interior transitions (everything not touching original
+        # terminals, both endpoints on some src->dst path)
         for t in original.transitions:
-            if id(t.input) in state_map and id(t.output) in state_map:
-                if (t.input is dst) and t.input is not t.output:
-                    continue  # dst only receives
-                if t.calc is not None and id(t.calc) not in calc_map:
-                    calc_map[id(t.calc)] = m.add_calc(
-                        t.calc.name, t.calc.max_score, t.calc.grid_fn,
-                        t.calc.shadow_fn, t.calc.shadow_inputs_fn,
-                        t.calc.factored_fn, t.calc.protect)
-                nt = m.add_transition(
-                    t.name, state_map[id(t.input)], state_map[id(t.output)],
-                    t.advance_query, t.advance_target,
-                    calc_map[id(t.calc)] if t.calc else None,
-                    t.label, t.label_data)
-                self.transition_map[id(nt)] = t
+            if t.input is o_start or t.output is o_end:
+                continue
+            if id(t.input) not in reach_src or \
+                    id(t.input) not in reach_dst:
+                continue
+            if id(t.output) not in reach_src or \
+                    id(t.output) not in reach_dst:
+                continue
+            add(t, interior_of(t.input), interior_of(t.output))
+        # prune interior states with no inputs or no outputs (dead ends)
+        changed = True
+        while changed:
+            changed = False
+            for sid, st in list(interior.items()):
+                if (not m.input_transitions(st)
+                        or not m.output_transitions(st)):
+                    m.transitions = [t for t in m.transitions
+                                     if t.input is not st
+                                     and t.output is not st]
+                    m.states.remove(st)
+                    del interior[sid]
+                    changed = True
+        self.transition_map = {tid: o for tid, o in
+                               self.transition_map.items()
+                               if any(id(nt) == tid
+                                      for nts in new_of_old.values()
+                                      for nt in nts
+                                      if nt in m.transitions)}
+        # shadows whose src states / dst transitions survive
+        for sh in original.shadows:
+            new_sh = Shadow(sh.name, start=sh.start)
+            for st in sh.src_states:
+                if st is src:
+                    new_sh.src_states.append(m.start_state.state)
+                if id(st) in interior:
+                    new_sh.src_states.append(interior[id(st)])
+            for t in sh.dst_transitions:
+                for nt in new_of_old.get(id(t), []):
+                    if nt in m.transitions:
+                        new_sh.dst_transitions.append(nt)
+            if new_sh.src_states and new_sh.dst_transitions:
+                m.shadows.append(new_sh)
         m.configure_start(start_scope)
         m.configure_end(end_scope)
         m.close()
         self.derived = m
 
     @staticmethod
-    def _between(model: Model, src: State, dst: State) -> list[State]:
-        fwd = {id(src)}
-        frontier = [src]
+    def _reaches(model: Model, anchor: State, forward: bool) -> set:
+        """States from which `anchor` is reachable (forward=False) or
+        reachable from `anchor` (forward=True); includes anchor."""
+        seen = {id(anchor)}
+        frontier = [anchor]
         while frontier:
             s = frontier.pop()
-            for t in model.output_transitions(s):
-                if id(t.output) not in fwd and t.output is not dst:
-                    fwd.add(id(t.output))
-                    frontier.append(t.output)
-        fwd.add(id(dst))
-        bwd = {id(dst)}
-        frontier = [dst]
-        while frontier:
-            s = frontier.pop()
-            for t in model.input_transitions(s):
-                if id(t.input) not in bwd and t.input is not src:
-                    bwd.add(id(t.input))
-                    frontier.append(t.input)
-        bwd.add(id(src))
-        keep = fwd & bwd
-        return [s for s in model.states if id(s) in keep]
+            ts = (model.output_transitions(s) if forward
+                  else model.input_transitions(s))
+            for t in ts:
+                nxt = t.output if forward else t.input
+                if id(nxt) not in seen:
+                    seen.add(id(nxt))
+                    frontier.append(nxt)
+        return seen
