@@ -335,6 +335,8 @@ def make_analysis(v: dict, out=None) -> Analysis:
         fasta_suffix=v["fastasuffix"],
         out=out, verbosity=v["verbose"],
     )
+    from ..engine import optimal
+    optimal.DP_MEMORY_LIMIT = v["dpmemory"] << 20
     analysis.gam.align_args = AlignmentArgs(
         alignment_width=v["alignmentwidth"],
         forward_strand_coords=v["forwardcoordinates"],

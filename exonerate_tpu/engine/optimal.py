@@ -21,6 +21,10 @@ from .reference import DPResult
 # below this many cells the interpreter path is cheaper than a jit trace
 SMALL_DP_CELLS = 40_000
 
+# --dpmemory budget for full-traceback planes (ref: viterbi.c:32-33);
+# larger DPs use checkpointed recompute (wavefront.find_path_checkpointed)
+DP_MEMORY_LIMIT = 32 << 20
+
 
 def find_score(model: Model, region: Region, data, subopt=None) -> int:
     if _is_small(region):
@@ -34,7 +38,13 @@ def find_path(model: Model, region: Region, data, subopt=None,
     if _is_small(region):
         res = reference.viterbi(model, region, data, "path", subopt)
         return _to_alignment(model, region, res)
-    res = wavefront.find_path(model, region, data, subopt)
+    D = region.query_length + region.target_length + 1
+    cube = D * (region.query_length + 1) * len(model.states)
+    if cube > DP_MEMORY_LIMIT:
+        res = wavefront.find_path_checkpointed(
+            model, region, data, subopt, budget_bytes=DP_MEMORY_LIMIT)
+    else:
+        res = wavefront.find_path(model, region, data, subopt)
     if threshold is not None and res.score < threshold:
         return None
     return _to_alignment(model, region, res)

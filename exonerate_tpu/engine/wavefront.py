@@ -444,6 +444,42 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
             out["tb"] = tbs
         return out
 
+    def split_inputs(inputs):
+        """Host-side split into (xs planes [D, Q+1], const rows) — used by
+        the checkpointed driver."""
+        xs_rows = {}
+        const_rows = {}
+        for k, v in inputs.items():
+            if k == "_blocked":
+                packed = jnp.asarray(v)
+                d_col = jnp.arange(D, dtype=jnp.int32)[:, None]
+                i_row = jnp.asarray(i_vec)[None, :]
+                sj = d_col - i_row
+                ok = (sj >= 0) & (sj <= T)
+                sjc = jnp.clip(sj, 0, T)
+                byte = packed[jnp.broadcast_to(i_row, (D, Q + 1)),
+                              sjc >> 3]
+                bit = (byte >> (7 - (sjc & 7).astype(jnp.uint8))) & 1
+                xs_rows[k] = (bit != 0) & ok
+            elif kind_map.get(k) == "grid2d":
+                aq, at = adv_of_key[k]
+                xs_rows[k] = _skew(jnp.asarray(v, jnp.int32), aq, at, 0)
+            else:
+                const_rows[k] = v
+        return xs_rows, const_rows
+
+    def init_carry():
+        neg_vec = jnp.full((Q + 1,), NEG, jnp.int32)
+        zero_lanes = jnp.zeros((Q + 1, L), jnp.int32)
+        diag0 = tuple((neg_vec, zero_lanes) for _ in range(S))
+        prev0 = tuple(diag0 for _ in range(K))
+        best0 = (jnp.int32(NEG), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0))
+        return (prev0, best0)
+
+    run.step = step
+    run.split_inputs = split_inputs
+    run.init_carry = init_carry
     return run
 
 
@@ -567,3 +603,114 @@ def find_region_batched(model: Model, jobs: list) -> list[DPResult]:
                 query_start=int(res["query_start"][b]),
                 target_start=int(res["target_start"][b]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# checkpointed traceback (the reference's --dpmemory bound,
+# ref: viterbi.c:128-152, 537-633 Hughey checkpointing)
+# ---------------------------------------------------------------------------
+
+def find_path_checkpointed(model: Model, region: Region, data,
+                           subopt=None,
+                           budget_bytes: int = 32 << 20) -> DPResult:
+    """Full-path DP under a traceback-memory budget: forward pass over
+    diagonal segments saving one carry checkpoint per segment, then a
+    backward walk re-running only the segments the path crosses and
+    materializing one segment's traceback planes at a time.
+    """
+    Q, T = region.query_length, region.target_length
+    D = Q + T + 1
+    S = len(model.states)
+    inputs, kinds = prepare_inputs(model, region, data, subopt)
+    # full cube fits: one pass
+    if D * (Q + 1) * S <= budget_bytes:
+        return find_path(model, region, data, subopt)
+    # segment length bounded by per-segment tb plane memory
+    C = max(16, min(D, budget_bytes // max((Q + 1) * S, 1)))
+    n_seg = (D + C - 1) // C
+
+    engine = build_wavefront(model, Q, T, "path", kinds)
+    step = engine.step
+    xs_rows, const_rows = engine.split_inputs(inputs)
+
+    def seg(carry, d0, seg_xs, consts, collect_tb: bool):
+        def scan_step(c, xs):
+            d, rows = xs
+            merged = dict(consts)
+            merged.update(rows)
+            return step(c, (d, merged))
+        d_seq = d0 + jnp.arange(C, dtype=jnp.int32)
+        (carry, ys) = lax.scan(scan_step, carry, (d_seq, seg_xs))
+        return carry if not collect_tb else (carry, ys)
+
+    fwd = jax.jit(lambda c, d0, xs, consts: seg(c, d0, xs, consts, False))
+    bwd = jax.jit(lambda c, d0, xs, consts: seg(c, d0, xs, consts, True))
+
+    def xs_slice(s0):
+        lo = s0 * C
+        return jax.tree_util.tree_map(
+            lambda a: lax.dynamic_slice_in_dim(
+                a, min(lo, a.shape[0] - C), C, axis=0), xs_rows)
+
+    # pad xs planes to a multiple of C so slices are uniform
+    pad = n_seg * C - D
+    if pad:
+        xs_rows = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), xs_rows)
+
+    checkpoints = []
+    carry = engine.init_carry()
+    for s0 in range(n_seg):
+        checkpoints.append(carry)
+        lo = s0 * C
+        seg_xs = jax.tree_util.tree_map(
+            lambda a: a[lo:lo + C], xs_rows)
+        carry = fwd(carry, jnp.int32(lo), seg_xs, const_rows)
+    prev, best = carry
+    score, bi, bj, bqs, bts = [int(np.asarray(x)) for x in best]
+    res = DPResult(score=score, query_end=bi, target_end=bj,
+                   query_start=bqs, target_start=bts)
+
+    # backward walk
+    plan_ts = [t for t in model.transitions
+               if t.input is not model.end_state.state
+               and t.output is not model.start_state.state]
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    i, j = bi, bj
+    state = end_state
+    path = []
+    seg_cache: dict[int, np.ndarray] = {}
+
+    def tb_for(d):
+        s0 = d // C
+        if s0 not in seg_cache:
+            lo = s0 * C
+            seg_xs = jax.tree_util.tree_map(
+                lambda a: a[lo:lo + C], xs_rows)
+            _, ys = bwd(checkpoints[s0], jnp.int32(lo), seg_xs,
+                        const_rows)
+            seg_cache[s0] = np.asarray(ys)
+            # drop older cache entries to respect the budget
+            for k in list(seg_cache):
+                if k != s0:
+                    del seg_cache[k]
+        return seg_cache[s0][d - s0 * C]
+
+    while True:
+        d = i + j
+        tid = tb_for(d)[i, state.id]
+        if tid == 0:
+            break
+        t = plan_ts[tid - 1]
+        path.append(t)
+        i -= t.advance_query
+        j -= t.advance_target
+        if t.input is start_state:
+            break
+        state = t.input
+    path.reverse()
+    res.path = path
+    res.query_start, res.target_start = i, j
+    return res

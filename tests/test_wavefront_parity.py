@@ -115,3 +115,21 @@ def test_subopt_blocking_parity():
             wf.score, wf.path)
         so_w.add_alignment(al)
         so_r.add_alignment(al)
+
+
+def test_checkpointed_path_parity():
+    """--dpmemory-bounded traceback must reproduce the full-cube path."""
+    from exonerate_tpu.model.est2genome import est2genome_create
+    intron = IntronArgs(min_intron=5, max_intron=100)
+    model = est2genome_create(intron)
+    q, t = rand_dna(40), rand_dna(120)
+    data = AlignData(q, t)
+    data.intron = intron
+    region = Region(0, 0, len(q), len(t))
+    full = wavefront.find_path(model, region, data)
+    ck = wavefront.find_path_checkpointed(model, region, data,
+                                          budget_bytes=32 * 1024)
+    assert full.score == ck.score
+    assert [x.id for x in full.path] == [x.id for x in ck.path]
+    assert (full.query_start, full.target_start) == \
+        (ck.query_start, ck.target_start)
