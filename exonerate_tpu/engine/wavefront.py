@@ -493,11 +493,18 @@ def _get_fn(model: Model, Q: int, T: int, mode: str, kinds: tuple):
     return _CACHE[key]
 
 
+def _put(inputs):
+    """Batched host->device transfer: one device_put for the whole pytree
+    (jit's per-leaf argument conversion costs one transfer round trip per
+    leaf, which dominates through remote-device tunnels)."""
+    return jax.device_put(inputs)
+
+
 def find_score(model: Model, region: Region, data, subopt=None) -> int:
     inputs, kinds = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length,
                  "score", kinds)
-    return int(fn(inputs)["score"])
+    return int(fn(_put(inputs))["score"])
 
 
 def find_region(model: Model, region: Region, data,
@@ -505,7 +512,7 @@ def find_region(model: Model, region: Region, data,
     inputs, kinds = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length,
                  "region", kinds)
-    out = jax.tree_util.tree_map(int, fn(inputs))
+    out = jax.tree_util.tree_map(int, fn(_put(inputs)))
     return DPResult(score=out["score"],
                     query_end=out["query_end"],
                     target_end=out["target_end"],
@@ -526,7 +533,7 @@ def find_path(model: Model, region: Region, data,
     inputs, kinds = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length,
                  "path", kinds)
-    out = fn(inputs)
+    out = fn(_put(inputs))
     tb = np.asarray(out["tb"])
     res = DPResult(score=int(out["score"]),
                    query_end=int(out["query_end"]),
@@ -593,7 +600,7 @@ def find_region_batched(model: Model, jobs: list) -> list[DPResult]:
         fn = _get_batched_fn(model, Qp, Tp, "region", kinds)
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *[inp for _, inp in items])
-        res = fn(stacked)
+        res = fn(_put(stacked))
         res = jax.tree_util.tree_map(np.asarray, res)
         for b, (n, _) in enumerate(items):
             out[n] = DPResult(

@@ -144,9 +144,9 @@ class _Loader:
         for frame, seq in zip(frames, seqs):
             packed, valid = self._pack_valid(seq, softmask)
             hits = np.nonzero(valid)[0]
-            for i in hits:
-                w = int(packed[i])
-                end = int(i) + self.hsp_param.wordlen - 1
+
+            def emit_word(w: int, i: int):
+                end = i + self.hsp_param.wordlen - 1
                 tpos = end * 3 + frame - 1 if frame else end
                 target_pos = tpos - self.tpos_modifier
                 entry = self.words.get(w)
@@ -157,6 +157,56 @@ class _Loader:
                 for src in self.neighbours.get(w, ()):  # wordhood
                     for qidx, qpos in reversed(self.words.get(src, ())):
                         emit(self, qidx, qpos, target_pos)
+
+            for i in hits:
+                emit_word(int(packed[i]), int(i))
+            if (self.args.word_ambiguity > 1
+                    and not self.is_protein_words):
+                for i, w in self._ambiguous_words(seq, valid):
+                    emit_word(w, i)
+
+    def _ambiguous_words(self, seq: Sequence, valid: np.ndarray):
+        """Expand target windows containing IUPAC ambiguity codes into up
+        to --wordambiguity concrete words (ref: Seeder_VFSM_traverse_ambig,
+        seeder.c:718-790)."""
+        from ..alphabet import IS_DNA, TO_UPPER
+        from ..translate import NT4
+        W = self.hsp_param.wordlen
+        data = TO_UPPER[seq.data]
+        n = len(data)
+        if n < W:
+            return
+        acgt_ok = self.codes[data] >= 0
+        iupac_ok = IS_DNA[data] & (data != ord("-"))
+        ambig = iupac_ok & ~acgt_ok
+        cap = self.args.word_ambiguity
+        # windows that are IUPAC-valid but not pure ACGT
+        csum_bad = np.concatenate([[0], np.cumsum(~iupac_ok)])
+        csum_amb = np.concatenate([[0], np.cumsum(ambig)])
+        win_iupac = (csum_bad[W:] - csum_bad[:-W]) == 0
+        win_amb = (csum_amb[W:] - csum_amb[:-W]) > 0
+        base_sets = {0: "G", 1: "A", 2: "T", 3: "C"}
+        code_of = {ch: k for k, ch in enumerate("ACGT")}
+        for start in np.nonzero(win_iupac & win_amb)[0]:
+            window = data[start:start + W]
+            cands = []
+            count = 1
+            for b in window:
+                mask = int(NT4[b])
+                opts = [base_sets[k] for k in range(4)
+                        if mask & (1 << k)]
+                count *= len(opts)
+                cands.append(opts)
+                if count > cap:
+                    break
+            if count > cap or count <= 1:
+                continue
+            words = [0]
+            for opts in cands:
+                words = [w * self.nsym + code_of[o]
+                         for w in words for o in opts]
+            for w in words:
+                yield int(start), int(w)
 
 
 def _word_is_valid(match: Match, seq: Sequence, pos: int, length: int
