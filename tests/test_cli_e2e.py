@@ -57,3 +57,20 @@ def test_affine_local_protein_pair():
                     "--showalignment", "no", "--score", "50",
                     files[0], files[0]])
     assert "vulgar:" in text
+
+
+def test_protein2genome_split_codon_vulgar(tmp_path):
+    (tmp_path / "p.fa").write_text(">protein\nMADQLTEQIAEFKEAFSLFDKDGDGTITT\n")
+    (tmp_path / "g.fa").write_text(
+        ">genome\nATGGCTGACCAGCTGACTGAGCAGATTGCAGAGTTCAA"
+        + "GT" + "N" * 43 + "AG"
+        + "GGAGGCCTTCTCCCTCTTTGACAAGGATGGAGATGGCACTATTACCACC\n")
+    text = run_cli(["-m", "protein2genome", "--showalignment", "no",
+                    "--showvulgar", "yes", "--score", "50",
+                    str(tmp_path / "p.fa"), str(tmp_path / "g.fa")])
+    vulgar = [ln for ln in text.splitlines() if ln.startswith("vulgar:")]
+    assert vulgar
+    # the golden structure: phase-1 intron with split codons, score 125
+    # (ref crib: protein2genome.test.c:34)
+    assert vulgar[0] == ("vulgar: protein 0 29 . genome 0 134 + 125 "
+                         "M 12 36 S 0 2 5 0 2 I 0 43 3 0 2 S 1 1 M 16 48")
