@@ -186,8 +186,19 @@ def _scope_mask_end(scope: Scope, i, j, qlen, tlen):
     return (i == qlen) & (j == tlen)
 
 
+def _default_unroll() -> int:
+    """Diagonals folded per scan step: amortizes sequential-loop latency
+    on TPU; kept at 1 on CPU where it only slows compilation."""
+    try:
+        return 8 if jax.default_backend() == "tpu" else 1
+    except Exception:
+        return 1
+
+
 def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
-                    kinds: tuple = ()):
+                    kinds: tuple = (), unroll: int = 0):
+    if not unroll:
+        unroll = _default_unroll()
     """Trace the model into a jittable function of the prepared inputs.
 
     Returns fn(inputs) -> dict with 'score', 'query_end', 'target_end' and
@@ -399,6 +410,8 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
     def run(inputs):
         # 2-D planes (grid2d calcs, blocked mask) skew on device and feed
         # the scan as xs; everything else broadcasts as a constant
+        G = max(1, unroll)
+        Dp = ((D + G - 1) // G) * G
         xs_rows = {}
         const_rows = {}
         for k, v in inputs.items():
@@ -425,16 +438,35 @@ def build_wavefront(model: Model, Q: int, T: int, mode: str = "score",
         prev0 = tuple(diag0 for _ in range(K))
         best0 = (jnp.int32(NEG), jnp.int32(0), jnp.int32(0),
                  jnp.int32(0), jnp.int32(0))
-        d_seq = jnp.arange(D, dtype=jnp.int32)
+        # pad xs planes to a multiple of G and group G diagonals per step
+        if G > 1:
+            xs_rows = {k: jnp.concatenate(
+                [a, jnp.zeros((Dp - D,) + a.shape[1:], a.dtype)]
+            ).reshape((Dp // G, G) + a.shape[1:])
+                for k, a in xs_rows.items()}
+            d_seq = jnp.arange(Dp, dtype=jnp.int32).reshape(Dp // G, G)
+        else:
+            d_seq = jnp.arange(D, dtype=jnp.int32)
 
         def scan_step(carry, xs):
             d, rows = xs
+            if G > 1:
+                ys = []
+                for g in range(G):
+                    merged = dict(const_rows)
+                    merged.update({k: a[g] for k, a in rows.items()})
+                    carry, y = step(carry, (d[g], merged))
+                    ys.append(y)
+                return carry, (jnp.stack(ys) if want_path
+                               else jnp.zeros((), jnp.uint8))
             merged = dict(const_rows)
             merged.update(rows)
             return step(carry, (d, merged))
 
         (prev, best), tbs = lax.scan(scan_step, (prev0, best0),
                                      (d_seq, xs_rows))
+        if want_path and G > 1:
+            tbs = tbs.reshape((Dp,) + tbs.shape[2:])[:D]
         score, bi, bj, bqs, bts = best
         out = {"score": score, "query_end": bi, "target_end": bj}
         if want_region:
