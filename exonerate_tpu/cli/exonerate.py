@@ -273,6 +273,7 @@ def make_analysis(v: dict, out=None) -> Analysis:
         use_revcomp=v["revcomp"],
         force_scan=v["forcescan"],
         saturate_threshold=v["saturatethreshold"],
+        cores=v["cores"],
     )
     match_args = MatchArgs(
         dna_submat=Submat.create(v["dnasubmat"]),

@@ -33,7 +33,8 @@ def find_score(model: Model, region: Region, data, subopt=None) -> int:
 
 
 def find_path(model: Model, region: Region, data, subopt=None,
-              threshold: Optional[int] = None) -> Optional[Alignment]:
+              threshold: Optional[int] = None,
+              device=None) -> Optional[Alignment]:
     """(ref: Optimal_find_path, optimal.c): region scan then path DP."""
     if _is_small(region):
         res = reference.viterbi(model, region, data, "path", subopt)
@@ -44,7 +45,8 @@ def find_path(model: Model, region: Region, data, subopt=None,
         res = wavefront.find_path_checkpointed(
             model, region, data, subopt, budget_bytes=DP_MEMORY_LIMIT)
     else:
-        res = wavefront.find_path(model, region, data, subopt)
+        res = wavefront.find_path(model, region, data, subopt,
+                                  device=device)
     if threshold is not None and res.score < threshold:
         return None
     return _to_alignment(model, region, res)

@@ -525,26 +525,29 @@ def _get_fn(model: Model, Q: int, T: int, mode: str, kinds: tuple):
     return _CACHE[key]
 
 
-def _put(inputs):
+def _put(inputs, device=None):
     """Batched host->device transfer: one device_put for the whole pytree
     (jit's per-leaf argument conversion costs one transfer round trip per
     leaf, which dominates through remote-device tunnels)."""
-    return jax.device_put(inputs)
+    if device is None:
+        return jax.device_put(inputs)
+    return jax.device_put(inputs, device)
 
 
-def find_score(model: Model, region: Region, data, subopt=None) -> int:
+def find_score(model: Model, region: Region, data, subopt=None,
+               device=None) -> int:
     inputs, kinds = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length,
                  "score", kinds)
-    return int(fn(_put(inputs))["score"])
+    return int(fn(_put(inputs, device))["score"])
 
 
 def find_region(model: Model, region: Region, data,
-                subopt=None) -> DPResult:
+                subopt=None, device=None) -> DPResult:
     inputs, kinds = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length,
                  "region", kinds)
-    out = jax.tree_util.tree_map(int, fn(_put(inputs)))
+    out = jax.tree_util.tree_map(int, fn(_put(inputs, device)))
     return DPResult(score=out["score"],
                     query_end=out["query_end"],
                     target_end=out["target_end"],
@@ -553,7 +556,7 @@ def find_region(model: Model, region: Region, data,
 
 
 def find_path(model: Model, region: Region, data,
-              subopt=None) -> DPResult:
+              subopt=None, device=None) -> DPResult:
     """Full path: device-side winning-transition planes + host walk-back.
 
     The traceback cube is [D, Q+1, S] uint8 (plan ids), the device-memory
@@ -565,7 +568,7 @@ def find_path(model: Model, region: Region, data,
     inputs, kinds = prepare_inputs(model, region, data, subopt)
     fn = _get_fn(model, region.query_length, region.target_length,
                  "path", kinds)
-    out = fn(_put(inputs))
+    out = fn(_put(inputs, device))
     tb = np.asarray(out["tb"])
     res = DPResult(score=int(out["score"]),
                    query_end=int(out["query_end"]),

@@ -33,6 +33,7 @@ class AnalysisArgs:
     use_revcomp: bool = True
     force_scan: str = "none"
     saturate_threshold: int = 0
+    cores: int = 1
 
 
 class Analysis:
@@ -90,6 +91,9 @@ class Analysis:
         self.translate_both = registry.translate_both(self.gas.model_type)
         self.gam = GAM(self.model, self.gas, self._make_data, out=out)
         self.gam.geneseed_threshold = self.hsp_args.geneseed_threshold
+        if self.aas.cores > 1:
+            import jax
+            self.gam.devices = jax.devices()[:self.aas.cores]
 
     # -- data -------------------------------------------------------------
 

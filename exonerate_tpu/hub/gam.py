@@ -76,6 +76,11 @@ class GAM:
         self.bestn_store: dict[str, list[_Stored]] = {}
         self._order = 0
         self.geneseed_threshold = 0
+        # multi-device pair dispatch (--cores N): comparisons round-robin
+        # across local devices — the functional replacement for the
+        # reference's disabled-for-races thread pool (SURVEY.md §2.13)
+        self.devices: list = []
+        self._dev_rr = 0
 
     # -- thresholds (ref: GAM_get_query_threshold, gam.c:677-705) ---------
 
@@ -191,9 +196,14 @@ class GAM:
         subopt = SubOpt() if self.gas.use_subopt else None
         out = []
         for region in regions:
+            device = None
+            if self.devices:
+                device = self.devices[self._dev_rr % len(self.devices)]
+                self._dev_rr += 1
             while True:
                 alignment = optimal.find_path(self.model, region, data,
-                                              subopt=subopt)
+                                              subopt=subopt,
+                                              device=device)
                 if alignment is None or alignment.score < threshold:
                     break
                 out.append((alignment, data))
