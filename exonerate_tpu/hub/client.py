@@ -95,6 +95,11 @@ class AnalysisClient:
     def get_seq(self, num: int) -> str:
         return self.send(f"get seq {num}").split(None, 1)[1]
 
+    def get_subseq(self, num: int, start: int, length: int) -> str:
+        """(ref: extmem page fetch, analysis.c:745-780 "get subseq")."""
+        return self.send(
+            f"get subseq {num} {start} {length}").split(None, 1)[1]
+
     def get_hsps(self) -> dict[int, list[tuple[int, int, int]]]:
         """(ref: Analysis_Client_get_hsp_sets, analysis.c:860-930)."""
         out: dict[int, list[tuple[int, int, int]]] = {}
@@ -143,11 +148,21 @@ def run_client_analysis(analysis, hostport: str):
     target_cache: dict[int, Sequence] = {}
 
     def fetch_target(tid: int) -> Sequence:
+        """EXTMEM target: windows fetched over the wire through a page
+        cache, never the full chromosome (ref: Sequence_create_extmem
+        over an Analysis_Client SparseCache, analysis.c:795-814)."""
         if tid not in target_cache:
+            from ..extmem import PageCache
             info = client.get_seq_info(tid)
-            data = client.get_seq(tid)
-            target_cache[tid] = Sequence(info["id"], info["def"], data,
-                                         Alphabet(target_type), "+")
+            from ..alphabet import from_str
+
+            def loader(start, length, _tid=tid):
+                return from_str(client.get_subseq(_tid, start, length))
+
+            cache = PageCache(info["len"], loader)
+            target_cache[tid] = Sequence.create_lazy(
+                info["id"], info["def"], info["len"], cache.read,
+                Alphabet(target_type), "+")
         return target_cache[tid]
 
     revcomp_query = (analysis.aas.use_revcomp

@@ -30,10 +30,16 @@ class Annotation:
 
 
 class Sequence:
-    """A biological sequence (ref: src/sequence/sequence.h:79-145)."""
+    """A biological sequence (ref: src/sequence/sequence.h:79-145).
 
-    __slots__ = ("id", "definition", "data", "alphabet", "strand",
-                 "annotation", "head_id")
+    May be EXTMEM-lazy (ref: Sequence_create_extmem, sequence.h:111-114):
+    residues then come from a ``loader(start, length)`` callback and the
+    full array is materialized only when ``.data`` is first touched;
+    ``subseq`` windows read just their range (see extmem.py).
+    """
+
+    __slots__ = ("id", "definition", "_data", "_loader", "_length",
+                 "alphabet", "strand", "annotation", "head_id")
 
     def __init__(self, sid: str, definition: Optional[str],
                  data: np.ndarray | str | bytes,
@@ -44,20 +50,54 @@ class Sequence:
         self.definition = definition
         if isinstance(data, (str, bytes)):
             data = from_str(data)
-        self.data = np.ascontiguousarray(data, dtype=np.uint8)
+        self._data = np.ascontiguousarray(data, dtype=np.uint8)
+        self._loader = None
+        self._length = len(self._data)
         if alphabet is None:
-            alphabet = Alphabet(guess_type(self.data))
+            alphabet = Alphabet(guess_type(self._data))
         self.alphabet = alphabet
         self.strand = strand  # '+', '-', '.'
         self.annotation = annotation
         self.head_id = sid  # original id before view transforms
 
+    @classmethod
+    def create_lazy(cls, sid: str, definition: Optional[str], length: int,
+                    loader, alphabet: Optional[Alphabet] = None,
+                    strand: str = ".") -> "Sequence":
+        """EXTMEM sequence (ref: sequence.h:111-114)."""
+        self = cls.__new__(cls)
+        self.id = sid
+        self.definition = definition
+        self._data = None
+        self._loader = loader
+        self._length = length
+        if alphabet is None:
+            probe = loader(0, min(length, 4096))
+            alphabet = Alphabet(guess_type(np.asarray(probe,
+                                                      dtype=np.uint8)))
+        self.alphabet = alphabet
+        self.strand = strand
+        self.annotation = None
+        self.head_id = sid
+        return self
+
+    @property
+    def data(self) -> np.ndarray:
+        if self._data is None:
+            self._data = np.ascontiguousarray(
+                self._loader(0, self._length), dtype=np.uint8)
+        return self._data
+
+    @property
+    def is_lazy(self) -> bool:
+        return self._data is None
+
     def __len__(self):
-        return len(self.data)
+        return self._length
 
     @property
     def len(self):
-        return len(self.data)
+        return self._length
 
     def symbol(self, pos: int) -> int:
         return int(self.data[pos])
@@ -71,9 +111,31 @@ class Sequence:
     # -- lazy-equivalent views (ref: sequence.h:34-41) --------------------
 
     def subseq(self, start: int, length: int) -> "Sequence":
-        s = Sequence(self.id, self.definition,
-                     self.data[start:start + length],
+        if self._data is None:
+            window = self._loader(start, length)
+        else:
+            window = self._data[start:start + length]
+        s = Sequence(self.id, self.definition, window,
                      self.alphabet, self.strand, self.annotation)
+        s.head_id = self.head_id
+        return s
+
+    def revcomp_lazy(self) -> "Sequence":
+        """Reverse-complement view of an EXTMEM sequence: windows are
+        complemented on read, nothing is materialized (the reference
+        layers Sequence_revcomp over extmem the same way)."""
+        if self._data is not None:
+            return self.revcomp()
+        n = self._length
+        loader = self._loader
+
+        def rc_loader(start, length):
+            raw = loader(n - start - length, length)
+            return COMPLEMENT[np.asarray(raw, dtype=np.uint8)[::-1]]
+
+        strand = {"+": "-", "-": "+"}.get(self.strand, "-")
+        s = Sequence.create_lazy(self.id, self.definition, n, rc_loader,
+                                 self.alphabet, strand)
         s.head_id = self.head_id
         return s
 
@@ -161,10 +223,15 @@ class FastaDB:
     """A (multi-file) FASTA database with rewind and chunked iteration
     (ref: src/database/fastadb.h:45-128)."""
 
+    # files larger than this iterate as EXTMEM (mmap-backed) sequences
+    # (ref: fastadb.h:111 SparseCache paging; here the OS page cache)
+    EXTMEM_FILE_BYTES = 256 << 20
+
     def __init__(self, paths: list[str] | str,
                  alphabet: Optional[Alphabet] = None,
                  suffix: str = ".fa",
-                 chunk_id: int = 0, chunk_total: int = 0):
+                 chunk_id: int = 0, chunk_total: int = 0,
+                 extmem: Optional[bool] = None):
         if isinstance(paths, str):
             paths = [paths]
         self.paths = _expand_paths(paths, suffix)
@@ -173,6 +240,7 @@ class FastaDB:
         self.alphabet = alphabet
         self.chunk_id = chunk_id        # 1-based, 0 = no chunking
         self.chunk_total = chunk_total
+        self.extmem = extmem            # None = auto by file size
 
     def __iter__(self) -> Iterator[Sequence]:
         """Iterate sequences, honoring chunk limits at sequence granularity
@@ -180,7 +248,7 @@ class FastaDB:
         n = 0
         total = self.count() if self.chunk_total else 0
         for path in self.paths:
-            for seq in iter_fasta(path, self.alphabet):
+            for seq in self._iter_file(path):
                 if self.chunk_total:
                     # sequence k (0-based) belongs to chunk
                     # floor(k * chunk_total / total) + 1
@@ -189,6 +257,18 @@ class FastaDB:
                     if chunk != self.chunk_id:
                         continue
                 yield seq
+
+    def _iter_file(self, path: str) -> Iterator[Sequence]:
+        use_extmem = self.extmem
+        if use_extmem is None:
+            use_extmem = (os.path.getsize(path) > self.EXTMEM_FILE_BYTES)
+        if not use_extmem:
+            yield from iter_fasta(path, self.alphabet)
+            return
+        from .extmem import index_fasta, MmapFastaLoader, lazy_sequence
+        loader = MmapFastaLoader(path)
+        for rec in index_fasta(path):
+            yield lazy_sequence(rec, loader, self.alphabet)
 
     def count(self) -> int:
         c = 0
