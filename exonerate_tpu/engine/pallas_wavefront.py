@@ -1,0 +1,484 @@
+"""Fused Pallas TPU kernel for the anti-diagonal wavefront DP.
+
+The XLA scan engine (wavefront.py) dispatches one fused op-group per
+diagonal; at typical pair sizes the per-step dispatch dominates device
+time.  This kernel runs the ENTIRE wavefront — all Q+T+1 diagonals over
+a batch of pairs — inside one Pallas kernel, with the diagonal carry
+ring held in VMEM scratch, so per-diagonal cost is pure VPU arithmetic.
+
+Same cell semantics as wavefront.build_wavefront (ref: Viterbi
+interpreted loop, src/c4/viterbi.c:655-837): per-transition source
+masking, silent-transition topological order, start/end scope masks,
+shadow lanes, first-max-wins with (score desc, j asc, i asc) end-cell
+preference.  Modes: "score" and "region".  Path mode and SubOpt-blocked
+re-runs stay on the XLA engine.
+
+Supported input kinds: factored / tvec / qvec / scalar (covers the
+est2genome / affine / ner / ungapped model families).  2-D grid calcs
+and blocked planes fall back to the XLA engine.
+
+Layout notes (the TPU-first part):
+- every per-target vector v is shipped reversed-and-padded so the
+  per-diagonal values v[d - i - at] become one contiguous dynamic
+  slice rev[Tp - d + at + PADF + i] — no gathers in the kernel;
+- the factored match calc table[q_idx[i], t_idx[j]] ships as the
+  row-gathered P = table[q_idx] (QV, C) plus the reversed class
+  vector; in-kernel the gather becomes a C-way select (the per-batch
+  class remap shrinks C to the classes actually present — ~5 for DNA);
+- the carry is a (K+1)-slot ring of per-state diagonals in VMEM,
+  indexed modulo the ring size, so rotation costs nothing;
+- the i axis is padded to a lane multiple (128) and masked by
+  ``i <= qlen``, keeping every store tile-aligned.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model.ir import Model, Protect, Scope
+from . import wavefront as wf
+from .wavefront import NEG, IMPOSSIBLY_HIGH_SCORE
+
+_INTERPRET = False          # set True in tests to run the kernel on CPU
+
+
+def _supported(kinds: tuple) -> bool:
+    return all(kind in ("factored", "tvec", "qvec", "scalar")
+               for _k, kind in kinds)
+
+
+def _scope_mask_start(scope, si, sj):
+    if scope == Scope.ANYWHERE:
+        return jnp.bool_(True)
+    if scope == Scope.CORNER:
+        return (si == 0) & (sj == 0)
+    if scope == Scope.QUERY:
+        return si == 0
+    if scope == Scope.TARGET:
+        return sj == 0
+    return (si == 0) | (sj == 0)     # EDGE
+
+
+def _scope_mask_end(scope, i, j, qlen, tlen):
+    if scope == Scope.ANYWHERE:
+        return jnp.bool_(True)
+    if scope == Scope.CORNER:
+        return (i == qlen) & (j == tlen)
+    if scope == Scope.QUERY:
+        return i == qlen
+    if scope == Scope.TARGET:
+        return j == tlen
+    return (i == qlen) | (j == tlen)
+
+
+def _qv(Qp: int) -> int:
+    """Lane-aligned width of the i axis."""
+    return ((Qp + 1 + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# batched input packing
+# ---------------------------------------------------------------------------
+
+def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
+                        Qp: int, Tp: int):
+    """Stack per-pair prepare_inputs() dicts (already padded to Qp/Tp)
+    into the kernel's reversed/padded batched layout.  Returns
+    (arrays: dict, meta: dict) — meta is static (part of the trace key).
+    """
+    B = len(per_pair)
+    QV = _qv(Qp)
+    PADF = QV                        # front pad for reversed vectors
+    VLEN = PADF + Tp + 1 + QV + 136  # padded length (+128 roll window)
+    arrays: dict = {}
+    meta: dict = {"B": B}
+
+    def pad_i(v, fill=0):
+        v = np.asarray(v)
+        return np.pad(v, [(0, QV - v.shape[0])] + [(0, 0)] * (v.ndim - 1),
+                      constant_values=fill)
+
+    def pad_rev(v, fill=0):
+        r = np.asarray(v)[::-1]
+        return np.pad(r, (PADF, VLEN - PADF - r.shape[0]),
+                      constant_values=fill)
+
+    for key, kind in kinds:
+        if kind == "factored":
+            union = sorted({int(c)
+                            for p in per_pair
+                            for c in np.unique(p[key]["t_idx"])})
+            ncls = max(int(p[key]["table"].shape[1]) for p in per_pair)
+            remap = np.zeros(ncls, np.int32)
+            for newc, c in enumerate(union):
+                remap[c] = newc
+            meta[key] = len(union)
+            arrays[key + ":P"] = np.stack(
+                [pad_i(p[key]["table"][p[key]["q_idx_s"]][:, union])
+                 for p in per_pair]).astype(np.int32)      # (B, QV, C)
+            arrays[key + ":tj"] = np.stack(
+                [pad_rev(remap[p[key]["t_idx"]])
+                 for p in per_pair]).astype(np.int32)      # (B, VLEN)
+            arrays[key + ":ov"] = np.stack(
+                [pad_i(p[key]["q_override_s"])
+                 for p in per_pair]).astype(np.int32)      # (B, QV)
+        elif kind == "tvec":
+            arrays[key] = np.stack(
+                [pad_rev(p[key]) for p in per_pair]).astype(np.int32)
+        elif kind == "qvec":
+            arrays[key] = np.stack(
+                [pad_i(p[key]) for p in per_pair]).astype(np.int32)
+        elif kind == "scalar":
+            arrays[key] = np.asarray(
+                [p[key] for p in per_pair], np.int32).reshape(B, 1)
+    for k in per_pair[0]:
+        if k.startswith("sh"):
+            for name in per_pair[0][k]:
+                arrays[f"{k}/{name}"] = np.asarray(
+                    [p[k][name] for p in per_pair],
+                    np.int32).reshape(B, 1)
+        elif k.startswith("_"):
+            arrays[k] = np.asarray(
+                [p[k] for p in per_pair], np.int32).reshape(B, 1)
+    return arrays, meta
+
+
+# ---------------------------------------------------------------------------
+# kernel builder
+# ---------------------------------------------------------------------------
+
+def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
+                           kinds: tuple, meta: dict, names: tuple,
+                           interpret: bool | None = None):
+    """Build fn(flat_arrays) -> {"score": (B,), ...} running the whole
+    wavefront in one Pallas kernel.  ``names`` is the sorted flat key
+    order of the packed arrays."""
+    assert mode in ("score", "region")
+    assert _supported(kinds)
+    if interpret is None:
+        interpret = _INTERPRET
+    want_region = mode == "region"
+    S = len(model.states)
+    n_shadow = model.total_shadow_designations
+    L = n_shadow + (2 if want_region else 0)
+    rs_q, rs_t = n_shadow, n_shadow + 1
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    B = meta["B"]
+    QV = _qv(Qp)
+    D = Qp + Tp + 1
+    K = max(max((t.advance_query + t.advance_target
+                 for t in model.transitions), default=1), 1)
+    R = K + 1                           # carry ring slots
+    PADF = QV
+    kind_map = dict(kinds)
+
+    plan = []
+    for t in model.transitions:
+        if t.input is end_state or t.output is start_state:
+            continue
+        shadow_starts = model.src_shadows(t.input)
+        plan.append(dict(
+            t=t,
+            key=wf._grid_key(model, t) if t.calc is not None else None,
+            shkey=(f"sh{model.calcs.index(t.calc)}"
+                   if t.calc is not None and t.calc.shadow_fn is not None
+                   else None),
+            start_lanes=[(sh.designation, sh.start)
+                         for sh in shadow_starts],
+            dst_shadows=[(sh.name, sh.designation)
+                         for sh in t.dst_shadows],
+        ))
+
+    def kernel(*refs):
+        in_refs = dict(zip(names, refs[:len(names)]))
+        n_out = 5 if want_region else 3
+        out_refs = refs[len(names):len(names) + n_out]
+        scratch = refs[len(names) + n_out:]
+        ring, best = scratch[0], scratch[1]
+        lanes_ring = scratch[2] if L else None
+        d = pl.program_id(0)
+
+        @pl.when(d == 0)
+        def _init():
+            ring[...] = jnp.full(ring.shape, NEG, jnp.int32)
+            best[...] = jnp.zeros(best.shape, jnp.int32)
+            best[0, :] = jnp.full((B,), NEG, jnp.int32)
+            if L:
+                lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
+
+        i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
+        j = d - i
+        qlen = in_refs["_qlen"][...]                      # (B, 1)
+        tlen = in_refs["_tlen"][...]
+        qstart = in_refs["_qstart"][...]
+        tstart = in_refs["_tstart"][...]
+        cell_ok = (j >= 0) & (j <= tlen) & (i <= qlen)
+
+        neg_plane = jnp.full((B, QV), NEG, jnp.int32)
+        zero_plane = jnp.zeros((B, QV), jnp.int32)
+
+        def shift_q(a, aq, fill):
+            if aq == 0:
+                return a
+            return jnp.concatenate(
+                [jnp.full((B, aq), fill, a.dtype), a[:, :-aq]], axis=1)
+
+        def tslice(name, at):
+            # value at source column sj = d - i - at for each i.  Mosaic
+            # requires 128-aligned dynamic lane slices, so load the
+            # aligned window and dynamic-rotate by the residue
+            # (tpu.DynamicRotateOp via pltpu.roll).
+            st = Tp - d + at + PADF
+            st0 = (st // 128) * 128
+            off = st - st0
+            w = in_refs[name][:, pl.ds(st0, QV + 128)]
+            # dynamic shift must be non-negative: a negative shift wraps
+            # as unsigned modulo the (hardware) width — rotate right by
+            # width-off instead of left by off
+            return pltpu.roll(w, (QV + 128) - off, axis=1)[:, :QV]
+
+        scores = [None] * S
+        lanes_c = [[None] * L for _ in range(S)]
+        is_set = [None] * S
+
+        for p in plan:
+            t = p["t"]
+            aq, at = t.advance_query, t.advance_target
+            adv = aq + at
+            si, sj = i - aq, j - at
+            src_ok = (si >= 0) & (sj >= 0) & cell_ok
+            inp, out = t.input, t.output
+            src_l = [zero_plane] * L
+            if inp is start_state:
+                src_ok = src_ok & _scope_mask_start(
+                    model.start_state.scope, si, sj)
+                base = zero_plane
+            else:
+                if adv == 0:
+                    if scores[inp.id] is None:
+                        continue
+                    base = jnp.where(is_set[inp.id], scores[inp.id], NEG)
+                    src_l = [v if v is not None else zero_plane
+                             for v in lanes_c[inp.id]]
+                else:
+                    slot = jnp.remainder(d - adv, R)
+                    base = ring[slot, inp.id]
+                    if L:
+                        src_l = [lanes_ring[slot, inp.id, ln]
+                                 for ln in range(L)]
+                if aq > 0:
+                    base = shift_q(base, aq, NEG)
+                    src_l = [shift_q(v, aq, 0) for v in src_l]
+            if out is end_state:
+                src_ok = src_ok & _scope_mask_end(
+                    model.end_state.scope, i, j, qlen, tlen)
+            if p["key"] is None:
+                calc = jnp.zeros((), jnp.int32)
+            else:
+                kind = kind_map[p["key"]]
+                if kind == "factored":
+                    C = meta[p["key"]]
+                    P = in_refs[p["key"] + ":P"][...]     # (B, QV, C)
+                    tj = tslice(p["key"] + ":tj", at)
+                    g = jnp.zeros((B, QV), jnp.int32)
+                    for c in range(C):
+                        g = jnp.where(tj == c, P[:, :, c], g)
+                    ov = in_refs[p["key"] + ":ov"][...]
+                    calc = jnp.where(ov != 0, ov, g)
+                elif kind == "tvec":
+                    calc = tslice(p["key"], at)
+                elif kind == "qvec":
+                    calc = in_refs[p["key"]][...]         # pre-shifted
+                else:                                     # scalar
+                    calc = in_refs[p["key"]][...]         # (B, 1)
+            if p["shkey"] is not None:
+                svals = {name: src_l[desig]
+                         for name, desig in p["dst_shadows"]}
+                sh_inputs = {
+                    n.split("/", 1)[1]: in_refs[n][...]
+                    for n in names if n.startswith(p["shkey"] + "/")}
+                calc = t.calc.shadow_fn(jnp, calc, svals, sh_inputs,
+                                        si + qstart, sj + tstart)
+            val = base + calc
+            if t.calc is not None:
+                if t.calc.protect & Protect.UNDERFLOW:
+                    val = jnp.maximum(val, NEG)
+                if t.calc.protect & Protect.OVERFLOW:
+                    val = jnp.minimum(val, IMPOSSIBLY_HIGH_SCORE)
+            val = jnp.maximum(val, NEG)
+            if inp is start_state:
+                val = jnp.where(src_ok, val, NEG)
+            else:
+                val = jnp.where(src_ok & (base > NEG), val, NEG)
+            cur = scores[out.id] if scores[out.id] is not None \
+                else neg_plane
+            cur_set = (is_set[out.id] if is_set[out.id] is not None
+                       else jnp.zeros((B, QV), bool))
+            take = (val > jnp.where(cur_set, cur, NEG)) & src_ok
+            scores[out.id] = jnp.where(take, val, cur)
+            is_set[out.id] = cur_set | take
+            if L:
+                new_l = list(src_l)
+                for desig, kind in p["start_lanes"]:
+                    pos = (si + qstart if kind == "query_pos"
+                           else sj + tstart)
+                    new_l[desig] = pos
+                if inp is start_state and want_region:
+                    new_l[rs_q] = si
+                    new_l[rs_t] = sj
+                for ln in range(L):
+                    old = (lanes_c[out.id][ln]
+                           if lanes_c[out.id][ln] is not None
+                           else zero_plane)
+                    lanes_c[out.id][ln] = jnp.where(take, new_l[ln], old)
+
+        # end-cell registration: (score desc, j asc, i asc)
+        if scores[end_state.id] is not None:
+            end_scores = jnp.where(is_set[end_state.id] & cell_ok,
+                                   scores[end_state.id], NEG)
+        else:
+            end_scores = neg_plane
+        m = jnp.max(end_scores, axis=1)                   # (B,)
+        sel = jnp.where(end_scores == m[:, None], i, -1)
+        # sel holds i at qualifying cells, so its max IS the argmax index
+        # (Mosaic has no integer argmax)
+        ix = jnp.max(sel, axis=1).astype(jnp.int32)       # (B,)
+        bsel = i == ix[:, None]
+
+        def pick(plane):
+            return jnp.sum(jnp.where(bsel, plane, 0), axis=1)
+
+        c_score, c_i = m, ix
+        c_j = d - c_i
+        if want_region and lanes_c[end_state.id][rs_q] is not None:
+            c_qs = pick(lanes_c[end_state.id][rs_q])
+            c_ts = pick(lanes_c[end_state.id][rs_t])
+        else:
+            c_qs = jnp.zeros((B,), jnp.int32)
+            c_ts = jnp.zeros((B,), jnp.int32)
+        b_score, b_i, b_j = best[0, :], best[1, :], best[2, :]
+        better = (c_score > b_score) | \
+            ((c_score == b_score) &
+             ((c_j < b_j) | ((c_j == b_j) & (c_i < b_i))))
+        best[0, :] = jnp.where(better, c_score, b_score)
+        best[1, :] = jnp.where(better, c_i, b_i)
+        best[2, :] = jnp.where(better, c_j, b_j)
+        if want_region:
+            best[3, :] = jnp.where(better, c_qs, best[3, :])
+            best[4, :] = jnp.where(better, c_ts, best[4, :])
+
+        # write the new diagonal into the ring
+        slot = jnp.remainder(d, R)
+        for s in range(S):
+            if scores[s] is None:
+                ring[slot, s] = neg_plane
+            else:
+                ring[slot, s] = jnp.where(is_set[s], scores[s], NEG)
+            if L:
+                for ln in range(L):
+                    v = (lanes_c[s][ln]
+                         if scores[s] is not None else None)
+                    if v is None:
+                        lanes_ring[slot, s, ln] = zero_plane
+                    else:
+                        lanes_ring[slot, s, ln] = jnp.where(
+                            is_set[s], v, 0)
+
+        @pl.when(d == D - 1)
+        def _emit():
+            for r in range(len(out_refs)):
+                out_refs[r][...] = best[r, :]
+
+    n_out = 5 if want_region else 3
+    scratch_shapes = [pltpu.VMEM((R, S, B, QV), jnp.int32),
+                      pltpu.VMEM((8, B), jnp.int32)]
+    if L:
+        scratch_shapes.append(pltpu.VMEM((R, S, L, B, QV), jnp.int32))
+
+    @jax.jit
+    def fn(flat_arrays):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(D,),
+            in_specs=[
+                pl.BlockSpec(a.shape,
+                             functools.partial(
+                                 lambda nd, _d: (0,) * nd, len(a.shape)))
+                for a in flat_arrays],
+            out_specs=[pl.BlockSpec((B,), lambda d: (0,))
+                       for _ in range(n_out)],
+            out_shape=[jax.ShapeDtypeStruct((B,), jnp.int32)
+                       for _ in range(n_out)],
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*flat_arrays)
+        keys = (["score", "query_end", "target_end"]
+                + (["query_start", "target_start"] if want_region else []))
+        return dict(zip(keys, outs))
+
+    return fn
+
+
+def _flatten(arrays: dict):
+    names = tuple(sorted(arrays))
+    return [np.asarray(arrays[k]) for k in names], names
+
+
+# ---------------------------------------------------------------------------
+# public batched API (mirrors wavefront.find_region_batched)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def find_batched(model: Model, jobs: list, mode: str = "region",
+                 interpret: bool | None = None):
+    """Pallas-fused batched wavefront over (region, data) jobs.  Returns
+    a list of DPResult.  Falls back to the XLA engine when a job needs
+    unsupported input kinds (2-D grids, subopt-blocked planes)."""
+    from .wavefront import DPResult, find_region_batched
+    out = [None] * len(jobs)
+    buckets: dict = {}
+    for n, (region, data) in enumerate(jobs):
+        Qp = wf._bucket(region.query_length)
+        Tp = wf._bucket(region.target_length)
+        inputs, kinds = wf.prepare_inputs(model, region, data,
+                                          pad_to=(Qp, Tp))
+        buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
+    for (Qp, Tp, kinds), items in buckets.items():
+        if not _supported(kinds):
+            res = find_region_batched(model, [jobs[n] for n, _ in items])
+            for (n, _), r in zip(items, res):
+                out[n] = r
+            continue
+        arrays, meta = pack_batched_inputs(
+            model, [inp for _, inp in items], kinds, Qp, Tp)
+        flat, names = _flatten(arrays)
+        meta_key = tuple(sorted(meta.items()))
+        key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
+               bool(interpret))
+        fn = _CACHE.get(key)
+        if fn is None:
+            fn = _CACHE[key] = build_pallas_wavefront(
+                model, Qp, Tp, mode, kinds, meta, names,
+                interpret=interpret)
+        res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
+        res = {k: np.asarray(v) for k, v in res.items()}
+        zeros = np.zeros(len(items), np.int32)
+        for b, (n, _) in enumerate(items):
+            out[n] = DPResult(
+                score=int(res["score"][b]),
+                query_end=int(res["query_end"][b]),
+                target_end=int(res["target_end"][b]),
+                query_start=int(res.get("query_start", zeros)[b]),
+                target_start=int(res.get("target_start", zeros)[b]))
+    return out

@@ -1,0 +1,61 @@
+"""Pallas fused-wavefront parity vs the XLA scan engine (interpret mode
+runs the kernel on CPU; the TPU path is exercised by bench.py)."""
+import numpy as np
+import pytest
+
+from exonerate_tpu.seqio import iter_fasta, Sequence
+from exonerate_tpu.model.data import AlignData
+from exonerate_tpu.engine.region import Region
+from exonerate_tpu.engine import wavefront, pallas_wavefront
+
+CALM = "/root/reference/test/data/cdna/calm.human.dna.fasta"
+
+
+def _calm():
+    s = list(iter_fasta(CALM))[0]
+    s.strand = "+"
+    return s
+
+
+def test_est2genome_region_parity():
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    jobs = [(Region(0, 0, 100, 160), data),
+            (Region(40, 10, 80, 150), data),
+            (Region(10, 30, 120, 90), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    got = pallas_wavefront.find_batched(model, jobs, "region",
+                                        interpret=True)
+    assert ref == got
+
+
+def test_est2genome_score_mode():
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    jobs = [(Region(0, 0, 90, 140), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    got = pallas_wavefront.find_batched(model, jobs, "score",
+                                        interpret=True)
+    assert got[0].score == ref[0].score
+    assert (got[0].query_end, got[0].target_end) == \
+        (ref[0].query_end, ref[0].target_end)
+
+
+def test_affine_local_parity_protein():
+    from exonerate_tpu.model.affine import (affine_create,
+        AffineModelType)
+    from exonerate_tpu.alphabet import AlphabetType
+    a = Sequence("a", None, "MKVLAAGICAGWLLWKKMKVL")
+    b = Sequence("b", None, "MKVLGAGICAWWLLAKKMK")
+    model = affine_create(AffineModelType.LOCAL, AlphabetType.PROTEIN,
+                          AlphabetType.PROTEIN)
+    data = AlignData(a, b)
+    jobs = [(Region(0, 0, len(a), len(b)), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    got = pallas_wavefront.find_batched(model, jobs, "region",
+                                        interpret=True)
+    assert ref == got
