@@ -43,16 +43,17 @@ def main():
     assert int(out["score"]) == 10875, int(out["score"])
 
     # NOTE: block_until_ready does not synchronize through the axon
-    # tunnel; only value fetches do.  Measure the production pattern:
-    # the vmapped batched scan (find_region_batched) over B pairs per
-    # call, which amortizes the fixed per-call tunnel transfer exactly
-    # as GAM drives multi-region comparisons.
-    B, reps = 8, 3
+    # tunnel; only value fetches do (find_batched fetches).  Measure the
+    # production region-scan pattern: the fused Pallas wavefront kernel
+    # over a batch of pairs — the same engine optimal.find_path uses for
+    # its reduced-space pre-scan on TPU.
+    from exonerate_tpu.engine import pallas_wavefront
+    B, reps = 32, 3
     jobs = [(region, data)] * B
-    wavefront.find_region_batched(model, jobs)          # warm compile
+    pallas_wavefront.find_batched(model, jobs, "region")  # warm compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = wavefront.find_region_batched(model, jobs)
+        res = pallas_wavefront.find_batched(model, jobs, "region")
     dt = (time.perf_counter() - t0) / (reps * B)
     assert {r.score for r in res} == {10875}, res
     cells = region.query_length * region.target_length

@@ -32,6 +32,18 @@ def find_score(model: Model, region: Region, data, subopt=None) -> int:
     return wavefront.find_score(model, region, data, subopt)
 
 
+# force the Pallas region pre-scan (tests set this with interpret mode)
+_FORCE_PRESCAN = False
+_PRESCAN_INTERPRET = None
+
+
+def _use_pallas_prescan() -> bool:
+    if _FORCE_PRESCAN:
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def find_path(model: Model, region: Region, data, subopt=None,
               threshold: Optional[int] = None,
               device=None) -> Optional[Alignment]:
@@ -39,6 +51,24 @@ def find_path(model: Model, region: Region, data, subopt=None,
     if _is_small(region):
         res = reference.viterbi(model, region, data, "path", subopt)
         return _to_alignment(model, region, res)
+    if _use_pallas_prescan():
+        # reduced-space FIND_REGION on the fused kernel, then the
+        # traceback DP only on the discovered alignment's bounding box
+        # (ref: Optimal_find_path region-then-path, optimal.c)
+        from . import pallas_wavefront
+        scan = pallas_wavefront.find_batched(
+            model, [(region, data)], "region",
+            interpret=_PRESCAN_INTERPRET)[0]
+        if threshold is not None and scan.score < threshold:
+            return None
+        sub = Region(region.query_start + scan.query_start,
+                     region.target_start + scan.target_start,
+                     scan.query_end - scan.query_start,
+                     scan.target_end - scan.target_start)
+        if (sub.query_length < region.query_length
+                or sub.target_length < region.target_length):
+            return find_path(model, sub, data, subopt,
+                             threshold=threshold, device=device)
     D = region.query_length + region.target_length + 1
     cube = D * (region.query_length + 1) * len(model.states)
     if cube > DP_MEMORY_LIMIT:

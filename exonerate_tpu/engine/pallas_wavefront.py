@@ -93,7 +93,8 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
     """
     B = len(per_pair)
     QV = _qv(Qp)
-    PADF = QV                        # front pad for reversed vectors
+    PADF = QV + 128                  # front pad (incl. one tile of
+                                     # slack for unroll-padded steps)
     VLEN = PADF + Tp + 1 + QV + 136  # padded length (+128 roll window)
     arrays: dict = {}
     meta: dict = {"B": B}
@@ -118,9 +119,13 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             for newc, c in enumerate(union):
                 remap[c] = newc
             meta[key] = len(union)
-            arrays[key + ":P"] = np.stack(
+            # one (B, QV) plane per class: a lane-minor (B, QV, C)
+            # array would force a relayout on every in-kernel slice
+            P = np.stack(
                 [pad_i(p[key]["table"][p[key]["q_idx_s"]][:, union])
                  for p in per_pair]).astype(np.int32)      # (B, QV, C)
+            for c in range(len(union)):
+                arrays[key + f":P{c}"] = np.ascontiguousarray(P[:, :, c])
             arrays[key + ":tj"] = np.stack(
                 [pad_rev(remap[p[key]["t_idx"]])
                  for p in per_pair]).astype(np.int32)      # (B, VLEN)
@@ -175,7 +180,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     K = max(max((t.advance_query + t.advance_target
                  for t in model.transitions), default=1), 1)
     R = K + 1                           # carry ring slots
-    PADF = QV
+    PADF = QV + 128
     kind_map = dict(kinds)
 
     plan = []
@@ -195,6 +200,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                          for sh in t.dst_shadows],
         ))
 
+    G = 1                               # diagonals per grid step
+    n_steps = (D + G - 1) // G
+
     def kernel(*refs):
         in_refs = dict(zip(names, refs[:len(names)]))
         n_out = 5 if want_region else 3
@@ -202,9 +210,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         scratch = refs[len(names) + n_out:]
         ring, best = scratch[0], scratch[1]
         lanes_ring = scratch[2] if L else None
-        d = pl.program_id(0)
+        pid = pl.program_id(0)
 
-        @pl.when(d == 0)
+        @pl.when(pid == 0)
         def _init():
             ring[...] = jnp.full(ring.shape, NEG, jnp.int32)
             best[...] = jnp.zeros(best.shape, jnp.int32)
@@ -212,6 +220,15 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             if L:
                 lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
 
+        for _g in range(G):
+            _one_diagonal(pid * G + _g, in_refs, ring, best, lanes_ring)
+
+        @pl.when(pid == n_steps - 1)
+        def _emit():
+            for r in range(n_out):
+                out_refs[r][...] = best[r, :]
+
+    def _one_diagonal(d, in_refs, ring, best, lanes_ring):
         i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
         j = d - i
         qlen = in_refs["_qlen"][...]                      # (B, 1)
@@ -284,11 +301,11 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 kind = kind_map[p["key"]]
                 if kind == "factored":
                     C = meta[p["key"]]
-                    P = in_refs[p["key"] + ":P"][...]     # (B, QV, C)
                     tj = tslice(p["key"] + ":tj", at)
                     g = jnp.zeros((B, QV), jnp.int32)
                     for c in range(C):
-                        g = jnp.where(tj == c, P[:, :, c], g)
+                        g = jnp.where(tj == c,
+                                      in_refs[p["key"] + f":P{c}"][...], g)
                     ov = in_refs[p["key"] + ":ov"][...]
                     calc = jnp.where(ov != 0, ov, g)
                 elif kind == "tvec":
@@ -390,11 +407,6 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                         lanes_ring[slot, s, ln] = jnp.where(
                             is_set[s], v, 0)
 
-        @pl.when(d == D - 1)
-        def _emit():
-            for r in range(len(out_refs)):
-                out_refs[r][...] = best[r, :]
-
     n_out = 5 if want_region else 3
     scratch_shapes = [pltpu.VMEM((R, S, B, QV), jnp.int32),
                       pltpu.VMEM((8, B), jnp.int32)]
@@ -405,7 +417,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     def fn(flat_arrays):
         outs = pl.pallas_call(
             kernel,
-            grid=(D,),
+            grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec(a.shape,
                              functools.partial(

@@ -59,3 +59,25 @@ def test_affine_local_parity_protein():
     got = pallas_wavefront.find_batched(model, jobs, "region",
                                         interpret=True)
     assert ref == got
+
+
+def test_optimal_prescan_path_equivalence(monkeypatch):
+    """Region pre-scan + path-on-subregion must give the same alignment
+    as the direct path DP (ref: Optimal_find_path region-then-path)."""
+    from exonerate_tpu.engine import optimal
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    sub_q = calm.subseq(100, 300)
+    sub_t = calm.subseq(0, 500)
+    data = AlignData(sub_q, sub_t)
+    region = Region(0, 0, 300, 500)
+    direct = optimal.find_path(model, region, data)
+    monkeypatch.setattr(optimal, "_FORCE_PRESCAN", True)
+    monkeypatch.setattr(optimal, "_PRESCAN_INTERPRET", True)
+    scanned = optimal.find_path(model, region, data)
+    assert direct is not None and scanned is not None
+    assert scanned.score == direct.score
+    assert scanned.region.__dict__ == direct.region.__dict__
+    assert [(op.transition.name, op.length) for op in scanned.ops] == \
+        [(op.transition.name, op.length) for op in direct.ops]
