@@ -52,6 +52,20 @@ def _supported(kinds: tuple) -> bool:
                for _k, kind in kinds)
 
 
+def _shadows_supported(inputs: dict) -> bool:
+    """Shadow calc inputs must be scalars: vector inputs mean the
+    shadow_fn gathers by position (split-codon rescoring in the
+    phase models, ref: src/model/phase.c), which stays on the XLA
+    engine."""
+    import numpy as np
+    for k, v in inputs.items():
+        if k.startswith("sh") and isinstance(v, dict):
+            for x in v.values():
+                if np.ndim(x) != 0:
+                    return False
+    return True
+
+
 def _scope_mask_start(scope, si, sj):
     if scope == Scope.ANYWHERE:
         return jnp.bool_(True)
@@ -95,7 +109,7 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
     QV = _qv(Qp)
     PADF = QV + 128                  # front pad (incl. one tile of
                                      # slack for unroll-padded steps)
-    VLEN = PADF + Tp + 1 + QV + 136  # padded length (+128 roll window)
+    VLEN = PADF + Tp + 1 + QV + 264  # padded length (roll + DMA slack)
     arrays: dict = {}
     meta: dict = {"B": B}
 
@@ -159,10 +173,16 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
 
 def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                            kinds: tuple, meta: dict, names: tuple,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           stream: bool = False):
     """Build fn(flat_arrays) -> {"score": (B,), ...} running the whole
     wavefront in one Pallas kernel.  ``names`` is the sorted flat key
-    order of the packed arrays."""
+    order of the packed arrays.
+
+    stream=True keeps the reversed target vectors in HBM and DMAs the
+    per-diagonal window into a VMEM scratch ring — lifting the target
+    length bound from VMEM scale (~50 kb) to HBM scale (the reference's
+    chromosome/BSAM workloads, ref: src/hub/bsam.c, fastadb.h:111)."""
     assert mode in ("score", "region")
     assert _supported(kinds)
     if interpret is None:
@@ -202,6 +222,14 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
     G = 1                               # diagonals per grid step
     n_steps = (D + G - 1) // G
+    # names carrying a VLEN axis (reversed target vectors): streamed
+    # from HBM when stream=True
+    stream_names = tuple(
+        n for n in names
+        if (kind_map.get(n) == "tvec"
+            or (n.endswith(":tj")
+                and kind_map.get(n[:-3]) == "factored"))) if stream else ()
+    W = QV + 256                        # streamed VMEM window width
 
     def kernel(*refs):
         in_refs = dict(zip(names, refs[:len(names)]))
@@ -209,7 +237,16 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         out_refs = refs[len(names):len(names) + n_out]
         scratch = refs[len(names) + n_out:]
         ring, best = scratch[0], scratch[1]
-        lanes_ring = scratch[2] if L else None
+        nx = 2
+        lanes_ring = None
+        if L:
+            lanes_ring = scratch[nx]
+            nx += 1
+        windows = {}
+        if stream_names:
+            sems = scratch[nx + len(stream_names)]
+            for k, n in enumerate(stream_names):
+                windows[n] = scratch[nx + k]
         pid = pl.program_id(0)
 
         @pl.when(pid == 0)
@@ -221,14 +258,29 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
 
         for _g in range(G):
-            _one_diagonal(pid * G + _g, in_refs, ring, best, lanes_ring)
+            d = pid * G + _g
+            if stream_names:
+                # base window start for at=0; covers at in [0, 3] and
+                # the roll residue (W - QV = 256 lanes of slack)
+                st_base = Tp - d + PADF
+                st0 = (st_base // 128) * 128
+                cps = []
+                for k, n in enumerate(stream_names):
+                    cp = pltpu.make_async_copy(
+                        in_refs[n].at[:, pl.ds(st0, W)],
+                        windows[n], sems.at[k])
+                    cp.start()
+                    cps.append(cp)
+                for cp in cps:
+                    cp.wait()
+            _one_diagonal(d, in_refs, windows, ring, best, lanes_ring)
 
         @pl.when(pid == n_steps - 1)
         def _emit():
             for r in range(n_out):
                 out_refs[r][...] = best[r, :]
 
-    def _one_diagonal(d, in_refs, ring, best, lanes_ring):
+    def _one_diagonal(d, in_refs, windows, ring, best, lanes_ring):
         i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
         j = d - i
         qlen = in_refs["_qlen"][...]                      # (B, 1)
@@ -250,14 +302,19 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             # value at source column sj = d - i - at for each i.  Mosaic
             # requires 128-aligned dynamic lane slices, so load the
             # aligned window and dynamic-rotate by the residue
-            # (tpu.DynamicRotateOp via pltpu.roll).
+            # (tpu.DynamicRotateOp via pltpu.roll).  Dynamic shifts must
+            # be non-negative: a negative shift wraps as unsigned modulo
+            # the width — rotate right by width-off instead of left by
+            # off.
             st = Tp - d + at + PADF
+            if name in windows:
+                st0 = ((Tp - d + PADF) // 128) * 128
+                off = st - st0               # in [0, 131)
+                return pltpu.roll(windows[name][...], W - off,
+                                  axis=1)[:, :QV]
             st0 = (st // 128) * 128
             off = st - st0
             w = in_refs[name][:, pl.ds(st0, QV + 128)]
-            # dynamic shift must be non-negative: a negative shift wraps
-            # as unsigned modulo the (hardware) width — rotate right by
-            # width-off instead of left by off
             return pltpu.roll(w, (QV + 128) - off, axis=1)[:, :QV]
 
         scores = [None] * S
@@ -412,6 +469,11 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                       pltpu.VMEM((8, B), jnp.int32)]
     if L:
         scratch_shapes.append(pltpu.VMEM((R, S, L, B, QV), jnp.int32))
+    for _n in stream_names:
+        scratch_shapes.append(pltpu.VMEM((B, W), jnp.int32))
+    if stream_names:
+        scratch_shapes.append(
+            pltpu.SemaphoreType.DMA((len(stream_names),)))
 
     @jax.jit
     def fn(flat_arrays):
@@ -419,10 +481,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             kernel,
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec(a.shape,
-                             functools.partial(
-                                 lambda nd, _d: (0,) * nd, len(a.shape)))
-                for a in flat_arrays],
+                (pl.BlockSpec(memory_space=pltpu.ANY)
+                 if names[ai] in stream_names else
+                 pl.BlockSpec(a.shape,
+                              functools.partial(
+                                  lambda nd, _d: (0,) * nd,
+                                  len(a.shape))))
+                for ai, a in enumerate(flat_arrays)],
             out_specs=[pl.BlockSpec((B,), lambda d: (0,))
                        for _ in range(n_out)],
             out_shape=[jax.ShapeDtypeStruct((B,), jnp.int32)
@@ -452,8 +517,14 @@ def _flatten(arrays: dict):
 _CACHE: dict = {}
 
 
+# above this many bytes of reversed target vectors per call, stream
+# them from HBM instead of holding them in VMEM
+STREAM_VMEM_BYTES = 24 << 20
+
+
 def find_batched(model: Model, jobs: list, mode: str = "region",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 stream: bool | None = None):
     """Pallas-fused batched wavefront over (region, data) jobs.  Returns
     a list of DPResult.  Falls back to the XLA engine when a job needs
     unsupported input kinds (2-D grids, subopt-blocked planes)."""
@@ -467,7 +538,7 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                                           pad_to=(Qp, Tp))
         buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
     for (Qp, Tp, kinds), items in buckets.items():
-        if not _supported(kinds):
+        if not _supported(kinds) or not _shadows_supported(items[0][1]):
             res = find_region_batched(model, [jobs[n] for n, _ in items])
             for (n, _), r in zip(items, res):
                 out[n] = r
@@ -475,14 +546,20 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
         arrays, meta = pack_batched_inputs(
             model, [inp for _, inp in items], kinds, Qp, Tp)
         flat, names = _flatten(arrays)
+        if stream is None:
+            vbytes = sum(a.nbytes for a in flat if a.ndim == 2
+                         and a.shape[1] > Qp + 1)
+            use_stream = vbytes > STREAM_VMEM_BYTES
+        else:
+            use_stream = stream
         meta_key = tuple(sorted(meta.items()))
         key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-               bool(interpret))
+               bool(interpret), use_stream)
         fn = _CACHE.get(key)
         if fn is None:
             fn = _CACHE[key] = build_pallas_wavefront(
                 model, Qp, Tp, mode, kinds, meta, names,
-                interpret=interpret)
+                interpret=interpret, stream=use_stream)
         res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
         res = {k: np.asarray(v) for k, v in res.items()}
         zeros = np.zeros(len(items), np.int32)

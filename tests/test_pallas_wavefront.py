@@ -81,3 +81,43 @@ def test_optimal_prescan_path_equivalence(monkeypatch):
     assert scanned.region.__dict__ == direct.region.__dict__
     assert [(op.transition.name, op.length) for op in scanned.ops] == \
         [(op.transition.name, op.length) for op in direct.ops]
+
+
+def test_streaming_window_parity():
+    """HBM-streamed target windows must match the VMEM-resident path."""
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    jobs = [(Region(0, 0, 100, 600), data),
+            (Region(30, 5, 90, 580), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    got = pallas_wavefront.find_batched(model, jobs, "region",
+                                        interpret=True, stream=True)
+    assert ref == got
+
+
+@pytest.mark.parametrize("mtname,S", [
+    ("PROTEIN2DNA", 6), ("PROTEIN2GENOME", 13),
+    ("CODING2CODING", 7), ("NER", 6),
+])
+def test_model_family_parity(mtname, S):
+    """Codon-advance models exercise K=4/6 carry rings.  Models with
+    vector shadow inputs (split-codon phase models) transparently fall
+    back to the XLA engine inside find_batched, so parity must hold
+    either way."""
+    from exonerate_tpu.model.registry import ModelType, get_model
+    calm = _calm()
+    prot = Sequence("p", None,
+                    "MADQLTEEQIAEFKEAFSLFDKDGDGTITTKELGTVMRSL")
+    dna = calm.subseq(0, 260)
+    mt = getattr(ModelType, mtname)
+    q, t = (prot, dna) if mtname.startswith("PROTEIN") else (dna, dna)
+    model = get_model(mt, q.alphabet.type, t.alphabet.type)
+    assert len(model.states) == S
+    data = AlignData(q, t)
+    jobs = [(Region(0, 0, len(q), len(t)), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    got = pallas_wavefront.find_batched(model, jobs, "region",
+                                        interpret=True)
+    assert ref == got
