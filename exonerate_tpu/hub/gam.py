@@ -194,6 +194,20 @@ class GAM:
         if self.model.is_local:
             threshold = max(threshold, 1)
         subopt = SubOpt() if self.gas.use_subopt else None
+        # on TPU, pre-scan ALL cluster regions in one fused-kernel batch
+        # and drop sub-threshold loci before any path DP (the batched
+        # analogue of the reference's per-job SDP start/end scheduling,
+        # ref: sdp.c:299-356)
+        if len(regions) > 1 and optimal._use_pallas_prescan():
+            from ..engine import pallas_wavefront
+            scans = pallas_wavefront.find_batched(
+                self.model, [(r, data) for r in regions], "region",
+                interpret=optimal._PRESCAN_INTERPRET)
+            # filter only: the full locus region must survive for the
+            # Waterman-Eggert subopt re-runs; find_path shrinks each
+            # iteration itself (mask-aware)
+            regions = [r for r, scan in zip(regions, scans)
+                       if scan.score >= threshold]
         out = []
         for region in regions:
             device = None
