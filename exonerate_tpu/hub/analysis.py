@@ -9,6 +9,8 @@ normalizes comparisons before handing them to the GAM
 """
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -224,6 +226,21 @@ class Analysis:
             return query.revcomp(), target.revcomp()
         return query, target
 
+    def _decide_scan_query(self) -> bool:
+        """Pick the FSM scan side (ref: Analysis_decide_scan_query,
+        analysis.c:329-350): scan the target db unless the query db is
+        more than 16x its size, or --forcescan overrides."""
+        fs = (self.aas.force_scan or "none").lower()
+        if fs in ("query", "q"):
+            return True
+        if fs in ("target", "t"):
+            return False
+        if fs != "none":
+            raise ValueError(f"Unknown force_scan command [{fs}]")
+        qsize = sum(os.path.getsize(p) for p in self.query_db.paths)
+        tsize = sum(os.path.getsize(p) for p in self.target_db.paths)
+        return (qsize >> 4) >= tsize
+
     def _process_seeded(self):
         """(ref: seeded FastaPipe path, analysis.c:1360-1420)."""
         params = self.comparison_params()
@@ -233,10 +250,28 @@ class Analysis:
                           and ((self.query_type == AlphabetType.PROTEIN
                                 and self.target_type == AlphabetType.DNA)
                                or self.translate_both))
+        self._scan_query = self._decide_scan_query()
 
         def report(comparison):
             self._report_comparison(comparison)
 
+        if self._scan_query:
+            # load targets into the FSM and stream queries past it,
+            # swapping roles back in the report callback
+            # (ref: analysis.c:1352-1359 seeder db swap)
+            params = {k: p.swap() for k, p in params.items()}
+            seeder = Seeder(params, report, self.seeder_args,
+                            self._wordhoods(params),
+                            self.aas.saturate_threshold)
+            for target in self.target_db:
+                target = self._load_seq(target, self.target_type)
+                for tv in self._expand_strands(target, revcomp_target):
+                    seeder.add_query(tv)
+            for query in self.query_db:
+                query = self._load_seq(query, self.query_type)
+                for qv in self._expand_strands(query, revcomp_query):
+                    seeder.add_target(qv)
+            return
         seeder = Seeder(params, report, self.seeder_args,
                         self._wordhoods(params),
                         self.aas.saturate_threshold)
@@ -250,8 +285,12 @@ class Analysis:
                 seeder.add_target(tv)
 
     def _report_comparison(self, comparison):
+        if getattr(self, "_scan_query", False):
+            # swap back query and target after a query scan
+            # (ref: Analysis_report_func, analysis.c:108-111)
+            comparison.swap()
         # normalize dna2dna revcomp-query comparisons (analysis.c:113-118)
-        if (comparison.query.alphabet.type == AlphabetType.DNA
+        elif (comparison.query.alphabet.type == AlphabetType.DNA
                 and comparison.target.alphabet.type == AlphabetType.DNA
                 and comparison.query.strand == "-"
                 and comparison.target.strand != "-"

@@ -39,6 +39,15 @@ _ADVANCE = {
     MatchType.CODON2CODON: (3, 3),
 }
 
+# query/target-mirrored type (ref: Match_swap wiring, match.c mirror pairs)
+_MIRROR = {
+    MatchType.DNA2DNA: MatchType.DNA2DNA,
+    MatchType.PROTEIN2PROTEIN: MatchType.PROTEIN2PROTEIN,
+    MatchType.DNA2PROTEIN: MatchType.PROTEIN2DNA,
+    MatchType.PROTEIN2DNA: MatchType.DNA2PROTEIN,
+    MatchType.CODON2CODON: MatchType.CODON2CODON,
+}
+
 
 def match_type_find(query_type: AlphabetType, target_type: AlphabetType,
                     translate_both: bool) -> MatchType:
@@ -92,6 +101,7 @@ class Match:
         self.type = mtype
         self.mas = mas or MatchArgs()
         self.advance_query, self.advance_target = _ADVANCE[mtype]
+        self._mas = mas
 
     @classmethod
     def find(cls, mtype: MatchType, mas: Optional[MatchArgs] = None) -> "Match":
@@ -116,6 +126,11 @@ class Match:
         if advance == 3:
             return _translated_indices(seq, self.mas.translate)
         return SYMBOL_INDEX[seq.data]
+
+    def swap(self) -> "Match":
+        """Mirror of this match with query/target roles exchanged
+        (ref: Match_swap, src/comparison/match.c)."""
+        return Match(_MIRROR[self.type], self._mas)
 
     def score_factored(self, query: Sequence, target: Sequence,
                        region: Region) -> dict:

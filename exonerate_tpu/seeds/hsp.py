@@ -70,6 +70,11 @@ class HspParam:
         self.seed_repeat = a.seed_repeat
         self.filter_threshold = a.filter_threshold
 
+    def swap(self) -> "HspParam":
+        """Query/target-mirrored parameters (ref: HSP_Param_swap,
+        hspset.c): same class thresholds, mirrored match."""
+        return HspParam(self.match.swap(), self.args)
+
     @property
     def seedlen(self) -> int:
         # (ref: HSP_Param_set_wordlen, hspset.c:110-117)
@@ -417,3 +422,19 @@ class Comparison:
     def finalise(self):
         for h in self.hspsets():
             h.finalise()
+
+    def swap(self):
+        """Exchange query/target roles in place (ref: Comparison_swap,
+        comparison.c:214-235): mirror the params, swap sequences and
+        every HSP's coordinates, and rebuild the per-set score caches."""
+        self.query, self.target = self.target, self.query
+        for hs in self.hspsets():
+            hs.query, hs.target = self.query, self.target
+            hs.param = hs.param.swap()
+            m = hs.param.match
+            hs.qadv, hs.tadv = m.advance_query, m.advance_target
+            for h in hs.hsps:
+                h.query_start, h.target_start = (h.target_start,
+                                                 h.query_start)
+            hs._qi = m._row_indices(hs.query, m.advance_query)
+            hs._ti = m._row_indices(hs.target, m.advance_target)
