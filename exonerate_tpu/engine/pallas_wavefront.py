@@ -52,14 +52,17 @@ def _supported(kinds: tuple) -> bool:
                for _k, kind in kinds)
 
 
-def _shadows_supported(inputs: dict) -> bool:
-    """Shadow calc inputs must be scalars: vector inputs mean the
-    shadow_fn gathers by position (split-codon rescoring in the
-    phase models, ref: src/model/phase.c), which stays on the XLA
+def _shadows_supported(model, inputs: dict) -> bool:
+    """Shadow calc inputs must be scalars UNLESS the calc ships a
+    gather-free pallas_fn (packed split-codon lanes, model/phase.py);
+    otherwise the shadow_fn gathers by position and stays on the XLA
     engine."""
-    import numpy as np
     for k, v in inputs.items():
-        if k.startswith("sh") and isinstance(v, dict):
+        if k.startswith("sh") and not k.startswith("shv") \
+                and isinstance(v, dict):
+            ci = int(k[2:])
+            if model.calcs[ci].pallas_fn is not None:
+                continue
             for x in v.values():
                 if np.ndim(x) != 0:
                     return False
@@ -156,7 +159,10 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             arrays[key] = np.asarray(
                 [p[key] for p in per_pair], np.int32).reshape(B, 1)
     for k in per_pair[0]:
-        if k.startswith("sh"):
+        if k.startswith("sh") and isinstance(per_pair[0][k], dict):
+            ci = int(k[2:])
+            if model.calcs[ci].pallas_fn is not None:
+                continue           # kernel form replaces the shadow_fn
             for name in per_pair[0][k]:
                 arrays[f"{k}/{name}"] = np.asarray(
                     [p[k][name] for p in per_pair],
@@ -213,8 +219,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             key=wf._grid_key(model, t) if t.calc is not None else None,
             shkey=(f"sh{model.calcs.index(t.calc)}"
                    if t.calc is not None and t.calc.shadow_fn is not None
-                   else None),
-            start_lanes=[(sh.designation, sh.start)
+                   and t.calc.pallas_fn is None else None),
+            pallas_ci=(model.calcs.index(t.calc)
+                       if t.calc is not None
+                       and t.calc.pallas_fn is not None else None),
+            start_lanes=[(sh.designation, sh.start,
+                          (f"shv{model.shadows.index(sh)}"
+                           if sh.start_vec_fn is not None else None))
                          for sh in shadow_starts],
             dst_shadows=[(sh.name, sh.designation)
                          for sh in t.dst_shadows],
@@ -371,7 +382,32 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                     calc = in_refs[p["key"]][...]         # pre-shifted
                 else:                                     # scalar
                     calc = in_refs[p["key"]][...]         # (B, 1)
-            if p["shkey"] is not None:
+            if p["pallas_ci"] is not None:
+                svals = {name: src_l[desig]
+                         for name, desig in p["dst_shadows"]}
+                ci = p["pallas_ci"]
+
+                class _Ctx:
+                    xp = jnp
+                    grid_val = calc
+
+                    @staticmethod
+                    def lane(prefix):
+                        for _n, _v in svals.items():
+                            if _n.startswith(prefix):
+                                return _v
+                        raise KeyError(prefix)
+
+                    @staticmethod
+                    def tslice(nm, _ci=ci, _at=at):
+                        return tslice(f"kc{_ci}:{nm}", _at)
+
+                    @staticmethod
+                    def qvec(nm, _ci=ci):
+                        return in_refs[f"kc{_ci}:{nm}"][...]
+
+                calc = t.calc.pallas_fn(_Ctx)
+            elif p["shkey"] is not None:
                 svals = {name: src_l[desig]
                          for name, desig in p["dst_shadows"]}
                 sh_inputs = {
@@ -399,10 +435,12 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             is_set[out.id] = cur_set | take
             if L:
                 new_l = list(src_l)
-                for desig, kind in p["start_lanes"]:
-                    pos = (si + qstart if kind == "query_pos"
-                           else sj + tstart)
-                    new_l[desig] = pos
+                for desig, kind, veckey in p["start_lanes"]:
+                    if veckey is not None:
+                        new_l[desig] = tslice(veckey, at)
+                    else:
+                        new_l[desig] = (si + qstart if kind == "query_pos"
+                                        else sj + tstart)
                 if inp is start_state and want_region:
                     new_l[rs_q] = si
                     new_l[rs_t] = sj
@@ -535,10 +573,12 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
         Qp = wf._bucket(region.query_length)
         Tp = wf._bucket(region.target_length)
         inputs, kinds = wf.prepare_inputs(model, region, data,
-                                          pad_to=(Qp, Tp))
+                                          pad_to=(Qp, Tp),
+                                          for_pallas=True)
         buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
     for (Qp, Tp, kinds), items in buckets.items():
-        if not _supported(kinds) or not _shadows_supported(items[0][1]):
+        if not _supported(kinds) \
+                or not _shadows_supported(model, items[0][1]):
             res = find_region_batched(model, [jobs[n] for n, _ in items])
             for (n, _), r in zip(items, res):
                 out[n] = r

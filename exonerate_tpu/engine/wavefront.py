@@ -52,7 +52,8 @@ def _grid_key(model: Model, t) -> str:
 
 
 def prepare_inputs(model: Model, region: Region, data,
-                   subopt=None, pad_to=None) -> tuple[dict[str, Any], tuple]:
+                   subopt=None, pad_to=None,
+                   for_pallas: bool = False) -> tuple[dict[str, Any], tuple]:
     """Materialize per-pair arrays in compact forms: factored match calcs
     ship O(Q+T) index vectors + a small table; 1-D calcs ship vectors; only
     genuinely 2-D grids ship whole planes (skewed on device).  Returns
@@ -119,6 +120,25 @@ def prepare_inputs(model: Model, region: Region, data,
         if c.shadow_inputs_fn is not None:
             inputs[f"sh{model.calcs.index(c)}"] = c.shadow_inputs_fn(region,
                                                                      data)
+    if for_pallas:
+        # gather-free kernel data: shadow start vectors and per-calc
+        # kernel inputs (see model/phase.py packed split-codon lanes)
+        for ix, sh in enumerate(model.shadows):
+            if sh.start_vec_fn is not None:
+                assert sh.start == "target_pos", sh
+                inputs[f"shv{ix}"] = np.asarray(
+                    sh.start_vec_fn(region, data), np.int32)
+                kinds[f"shv{ix}"] = "tvec"
+        for ci, c in enumerate(model.calcs):
+            if c.kernel_inputs_fn is not None:
+                tr = next(t for t in model.transitions if t.calc is c)
+                si = np.clip(i_idx - tr.advance_query, 0, Q)
+                for nm, (kind, arr) in c.kernel_inputs_fn(region,
+                                                          data).items():
+                    key = f"kc{ci}:{nm}"
+                    kinds[key] = kind
+                    arr = np.asarray(arr, np.int32)
+                    inputs[key] = arr[si] if kind == "qvec" else arr
     inputs["_qstart"] = np.int32(region.query_start)
     inputs["_tstart"] = np.int32(region.target_start)
     inputs["_qlen"] = np.int32(Q)

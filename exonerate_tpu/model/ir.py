@@ -106,6 +106,12 @@ class Calc:
     factored_fn: Optional[Callable] = None
     protect: Protect = Protect.NONE
     id: int = -1
+    # gather-free formulation for the fused Pallas kernel: pallas_fn(ctx)
+    # computes the transition score from shadow lanes + kernel inputs
+    # (ctx.lane / ctx.tslice / ctx.qvec / ctx.xp); kernel_inputs_fn
+    # returns {name: ("qvec"|"tvec", np.ndarray)} region-local vectors
+    pallas_fn: Optional[Callable] = None
+    kernel_inputs_fn: Optional[Callable] = None
 
     def materialize(self, region, data) -> np.ndarray:
         if self.grid_fn is None:
@@ -162,6 +168,11 @@ class Shadow:
     start: str = "target_pos"
     id: int = -1
     designation: int = -1
+    # when set, the lane records vec[pos] instead of pos at start, where
+    # vec = start_vec_fn(region, data) is region-local over the axis
+    # named by ``start`` — lets consuming calcs avoid per-cell gathers
+    # (packed split-codon data, see model/phase.py)
+    start_vec_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -226,10 +237,12 @@ class Model:
 
     def add_calc(self, name, max_score=0, grid_fn=None, shadow_fn=None,
                  shadow_inputs_fn=None, factored_fn=None,
-                 protect=Protect.NONE) -> Calc:
+                 protect=Protect.NONE, pallas_fn=None,
+                 kernel_inputs_fn=None) -> Calc:
         assert self.is_open
         c = Calc(name, max_score, grid_fn, shadow_fn, shadow_inputs_fn,
-                 factored_fn, protect)
+                 factored_fn, protect,
+                 pallas_fn=pallas_fn, kernel_inputs_fn=kernel_inputs_fn)
         self.calcs.append(c)
         return c
 
@@ -434,7 +447,7 @@ class Model:
                 t.advance_query, t.advance_target,
                 t.calc, t.label, t.label_data)
         for sh in prev_shadows:
-            new_sh = Shadow(f"{sh.name} {suffix_b}", start=sh.start)
+            new_sh = Shadow(f"{sh.name} {suffix_b}", start=sh.start, start_vec_fn=sh.start_vec_fn)
             new_sh.src_states = [state_map[id(s)] for s in sh.src_states]
             new_sh.dst_transitions = [trans_map[id(t)]
                                       for t in sh.dst_transitions]
@@ -475,7 +488,8 @@ class Model:
             if existing is None:
                 existing = self.add_calc(c.name, c.max_score, c.grid_fn,
                                          c.shadow_fn, c.shadow_inputs_fn,
-                                         c.factored_fn, c.protect)
+                                         c.factored_fn, c.protect,
+                                         c.pallas_fn, c.kernel_inputs_fn)
             calc_map[id(c)] = existing
         state_map: dict[int, State] = {id(ins_start): src, id(ins_end): dst}
         for s in insert.states:
@@ -489,7 +503,7 @@ class Model:
                 calc_map[id(t.calc)] if t.calc else None,
                 t.label, t.label_data)
         for sh in insert.shadows:
-            new_sh = Shadow(sh.name, start=sh.start)
+            new_sh = Shadow(sh.name, start=sh.start, start_vec_fn=sh.start_vec_fn)
             new_sh.src_states = [state_map[id(s)] for s in sh.src_states]
             new_sh.dst_transitions = [trans_map[id(t)]
                                       for t in sh.dst_transitions]
@@ -515,7 +529,8 @@ class Model:
         for c in self.calcs:
             calc_map[id(c)] = m.add_calc(c.name, c.max_score, c.grid_fn,
                                          c.shadow_fn, c.shadow_inputs_fn,
-                                         c.factored_fn, c.protect)
+                                         c.factored_fn, c.protect,
+                                         c.pallas_fn, c.kernel_inputs_fn)
         trans_map: dict[int, Transition] = {}
         for t in self.transitions:
             trans_map[id(t)] = m.add_transition(
@@ -524,7 +539,7 @@ class Model:
                 calc_map[id(t.calc)] if t.calc else None,
                 t.label, t.label_data)
         for sh in self.shadows:
-            new_sh = Shadow(sh.name, start=sh.start)
+            new_sh = Shadow(sh.name, start=sh.start, start_vec_fn=sh.start_vec_fn)
             new_sh.src_states = [state_map[id(s)] for s in sh.src_states]
             new_sh.dst_transitions = [trans_map[id(t)]
                                       for t in sh.dst_transitions]
@@ -618,7 +633,8 @@ class DerivedModel:
             if id(c) not in calc_map:
                 calc_map[id(c)] = m.add_calc(
                     c.name, c.max_score, c.grid_fn, c.shadow_fn,
-                    c.shadow_inputs_fn, c.factored_fn, c.protect)
+                    c.shadow_inputs_fn, c.factored_fn, c.protect,
+                    c.pallas_fn, c.kernel_inputs_fn)
             return calc_map[id(c)]
 
         self.transition_map: dict[int, Transition] = {}
@@ -694,7 +710,7 @@ class DerivedModel:
                                       if nt in m.transitions)}
         # shadows whose src states / dst transitions survive
         for sh in original.shadows:
-            new_sh = Shadow(sh.name, start=sh.start)
+            new_sh = Shadow(sh.name, start=sh.start, start_vec_fn=sh.start_vec_fn)
             for st in sh.src_states:
                 if st is src:
                     new_sh.src_states.append(m.start_state.state)

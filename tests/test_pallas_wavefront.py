@@ -121,3 +121,26 @@ def test_model_family_parity(mtname, S):
     got = pallas_wavefront.find_batched(model, jobs, "region",
                                         interpret=True)
     assert ref == got
+
+
+@pytest.mark.parametrize("split", [1, 2])
+def test_protein2genome_split_codon_kernel(split):
+    """Split-codon intron paths (packed-lane kernel form) must score
+    identically to the XLA engine, for phase-1 and phase-2 introns."""
+    from exonerate_tpu.model.registry import ModelType, get_model
+    exon1 = "ATGGCTGACCAGCTGACTGAGCAGATTGCAGAGTTCAA"
+    exon2 = "GGGAGGCCTTCTCCCTCTTTGACAAGGATGGAGATGGCACTATTACCACC"
+    if split == 2:
+        exon1, exon2 = exon1 + "G", exon2[1:]
+    prot = Sequence("p", None, "MADQLTEQIAEFKEAFSLFDKDGDGTITT")
+    genome = Sequence("g", None,
+                      exon1 + "GT" + "N" * 43 + "AG" + exon2)
+    model = get_model(ModelType.PROTEIN2GENOME, prot.alphabet.type,
+                      genome.alphabet.type)
+    data = AlignData(prot, genome)
+    jobs = [(Region(0, 0, len(prot), len(genome)), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    got = pallas_wavefront.find_batched(model, jobs, "region",
+                                        interpret=True)
+    assert ref == got
+    assert ref[0].score > 100   # the intron path, not a local fragment
