@@ -69,6 +69,16 @@ def find_path(model: Model, region: Region, data, subopt=None,
                 or sub.target_length < region.target_length):
             return find_path(model, sub, data, subopt,
                              threshold=threshold, device=device)
+        # traceback DP on the fused kernel: packed tb planes in HBM,
+        # on-device walk-back (falls back below when the kernel can't
+        # serve the job — blocked planes, unsupported kinds, huge cube)
+        res = pallas_wavefront.find_path_batched(
+            model, [(region, data)], subopt=subopt,
+            interpret=_PRESCAN_INTERPRET)[0]
+        if res is not None:
+            if threshold is not None and res.score < threshold:
+                return None
+            return _to_alignment(model, region, res)
     D = region.query_length + region.target_length + 1
     cube = D * (region.query_length + 1) * len(model.states)
     if cube > DP_MEMORY_LIMIT:

@@ -10,8 +10,12 @@ Same cell semantics as wavefront.build_wavefront (ref: Viterbi
 interpreted loop, src/c4/viterbi.c:655-837): per-transition source
 masking, silent-transition topological order, start/end scope masks,
 shadow lanes, first-max-wins with (score desc, j asc, i asc) end-cell
-preference.  Modes: "score" and "region".  Path mode and SubOpt-blocked
-re-runs stay on the XLA engine.
+preference.  Modes: "score", "region" and "path" (packed traceback
+planes — 4 states' winning-transition ids per int32 lane — emitted to
+HBM one diagonal block per grid step, then walked back on-device so
+only the op list crosses the host link; the analogue of the
+reference's FIND_PATH traceback matrix, ref: viterbi.c:458-460).
+SubOpt-blocked re-runs stay on the XLA engine.
 
 Supported input kinds: factored / tvec / qvec / scalar (covers the
 est2genome / affine / ner / ungapped model families).  2-D grid calcs
@@ -189,11 +193,12 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     per-diagonal window into a VMEM scratch ring — lifting the target
     length bound from VMEM scale (~50 kb) to HBM scale (the reference's
     chromosome/BSAM workloads, ref: src/hub/bsam.c, fastadb.h:111)."""
-    assert mode in ("score", "region")
+    assert mode in ("score", "region", "path")
     assert _supported(kinds)
     if interpret is None:
         interpret = _INTERPRET
     want_region = mode == "region"
+    want_path = mode == "path"
     S = len(model.states)
     n_shadow = model.total_shadow_designations
     L = n_shadow + (2 if want_region else 0)
@@ -231,6 +236,14 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                          for sh in t.dst_shadows],
         ))
 
+    # path mode: 4 states' plan ids (8 bits each) pack into one int32
+    # plane; ids must fit 7 bits so lane 3 never sets the sign bit
+    n_plan = len(plan)
+    assert not want_path or n_plan < 127, n_plan
+    P = (S + 3) // 4
+    PB = P * B
+    PB8 = ((PB + 7) // 8) * 8           # int32 sublane tile multiple
+
     G = 1                               # diagonals per grid step
     n_steps = (D + G - 1) // G
     # names carrying a VLEN axis (reversed target vectors): streamed
@@ -244,8 +257,10 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
     def kernel(*refs):
         in_refs = dict(zip(names, refs[:len(names)]))
-        n_out = 5 if want_region else 3
+        n_best = 5 if want_region else 3
+        n_out = n_best + (1 if want_path else 0)
         out_refs = refs[len(names):len(names) + n_out]
+        tb_ref = out_refs[n_best] if want_path else None
         scratch = refs[len(names) + n_out:]
         ring, best = scratch[0], scratch[1]
         nx = 2
@@ -284,14 +299,16 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                     cps.append(cp)
                 for cp in cps:
                     cp.wait()
-            _one_diagonal(d, in_refs, windows, ring, best, lanes_ring)
+            _one_diagonal(d, in_refs, windows, ring, best, lanes_ring,
+                          tb_ref)
 
         @pl.when(pid == n_steps - 1)
         def _emit():
-            for r in range(n_out):
+            for r in range(n_best):
                 out_refs[r][...] = best[r, :]
 
-    def _one_diagonal(d, in_refs, windows, ring, best, lanes_ring):
+    def _one_diagonal(d, in_refs, windows, ring, best, lanes_ring,
+                      tb_ref=None):
         i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
         j = d - i
         qlen = in_refs["_qlen"][...]                      # (B, 1)
@@ -331,8 +348,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         scores = [None] * S
         lanes_c = [[None] * L for _ in range(S)]
         is_set = [None] * S
+        tb_c = [None] * S
 
-        for p in plan:
+        for plan_id, p in enumerate(plan):
             t = p["t"]
             aq, at = t.advance_query, t.advance_target
             adv = aq + at
@@ -433,6 +451,10 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             take = (val > jnp.where(cur_set, cur, NEG)) & src_ok
             scores[out.id] = jnp.where(take, val, cur)
             is_set[out.id] = cur_set | take
+            if want_path:
+                old_tb = (tb_c[out.id] if tb_c[out.id] is not None
+                          else zero_plane)
+                tb_c[out.id] = jnp.where(take, plan_id + 1, old_tb)
             if L:
                 new_l = list(src_l)
                 for desig, kind, veckey in p["start_lanes"]:
@@ -449,6 +471,18 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                            if lanes_c[out.id][ln] is not None
                            else zero_plane)
                     lanes_c[out.id][ln] = jnp.where(take, new_l[ln], old)
+
+        if want_path:
+            for pi in range(P):
+                word = None
+                for k4 in range(4):
+                    s = pi * 4 + k4
+                    if s >= S or tb_c[s] is None:
+                        continue
+                    part = tb_c[s] if k4 == 0 else (tb_c[s] << (8 * k4))
+                    word = part if word is None else (word | part)
+                tb_ref[0, pi * B:(pi + 1) * B, :] = \
+                    word if word is not None else zero_plane
 
         # end-cell registration: (score desc, j asc, i asc)
         if scores[end_state.id] is not None:
@@ -502,7 +536,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                         lanes_ring[slot, s, ln] = jnp.where(
                             is_set[s], v, 0)
 
-    n_out = 5 if want_region else 3
+    n_best = 5 if want_region else 3
     scratch_shapes = [pltpu.VMEM((R, S, B, QV), jnp.int32),
                       pltpu.VMEM((8, B), jnp.int32)]
     if L:
@@ -513,23 +547,30 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         scratch_shapes.append(
             pltpu.SemaphoreType.DMA((len(stream_names),)))
 
+    out_specs = [pl.BlockSpec((B,), lambda d: (0,))
+                 for _ in range(n_best)]
+    out_shape = [jax.ShapeDtypeStruct((B,), jnp.int32)
+                 for _ in range(n_best)]
+    if want_path:
+        out_specs.append(pl.BlockSpec((1, PB8, QV), lambda d: (d, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_steps, PB8, QV), jnp.int32))
+
     @jax.jit
     def fn(flat_arrays):
         outs = pl.pallas_call(
             kernel,
             grid=(n_steps,),
             in_specs=[
-                (pl.BlockSpec(memory_space=pltpu.ANY)
+                (pl.BlockSpec(memory_space=pl.ANY)
                  if names[ai] in stream_names else
                  pl.BlockSpec(a.shape,
                               functools.partial(
                                   lambda nd, _d: (0,) * nd,
                                   len(a.shape))))
                 for ai, a in enumerate(flat_arrays)],
-            out_specs=[pl.BlockSpec((B,), lambda d: (0,))
-                       for _ in range(n_out)],
-            out_shape=[jax.ShapeDtypeStruct((B,), jnp.int32)
-                       for _ in range(n_out)],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
@@ -537,7 +578,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             interpret=interpret,
         )(*flat_arrays)
         keys = (["score", "query_end", "target_end"]
-                + (["query_start", "target_start"] if want_region else []))
+                + (["query_start", "target_start"] if want_region else [])
+                + (["tb"] if want_path else []))
         return dict(zip(keys, outs))
 
     return fn
@@ -610,4 +652,138 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                 target_end=int(res["target_end"][b]),
                 query_start=int(res.get("query_start", zeros)[b]),
                 target_start=int(res.get("target_start", zeros)[b]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# path mode: on-device traceback walk over the packed tb cube
+# ---------------------------------------------------------------------------
+
+# HBM budget for one bucket's packed traceback cube; larger path DPs
+# fall back to the XLA engine's checkpointed recompute (--dpmemory,
+# ref: viterbi.c:128-152)
+PATH_TB_BYTES = 1 << 30
+
+
+def _plan_transitions(model: Model) -> list:
+    """The kernel's plan order (must match build_pallas_wavefront)."""
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    return [t for t in model.transitions
+            if t.input is not end_state and t.output is not start_state]
+
+
+def _build_walkback(model: Model, B: int, cap: int):
+    """jitted fn(tb, qe, te) -> (ops [B, cap], n_ops, qstart, tstart):
+    walk the packed traceback cube backwards from each pair's best end
+    cell (ref: Viterbi_Data_create_Alignment, viterbi.c:342-392).  Runs
+    on device; only the op-id list is fetched."""
+    plan_ts = _plan_transitions(model)
+    start_state = model.start_state.state
+    end_id = model.end_state.state.id
+    AQ = jnp.asarray([0] + [t.advance_query for t in plan_ts], jnp.int32)
+    AT = jnp.asarray([0] + [t.advance_target for t in plan_ts], jnp.int32)
+    IN = jnp.asarray([0] + [t.input.id for t in plan_ts], jnp.int32)
+    FS = jnp.asarray([True] + [t.input is start_state for t in plan_ts],
+                     bool)
+
+    def walk_one(tb, qe, te, b):
+        def cond(c):
+            return ~c[4]
+
+        def body(c):
+            k, i, j, s, _done, ops = c
+            d = jnp.clip(i + j, 0, tb.shape[0] - 1)
+            row = (s // 4) * B + b
+            word = tb[d, row, jnp.clip(i, 0, tb.shape[2] - 1)]
+            tid = (word >> ((s % 4) * 8)) & 0xFF
+            stop = (tid == 0) | (k >= cap)
+            ops = ops.at[jnp.minimum(k, cap - 1)].set(
+                jnp.where(stop, ops[jnp.minimum(k, cap - 1)], tid))
+            k2 = jnp.where(stop, k, k + 1)
+            i2 = jnp.where(stop, i, i - AQ[tid])
+            j2 = jnp.where(stop, j, j - AT[tid])
+            s2 = jnp.where(stop, s, IN[tid])
+            done = stop | FS[tid]
+            return (k2, i2, j2, s2, done, ops)
+
+        init = (jnp.int32(0), qe, te, jnp.int32(end_id),
+                jnp.bool_(False), jnp.zeros((cap,), jnp.int32))
+        k, i, j, _s, _done, ops = jax.lax.while_loop(cond, body, init)
+        return ops, k, i, j
+
+    @jax.jit
+    def walk(tb, qe, te):
+        return jax.vmap(walk_one, in_axes=(None, 0, 0, 0))(
+            tb, qe, te, jnp.arange(B, dtype=jnp.int32))
+
+    return walk
+
+
+def find_path_batched(model: Model, jobs: list, subopt=None,
+                      interpret: bool | None = None):
+    """Full-path DP on the fused kernel.  Returns a list of DPResult
+    (with .path) — entries are None for jobs the kernel can't serve
+    (unsupported calc kinds, SubOpt-blocked planes, tb cube over the
+    HBM budget, or path longer than the walk cap); callers fall back to
+    the XLA engine for those."""
+    from .wavefront import DPResult
+    out = [None] * len(jobs)
+    buckets: dict = {}
+    for n, (region, data) in enumerate(jobs):
+        Qp = wf._bucket(region.query_length)
+        Tp = wf._bucket(region.target_length)
+        inputs, kinds = wf.prepare_inputs(model, region, data,
+                                          subopt=subopt,
+                                          pad_to=(Qp, Tp),
+                                          for_pallas=True)
+        buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
+    plan_ts = _plan_transitions(model)
+    if len(plan_ts) >= 127:
+        return out
+    for (Qp, Tp, kinds), items in buckets.items():
+        if not _supported(kinds) \
+                or not _shadows_supported(model, items[0][1]):
+            continue
+        B = len(items)
+        S = len(model.states)
+        QV = _qv(Qp)
+        n_steps = Qp + Tp + 1
+        PB8 = ((((S + 3) // 4) * B + 7) // 8) * 8
+        if n_steps * PB8 * QV * 4 > PATH_TB_BYTES:
+            continue
+        arrays, meta = pack_batched_inputs(
+            model, [inp for _, inp in items], kinds, Qp, Tp)
+        flat, names = _flatten(arrays)
+        meta_key = tuple(sorted(meta.items()))
+        key = (id(model), Qp, Tp, "path", kinds, meta_key, names,
+               bool(interpret), False)
+        fn = _CACHE.get(key)
+        if fn is None:
+            fn = _CACHE[key] = build_pallas_wavefront(
+                model, Qp, Tp, "path", kinds, meta, names,
+                interpret=interpret, stream=False)
+        res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
+        cap = n_steps + 256
+        wkey = (id(model), B, cap, "walk")
+        walk = _CACHE.get(wkey)
+        if walk is None:
+            walk = _CACHE[wkey] = _build_walkback(model, B, cap)
+        ops, n_ops, qs, ts = walk(res["tb"], res["query_end"],
+                                  res["target_end"])
+        ops = np.asarray(ops)
+        n_ops = np.asarray(n_ops)
+        qs, ts = np.asarray(qs), np.asarray(ts)
+        score = np.asarray(res["score"])
+        qe, te = np.asarray(res["query_end"]), np.asarray(res["target_end"])
+        for b, (n, _) in enumerate(items):
+            k = int(n_ops[b])
+            if k >= cap:           # walk cap hit: let the caller fall back
+                continue
+            path = [plan_ts[tid - 1] for tid in ops[b, :k][::-1]]
+            r = DPResult(score=int(score[b]),
+                         query_end=int(qe[b]), target_end=int(te[b]),
+                         query_start=int(qs[b]), target_start=int(ts[b]))
+            r.path = path
+            out[n] = r
     return out

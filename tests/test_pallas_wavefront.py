@@ -144,3 +144,39 @@ def test_protein2genome_split_codon_kernel(split):
                                         interpret=True)
     assert ref == got
     assert ref[0].score > 100   # the intron path, not a local fragment
+
+
+def test_pallas_path_mode_parity():
+    """Path mode: packed tb planes + on-device walk-back must reproduce
+    the XLA engine's alignment exactly (ops, region, score)."""
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    jobs = [(Region(0, 0, 100, 160), data),
+            (Region(40, 10, 80, 150), data),
+            (Region(10, 30, 120, 90), data)]
+    got = pallas_wavefront.find_path_batched(model, jobs, interpret=True)
+    for (region, d), g in zip(jobs, got):
+        ref = wavefront.find_path(model, region, d)
+        assert g is not None
+        assert (g.score, g.query_start, g.target_start,
+                g.query_end, g.target_end) == \
+            (ref.score, ref.query_start, ref.target_start,
+             ref.query_end, ref.target_end)
+        assert [t.name for t in g.path] == [t.name for t in ref.path]
+
+
+def test_pallas_path_mode_affine():
+    from exonerate_tpu.model.affine import affine_create, AffineModelType
+    from exonerate_tpu.alphabet import AlphabetType
+    a = Sequence("a", None, "MKVLAAGICAGWLLWKKMKVL" * 3)
+    b = Sequence("b", None, "MKVLGAGICAWWLLAKKMK" * 3)
+    model = affine_create(AffineModelType.LOCAL, AlphabetType.PROTEIN,
+                          AlphabetType.PROTEIN)
+    data = AlignData(a, b)
+    jobs = [(Region(0, 0, len(a), len(b)), data)]
+    got = pallas_wavefront.find_path_batched(model, jobs, interpret=True)
+    ref = wavefront.find_path(model, jobs[0][0], data)
+    assert got[0] is not None and got[0].score == ref.score
+    assert [t.name for t in got[0].path] == [t.name for t in ref.path]
