@@ -54,11 +54,19 @@ def find_path(model: Model, region: Region, data, subopt=None,
     if _use_pallas_prescan():
         # reduced-space FIND_REGION on the fused kernel, then the
         # traceback DP only on the discovered alignment's bounding box
-        # (ref: Optimal_find_path region-then-path, optimal.c)
+        # (ref: Optimal_find_path region-then-path, optimal.c).  The
+        # fused kernel is mask-blind, so when the SubOpt mask touches
+        # this region (Waterman-Eggert re-runs) the scan must go
+        # through the mask-aware XLA engine — otherwise it would keep
+        # rediscovering the masked best alignment's box and miss the
+        # true next-best elsewhere.
         from . import pallas_wavefront
-        scan = pallas_wavefront.find_batched(
-            model, [(region, data)], "region",
-            interpret=_PRESCAN_INTERPRET)[0]
+        if subopt is not None and subopt.overlaps_region(region):
+            scan = wavefront.find_region(model, region, data, subopt)
+        else:
+            scan = pallas_wavefront.find_batched(
+                model, [(region, data)], "region",
+                interpret=_PRESCAN_INTERPRET)[0]
         if threshold is not None and scan.score < threshold:
             return None
         sub = Region(region.query_start + scan.query_start,

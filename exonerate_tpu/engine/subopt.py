@@ -64,6 +64,18 @@ class SubOpt:
                 mask[lq] = True
         return mask
 
+    def overlaps_region(self, region: Region) -> bool:
+        """True if any blocked point falls inside the region (callers use
+        this to know whether a mask-free precomputed DP is still valid)."""
+        t_lo = region.target_start
+        t_hi = region.target_start + region.target_length
+        q_lo = region.query_start
+        q_hi = region.query_start + region.query_length
+        for t, row in self.by_row.items():
+            if t_lo <= t <= t_hi and any(q_lo <= q <= q_hi for q in row):
+                return True
+        return False
+
     def blocked_grid(self, region: Region) -> np.ndarray:
         """Full [Q+1, T+1] mask (for the wavefront engine)."""
         mask = np.zeros((region.query_length + 1,

@@ -198,6 +198,7 @@ class GAM:
         # and drop sub-threshold loci before any path DP (the batched
         # analogue of the reference's per-job SDP start/end scheduling,
         # ref: sdp.c:299-356)
+        first_paths: dict[int, tuple[Region, object]] = {}
         if len(regions) > 1 and optimal._use_pallas_prescan():
             from ..engine import pallas_wavefront
             scans = pallas_wavefront.find_batched(
@@ -206,18 +207,46 @@ class GAM:
             # filter only: the full locus region must survive for the
             # Waterman-Eggert subopt re-runs; find_path shrinks each
             # iteration itself (mask-aware)
-            regions = [r for r, scan in zip(regions, scans)
-                       if scan.score >= threshold]
+            survivors, subs = [], []
+            for r, scan in zip(regions, scans):
+                if scan.score < threshold:
+                    continue
+                survivors.append(r)
+                subs.append(Region(r.query_start + scan.query_start,
+                                   r.target_start + scan.target_start,
+                                   scan.query_end - scan.query_start,
+                                   scan.target_end - scan.target_start))
+            regions = survivors
+            # batch EVERY locus's first path DP in one fused-kernel call
+            # (the per-locus subopt loop below reuses it while its locus
+            # is still mask-free); skipped under --cores round-robin
+            if len(regions) > 1 and not self.devices:
+                paths = pallas_wavefront.find_path_batched(
+                    self.model, [(s, data) for s in subs],
+                    interpret=optimal._PRESCAN_INTERPRET)
+                for r, s, p in zip(regions, subs, paths):
+                    if p is not None:
+                        first_paths[id(r)] = (s, p)
         out = []
         for region in regions:
             device = None
             if self.devices:
                 device = self.devices[self._dev_rr % len(self.devices)]
                 self._dev_rr += 1
+            first = first_paths.pop(id(region), None)
             while True:
-                alignment = optimal.find_path(self.model, region, data,
-                                              subopt=subopt,
-                                              device=device)
+                if first is not None and \
+                        (subopt is None
+                         or not subopt.overlaps_region(region)):
+                    sub, res = first
+                    alignment = optimal._to_alignment(self.model, sub,
+                                                      res)
+                    first = None
+                else:
+                    first = None
+                    alignment = optimal.find_path(self.model, region,
+                                                  data, subopt=subopt,
+                                                  device=device)
                 if alignment is None or alignment.score < threshold:
                     break
                 out.append((alignment, data))

@@ -74,3 +74,33 @@ def test_protein2genome_split_codon_vulgar(tmp_path):
     # (ref crib: protein2genome.test.c:34)
     assert vulgar[0] == ("vulgar: protein 0 29 . genome 0 134 + 125 "
                          "M 12 36 S 0 2 5 0 2 I 0 43 3 0 2 S 1 1 M 16 48")
+
+
+def test_batched_first_path_matches_sequential(tmp_path, monkeypatch):
+    """GAM's batched first-path DP (Pallas, forced interpret mode) must
+    produce byte-identical output to the sequential optimal.find_path
+    loop on a multi-locus est2genome case with subopt enabled."""
+    from exonerate_tpu.engine import optimal
+    from exonerate_tpu.seqio import iter_fasta
+
+    calm = str(list(iter_fasta(CALM))[0])
+    exon1 = calm[100:350]
+    exon2 = calm[350:600]
+    intron = "gt" + calm[900:1100] + "ag"
+    spacer = calm[1200:1700]
+    query = exon1 + exon2
+    # two gene loci: one spliced copy, one contiguous copy
+    target = spacer + exon1 + intron + exon2 + spacer + query + spacer
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text(">q\n" + query + "\n")
+    tf.write_text(">t\n" + target + "\n")
+    args = ["-m", "est2genome", "--showvulgar", "yes",
+            "--showalignment", "no", str(qf), str(tf)]
+    seq_text = run_cli(args)
+    monkeypatch.setattr(optimal, "_FORCE_PRESCAN", True)
+    monkeypatch.setattr(optimal, "_PRESCAN_INTERPRET", True)
+    bat_text = run_cli(args)
+    assert "vulgar:" in seq_text
+    assert len([l for l in seq_text.splitlines()
+                if l.startswith("vulgar:")]) >= 2
+    assert bat_text == seq_text
