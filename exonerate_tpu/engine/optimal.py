@@ -55,18 +55,15 @@ def find_path(model: Model, region: Region, data, subopt=None,
         # reduced-space FIND_REGION on the fused kernel, then the
         # traceback DP only on the discovered alignment's bounding box
         # (ref: Optimal_find_path region-then-path, optimal.c).  The
-        # fused kernel is mask-blind, so when the SubOpt mask touches
-        # this region (Waterman-Eggert re-runs) the scan must go
-        # through the mask-aware XLA engine — otherwise it would keep
+        # SubOpt mask (Waterman-Eggert re-runs) rides along as a
+        # device-built skewed plane — without it the scan would keep
         # rediscovering the masked best alignment's box and miss the
-        # true next-best elsewhere.
+        # true next-best elsewhere; find_batched falls back to the
+        # mask-aware XLA engine when it can't serve the job.
         from . import pallas_wavefront
-        if subopt is not None and subopt.overlaps_region(region):
-            scan = wavefront.find_region(model, region, data, subopt)
-        else:
-            scan = pallas_wavefront.find_batched(
-                model, [(region, data)], "region",
-                interpret=_PRESCAN_INTERPRET)[0]
+        scan = pallas_wavefront.find_batched(
+            model, [(region, data)], "region", subopt=subopt,
+            interpret=_PRESCAN_INTERPRET)[0]
         if threshold is not None and scan.score < threshold:
             return None
         sub = Region(region.query_start + scan.query_start,

@@ -52,8 +52,13 @@ _INTERPRET = False          # set True in tests to run the kernel on CPU
 
 
 def _supported(kinds: tuple) -> bool:
-    return all(kind in ("factored", "tvec", "qvec", "scalar")
+    return all(kind in ("factored", "tvec", "qvec", "scalar", "blocked")
                for _k, kind in kinds)
+
+
+# HBM budget for the device-built skewed SubOpt mask plane; masked jobs
+# over this fall back to the XLA engine
+BLOCKED_SKEW_BYTES = 512 << 20
 
 
 def _shadows_supported(model, inputs: dict) -> bool:
@@ -131,7 +136,13 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
                       constant_values=fill)
 
     for key, kind in kinds:
-        if kind == "factored":
+        if kind == "blocked":
+            # packed SubOpt mask bits (B, Qp+1, ceil((Tp+1)/8)); the
+            # device unpacks + skews them to per-diagonal planes (the
+            # host->device transfer stays tiny and mask growth across
+            # Waterman-Eggert iterations reuses the same trace)
+            arrays[key] = np.stack([p[key] for p in per_pair])
+        elif kind == "factored":
             union = sorted({int(c)
                             for p in per_pair
                             for c in np.unique(p[key]["t_idx"])})
@@ -171,7 +182,7 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
                 arrays[f"{k}/{name}"] = np.asarray(
                     [p[k][name] for p in per_pair],
                     np.int32).reshape(B, 1)
-        elif k.startswith("_"):
+        elif k.startswith("_") and k != "_blocked":
             arrays[k] = np.asarray(
                 [p[k] for p in per_pair], np.int32).reshape(B, 1)
     return arrays, meta
@@ -214,6 +225,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     PADF = QV + 128
     kind_map = dict(kinds)
 
+    has_blocked = "_blocked" in kind_map
+
     plan = []
     for t in model.transitions:
         if t.input is end_state or t.output is start_state:
@@ -221,6 +234,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         shadow_starts = model.src_shadows(t.input)
         plan.append(dict(
             t=t,
+            is_match=t.is_match,
             key=wf._grid_key(model, t) if t.calc is not None else None,
             shkey=(f"sh{model.calcs.index(t.calc)}"
                    if t.calc is not None and t.calc.shadow_fn is not None
@@ -316,6 +330,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         qstart = in_refs["_qstart"][...]
         tstart = in_refs["_tstart"][...]
         cell_ok = (j >= 0) & (j <= tlen) & (i <= qlen)
+        # SubOpt mask at the DESTINATION cell (ref: viterbi.c:701-704);
+        # the skewed plane block for this diagonal arrives pipelined
+        blk = (in_refs["_blocked"][0] != 0) if has_blocked else None
 
         neg_plane = jnp.full((B, QV), NEG, jnp.int32)
         zero_plane = jnp.zeros((B, QV), jnp.int32)
@@ -381,6 +398,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             if out is end_state:
                 src_ok = src_ok & _scope_mask_end(
                     model.end_state.scope, i, j, qlen, tlen)
+            if p["is_match"] and blk is not None:
+                src_ok = src_ok & ~blk
             if p["key"] is None:
                 calc = jnp.zeros((), jnp.int32)
             else:
@@ -547,6 +566,20 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         scratch_shapes.append(
             pltpu.SemaphoreType.DMA((len(stream_names),)))
 
+    def _skew_blocked(packed):
+        """(B, Qp+1, TB) packed mask bits -> (D, B, QV) int32 skewed
+        plane on device: skew[d, b, i] = blocked[b, i, d - i]."""
+        d_col = jnp.arange(n_steps, dtype=jnp.int32)[:, None]
+        i_row = jnp.arange(QV, dtype=jnp.int32)[None, :]
+        sj = d_col - i_row
+        ok = (sj >= 0) & (sj <= Tp) & (i_row <= Qp)
+        sjc = jnp.clip(sj, 0, Tp)
+        ic = jnp.broadcast_to(jnp.minimum(i_row, Qp), sj.shape)
+        byte = packed[:, ic, sjc >> 3]                    # (B, D, QV)
+        bit = (byte >> (7 - (sjc & 7)).astype(jnp.uint8)) & 1
+        blk = jnp.where(ok[None], bit, 0).astype(jnp.int32)
+        return jnp.transpose(blk, (1, 0, 2))
+
     out_specs = [pl.BlockSpec((B,), lambda d: (0,))
                  for _ in range(n_best)]
     out_shape = [jax.ShapeDtypeStruct((B,), jnp.int32)
@@ -558,17 +591,27 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
     @jax.jit
     def fn(flat_arrays):
+        if has_blocked:
+            bi = names.index("_blocked")
+            flat_arrays = (flat_arrays[:bi]
+                           + (_skew_blocked(flat_arrays[bi]),)
+                           + flat_arrays[bi + 1:])
+
+        def in_spec(ai, a):
+            if names[ai] == "_blocked" and has_blocked:
+                return pl.BlockSpec((1, B, QV), lambda d: (d, 0, 0))
+            if names[ai] in stream_names:
+                return pl.BlockSpec(memory_space=pl.ANY)
+            return pl.BlockSpec(a.shape,
+                                functools.partial(
+                                    lambda nd, _d: (0,) * nd,
+                                    len(a.shape)))
+
         outs = pl.pallas_call(
             kernel,
             grid=(n_steps,),
-            in_specs=[
-                (pl.BlockSpec(memory_space=pl.ANY)
-                 if names[ai] in stream_names else
-                 pl.BlockSpec(a.shape,
-                              functools.partial(
-                                  lambda nd, _d: (0,) * nd,
-                                  len(a.shape))))
-                for ai, a in enumerate(flat_arrays)],
+            in_specs=[in_spec(ai, a)
+                      for ai, a in enumerate(flat_arrays)],
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
@@ -604,10 +647,11 @@ STREAM_VMEM_BYTES = 24 << 20
 
 def find_batched(model: Model, jobs: list, mode: str = "region",
                  interpret: bool | None = None,
-                 stream: bool | None = None):
+                 stream: bool | None = None, subopt=None):
     """Pallas-fused batched wavefront over (region, data) jobs.  Returns
-    a list of DPResult.  Falls back to the XLA engine when a job needs
-    unsupported input kinds (2-D grids, subopt-blocked planes)."""
+    a list of DPResult.  SubOpt masks run in-kernel (device-built skewed
+    plane); falls back to the XLA engine when a job needs unsupported
+    input kinds (2-D grids) or the mask plane is over budget."""
     from .wavefront import DPResult, find_region_batched
     out = [None] * len(jobs)
     buckets: dict = {}
@@ -615,13 +659,18 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
         Qp = wf._bucket(region.query_length)
         Tp = wf._bucket(region.target_length)
         inputs, kinds = wf.prepare_inputs(model, region, data,
+                                          subopt=subopt,
                                           pad_to=(Qp, Tp),
                                           for_pallas=True)
         buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
     for (Qp, Tp, kinds), items in buckets.items():
+        skew_bytes = ((Qp + Tp + 1) * len(items) * _qv(Qp) * 4
+                      if ("_blocked", "blocked") in kinds else 0)
         if not _supported(kinds) \
-                or not _shadows_supported(model, items[0][1]):
-            res = find_region_batched(model, [jobs[n] for n, _ in items])
+                or not _shadows_supported(model, items[0][1]) \
+                or skew_bytes > BLOCKED_SKEW_BYTES:
+            res = find_region_batched(model, [jobs[n] for n, _ in items],
+                                      subopt=subopt)
             for (n, _), r in zip(items, res):
                 out[n] = r
             continue
@@ -751,6 +800,9 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
         n_steps = Qp + Tp + 1
         PB8 = ((((S + 3) // 4) * B + 7) // 8) * 8
         if n_steps * PB8 * QV * 4 > PATH_TB_BYTES:
+            continue
+        if ("_blocked", "blocked") in kinds \
+                and n_steps * B * QV * 4 > BLOCKED_SKEW_BYTES:
             continue
         arrays, meta = pack_batched_inputs(
             model, [inp for _, inp in items], kinds, Qp, Tp)

@@ -638,7 +638,8 @@ def _get_batched_fn(model: Model, Qp: int, Tp: int, mode: str,
     return _CACHE[key]
 
 
-def find_region_batched(model: Model, jobs: list) -> list[DPResult]:
+def find_region_batched(model: Model, jobs: list,
+                        subopt=None) -> list[DPResult]:
     """Score a batch of (region, data) pairs in bucketed, vmapped calls —
     the TPU replacement for the reference's per-comparison thread pool
     (ref: jobqueue.c; disabled in the fork for races, SURVEY.md §2.13).
@@ -649,6 +650,7 @@ def find_region_batched(model: Model, jobs: list) -> list[DPResult]:
         Qp = _bucket(region.query_length)
         Tp = _bucket(region.target_length)
         inputs, kinds = prepare_inputs(model, region, data,
+                                       subopt=subopt,
                                        pad_to=(Qp, Tp))
         buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
     for (Qp, Tp, kinds), items in buckets.items():

@@ -180,3 +180,37 @@ def test_pallas_path_mode_affine():
     ref = wavefront.find_path(model, jobs[0][0], data)
     assert got[0] is not None and got[0].score == ref.score
     assert [t.name for t in got[0].path] == [t.name for t in ref.path]
+
+
+def test_pallas_blocked_mask_parity():
+    """In-kernel SubOpt mask (device-built skewed plane) must match the
+    XLA engine for both region and path modes across Waterman-Eggert
+    iterations."""
+    from exonerate_tpu.engine.subopt import SubOpt
+    from exonerate_tpu.engine import optimal
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    region = Region(0, 0, 150, 200)
+    subopt = SubOpt()
+    for it in range(3):
+        ref_scan = wavefront.find_region(model, region, data, subopt)
+        got_scan = pallas_wavefront.find_batched(
+            model, [(region, data)], "region", subopt=subopt,
+            interpret=True)[0]
+        assert got_scan == ref_scan, f"iteration {it}"
+        ref = wavefront.find_path(model, region, data, subopt)
+        got = pallas_wavefront.find_path_batched(
+            model, [(region, data)], subopt=subopt, interpret=True)[0]
+        assert got is not None
+        assert (got.score, got.query_start, got.target_start,
+                got.query_end, got.target_end) == \
+            (ref.score, ref.query_start, ref.target_start,
+             ref.query_end, ref.target_end), f"iteration {it}"
+        assert [t.name for t in got.path] == \
+            [t.name for t in ref.path], f"iteration {it}"
+        alignment = optimal._to_alignment(model, region, ref)
+        if alignment is None or not alignment.ops:
+            break
+        subopt.add_alignment(alignment)
