@@ -48,13 +48,17 @@ def main():
     # over a batch of pairs — the same engine optimal.find_path uses for
     # its reduced-space pre-scan on TPU.
     from exonerate_tpu.engine import pallas_wavefront
-    B, reps = 32, 3
+    B, reps = 32, 6
     jobs = [(region, data)] * B
     pallas_wavefront.find_batched(model, jobs, "region")  # warm compile
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         res = pallas_wavefront.find_batched(model, jobs, "region")
-    dt = (time.perf_counter() - t0) / (reps * B)
+        times.append(time.perf_counter() - t0)
+    # min-of-N: the per-call tunnel/dispatch jitter (~100-600 ms) is not
+    # a device property; the floor is
+    dt = min(times) / B
     assert {r.score for r in res} == {10875}, res
     cells = region.query_length * region.target_length
     gcups = cells / dt / 1e9

@@ -250,6 +250,43 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                          for sh in t.dst_shadows],
         ))
 
+    # -- static storage planning: the carry ring is the kernel's VMEM
+    # bandwidth bill (every diagonal reads+writes per-state planes), so
+    # store only what later diagonals can read --
+    # states read back from the ring = inputs of advancing transitions
+    ring_states = sorted({p["t"].input.id for p in plan
+                          if p["t"].advance_query
+                          + p["t"].advance_target > 0
+                          and p["t"].input is not start_state})
+    ring_row = {s: r for r, s in enumerate(ring_states)}
+    NR = max(len(ring_states), 1)
+    # per-state lane liveness (fixpoint over the transition graph):
+    # lane d is live at state s iff some path from s consumes d before
+    # re-setting it.  consumed = shadow lanes read by a calc on an
+    # outgoing transition; set_by = lanes freshly assigned on the
+    # transition (shadow starts, region-start lanes on START exits).
+    live = {s.id: set() for s in model.states}
+    if want_region:
+        live[end_state.id] = {rs_q, rs_t}
+    changed = True
+    while changed:
+        changed = False
+        for p in plan:
+            t = p["t"]
+            if t.input is start_state:
+                continue
+            consumed = ({d for _, d in p["dst_shadows"]}
+                        if (p["shkey"] is not None
+                            or p["pallas_ci"] is not None) else set())
+            set_by = {d for d, _k, _v in p["start_lanes"]}
+            need = consumed | (live[t.output.id] - set_by)
+            if not need <= live[t.input.id]:
+                live[t.input.id] |= need
+                changed = True
+    lane_slots = sorted((s, ln) for s in ring_states for ln in live[s])
+    lane_row = {sl: r for r, sl in enumerate(lane_slots)}
+    NL = max(len(lane_slots), 1)
+
     # path mode: 4 states' plan ids (8 bits each) pack into one int32
     # plane; ids must fit 7 bits so lane 3 never sets the sign bit
     n_plan = len(plan)
@@ -279,7 +316,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         ring, best = scratch[0], scratch[1]
         nx = 2
         lanes_ring = None
-        if L:
+        if lane_slots:
             lanes_ring = scratch[nx]
             nx += 1
         windows = {}
@@ -294,7 +331,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             ring[...] = jnp.full(ring.shape, NEG, jnp.int32)
             best[...] = jnp.zeros(best.shape, jnp.int32)
             best[0, :] = jnp.full((B,), NEG, jnp.int32)
-            if L:
+            if lane_slots:
                 lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
 
         for _g in range(G):
@@ -366,6 +403,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         lanes_c = [[None] * L for _ in range(S)]
         is_set = [None] * S
         tb_c = [None] * S
+        calc_memo: dict = {}    # stereo twins share calc+advances
 
         for plan_id, p in enumerate(plan):
             t = p["t"]
@@ -388,10 +426,12 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                              for v in lanes_c[inp.id]]
                 else:
                     slot = jnp.remainder(d - adv, R)
-                    base = ring[slot, inp.id]
+                    base = ring[slot, ring_row[inp.id]]
                     if L:
-                        src_l = [lanes_ring[slot, inp.id, ln]
-                                 for ln in range(L)]
+                        src_l = [
+                            (lanes_ring[slot, lane_row[(inp.id, ln)]]
+                             if (inp.id, ln) in lane_row else zero_plane)
+                            for ln in range(L)]
                 if aq > 0:
                     base = shift_q(base, aq, NEG)
                     src_l = [shift_q(v, aq, 0) for v in src_l]
@@ -402,6 +442,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 src_ok = src_ok & ~blk
             if p["key"] is None:
                 calc = jnp.zeros((), jnp.int32)
+            elif p["key"] in calc_memo:
+                calc = calc_memo[p["key"]]
             else:
                 kind = kind_map[p["key"]]
                 if kind == "factored":
@@ -419,6 +461,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                     calc = in_refs[p["key"]][...]         # pre-shifted
                 else:                                     # scalar
                     calc = in_refs[p["key"]][...]         # (B, 1)
+                calc_memo[p["key"]] = calc
             if p["pallas_ci"] is not None:
                 svals = {name: src_l[desig]
                          for name, desig in p["dst_shadows"]}
@@ -485,7 +528,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 if inp is start_state and want_region:
                     new_l[rs_q] = si
                     new_l[rs_t] = sj
-                for ln in range(L):
+                for ln in sorted(live[out.id]):   # dead lanes stay None
                     old = (lanes_c[out.id][ln]
                            if lanes_c[out.id][ln] is not None
                            else zero_plane)
@@ -538,28 +581,27 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             best[3, :] = jnp.where(better, c_qs, best[3, :])
             best[4, :] = jnp.where(better, c_ts, best[4, :])
 
-        # write the new diagonal into the ring
+        # write the new diagonal into the ring (live slots only)
         slot = jnp.remainder(d, R)
-        for s in range(S):
+        for s in ring_states:
             if scores[s] is None:
-                ring[slot, s] = neg_plane
+                ring[slot, ring_row[s]] = neg_plane
             else:
-                ring[slot, s] = jnp.where(is_set[s], scores[s], NEG)
-            if L:
-                for ln in range(L):
-                    v = (lanes_c[s][ln]
-                         if scores[s] is not None else None)
-                    if v is None:
-                        lanes_ring[slot, s, ln] = zero_plane
-                    else:
-                        lanes_ring[slot, s, ln] = jnp.where(
-                            is_set[s], v, 0)
+                ring[slot, ring_row[s]] = jnp.where(is_set[s],
+                                                    scores[s], NEG)
+        for (s, ln) in lane_slots:
+            v = lanes_c[s][ln] if scores[s] is not None else None
+            if v is None:
+                lanes_ring[slot, lane_row[(s, ln)]] = zero_plane
+            else:
+                lanes_ring[slot, lane_row[(s, ln)]] = jnp.where(
+                    is_set[s], v, 0)
 
     n_best = 5 if want_region else 3
-    scratch_shapes = [pltpu.VMEM((R, S, B, QV), jnp.int32),
+    scratch_shapes = [pltpu.VMEM((R, NR, B, QV), jnp.int32),
                       pltpu.VMEM((8, B), jnp.int32)]
-    if L:
-        scratch_shapes.append(pltpu.VMEM((R, S, L, B, QV), jnp.int32))
+    if lane_slots:
+        scratch_shapes.append(pltpu.VMEM((R, NL, B, QV), jnp.int32))
     for _n in stream_names:
         scratch_shapes.append(pltpu.VMEM((B, W), jnp.int32))
     if stream_names:
