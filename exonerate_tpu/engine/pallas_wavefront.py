@@ -195,7 +195,8 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
 def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                            kinds: tuple, meta: dict, names: tuple,
                            interpret: bool | None = None,
-                           stream: bool = False):
+                           stream: bool = False,
+                           shard_mesh=None):
     """Build fn(flat_arrays) -> {"score": (B,), ...} running the whole
     wavefront in one Pallas kernel.  ``names`` is the sorted flat key
     order of the packed arrays.
@@ -217,6 +218,15 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     start_state = model.start_state.state
     end_state = model.end_state.state
     B = meta["B"]
+    # under a mesh, each device runs the kernel on its batch shard (the
+    # pod-scale pair scheduler: pure data parallelism over 'dp', no
+    # cross-device traffic inside the DP)
+    n_shards = 1
+    if shard_mesh is not None:
+        assert mode in ("score", "region")
+        n_shards = int(np.prod(list(shard_mesh.shape.values())))
+        assert B % n_shards == 0, (B, n_shards)
+        B = B // n_shards
     QV = _qv(Qp)
     D = Qp + Tp + 1
     K = max(max((t.advance_query + t.advance_target
@@ -631,8 +641,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         out_shape.append(
             jax.ShapeDtypeStruct((n_steps, PB8, QV), jnp.int32))
 
-    @jax.jit
-    def fn(flat_arrays):
+    def core(*flat_arrays):
         if has_blocked:
             bi = names.index("_blocked")
             flat_arrays = (flat_arrays[:bi]
@@ -649,7 +658,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                                     lambda nd, _d: (0,) * nd,
                                     len(a.shape)))
 
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(n_steps,),
             in_specs=[in_spec(ai, a)
@@ -662,10 +671,29 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*flat_arrays)
-        keys = (["score", "query_end", "target_end"]
-                + (["query_start", "target_start"] if want_region else [])
-                + (["tb"] if want_path else []))
-        return dict(zip(keys, outs))
+
+    keys = (["score", "query_end", "target_end"]
+            + (["query_start", "target_start"] if want_region else [])
+            + (["tb"] if want_path else []))
+
+    if shard_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(shard_mesh.shape.keys())
+        in_specs_sm = tuple(
+            P(axes, None, None) if n == "_blocked"
+            else P(axes, None) for n in names)
+        smapped = jax.shard_map(core, mesh=shard_mesh,
+                                in_specs=in_specs_sm,
+                                out_specs=tuple(P(axes) for _ in keys),
+                                check_vma=False)
+
+        @jax.jit
+        def fn(flat_arrays):
+            return dict(zip(keys, smapped(*flat_arrays)))
+    else:
+        @jax.jit
+        def fn(flat_arrays):
+            return dict(zip(keys, core(*flat_arrays)))
 
     return fn
 
@@ -736,6 +764,60 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
         res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
         res = {k: np.asarray(v) for k, v in res.items()}
         zeros = np.zeros(len(items), np.int32)
+        for b, (n, _) in enumerate(items):
+            out[n] = DPResult(
+                score=int(res["score"][b]),
+                query_end=int(res["query_end"][b]),
+                target_end=int(res["target_end"][b]),
+                query_start=int(res.get("query_start", zeros)[b]),
+                target_start=int(res.get("target_start", zeros)[b]))
+    return out
+
+
+def find_batched_sharded(model: Model, jobs: list, mesh,
+                         mode: str = "region",
+                         interpret: bool | None = None):
+    """Pod-scale pair scheduler: the fused wavefront kernel under
+    shard_map, pair batch data-parallel over every mesh axis.  Each
+    device runs its batch shard with no cross-device traffic inside the
+    DP (results merge host-side, exactly like the reference's external
+    concat of --querychunkid shards, ref: exonerate.1:177-204).  Jobs
+    whose kinds the kernel can't serve fall back to the XLA engine."""
+    from .wavefront import DPResult, find_region_batched
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    out = [None] * len(jobs)
+    buckets: dict = {}
+    for n, (region, data) in enumerate(jobs):
+        Qp = wf._bucket(region.query_length)
+        Tp = wf._bucket(region.target_length)
+        inputs, kinds = wf.prepare_inputs(model, region, data,
+                                          pad_to=(Qp, Tp),
+                                          for_pallas=True)
+        buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
+    for (Qp, Tp, kinds), items in buckets.items():
+        if not _supported(kinds) \
+                or not _shadows_supported(model, items[0][1]):
+            res = find_region_batched(model, [jobs[n] for n, _ in items])
+            for (n, _), r in zip(items, res):
+                out[n] = r
+            continue
+        # pad the batch to a device multiple (replicating the last job)
+        per_pair = [inp for _, inp in items]
+        pad = (-len(per_pair)) % n_dev
+        per_pair = per_pair + [per_pair[-1]] * pad
+        arrays, meta = pack_batched_inputs(model, per_pair, kinds, Qp, Tp)
+        flat, names = _flatten(arrays)
+        meta_key = tuple(sorted(meta.items()))
+        key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
+               bool(interpret), "mesh", id(mesh))
+        fn = _CACHE.get(key)
+        if fn is None:
+            fn = _CACHE[key] = build_pallas_wavefront(
+                model, Qp, Tp, mode, kinds, meta, names,
+                interpret=interpret, stream=False, shard_mesh=mesh)
+        res = fn(tuple(jnp.asarray(a) for a in flat))
+        res = {k: np.asarray(v) for k, v in res.items()}
+        zeros = np.zeros(len(per_pair), np.int32)
         for b, (n, _) in enumerate(items):
             out[n] = DPResult(
                 score=int(res["score"][b]),

@@ -214,3 +214,21 @@ def test_pallas_blocked_mask_parity():
         if alignment is None or not alignment.ops:
             break
         subopt.add_alignment(alignment)
+
+
+def test_sharded_wavefront_parity():
+    """The fused kernel under shard_map over an 8-device mesh must match
+    the single-device batch (pure dp sharding, host-side merge)."""
+    import jax
+    from jax.sharding import Mesh
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    jobs = [(Region(0, i * 7, 100, 150 + i), data) for i in range(6)]
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "sp"))
+    ref = pallas_wavefront.find_batched(model, jobs, "region",
+                                        interpret=True)
+    got = pallas_wavefront.find_batched_sharded(model, jobs, mesh,
+                                                "region", interpret=True)
+    assert got == ref
