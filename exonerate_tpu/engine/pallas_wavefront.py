@@ -192,6 +192,103 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
 # kernel builder
 # ---------------------------------------------------------------------------
 
+def _build_plan(model: Model) -> list:
+    """Static per-transition execution plan (model order, minus pure
+    start/end bookkeeping transitions)."""
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    plan = []
+    for t in model.transitions:
+        if t.input is end_state or t.output is start_state:
+            continue
+        shadow_starts = model.src_shadows(t.input)
+        plan.append(dict(
+            t=t,
+            is_match=t.is_match,
+            key=wf._grid_key(model, t) if t.calc is not None else None,
+            shkey=(f"sh{model.calcs.index(t.calc)}"
+                   if t.calc is not None and t.calc.shadow_fn is not None
+                   and t.calc.pallas_fn is None else None),
+            pallas_ci=(model.calcs.index(t.calc)
+                       if t.calc is not None
+                       and t.calc.pallas_fn is not None else None),
+            start_lanes=[(sh.designation, sh.start,
+                          (f"shv{model.shadows.index(sh)}"
+                           if sh.start_vec_fn is not None else None))
+                         for sh in shadow_starts],
+            dst_shadows=[(sh.name, sh.designation)
+                         for sh in t.dst_shadows],
+        ))
+    return plan
+
+
+def _storage_plan(model: Model, plan: list, want_region: bool):
+    """VMEM carry-ring storage layout: which states need ring rows and
+    which (state, lane) slots are live (see build_pallas_wavefront)."""
+    start_state = model.start_state.state
+    end_state = model.end_state.state
+    n_shadow = model.total_shadow_designations
+    rs_q, rs_t = n_shadow, n_shadow + 1
+    ring_states = sorted({p["t"].input.id for p in plan
+                          if p["t"].advance_query
+                          + p["t"].advance_target > 0
+                          and p["t"].input is not start_state})
+    live = {s.id: set() for s in model.states}
+    if want_region:
+        live[end_state.id] = {rs_q, rs_t}
+    changed = True
+    while changed:
+        changed = False
+        for p in plan:
+            t = p["t"]
+            if t.input is start_state:
+                continue
+            consumed = ({d for _, d in p["dst_shadows"]}
+                        if (p["shkey"] is not None
+                            or p["pallas_ci"] is not None) else set())
+            set_by = {d for d, _k, _v in p["start_lanes"]}
+            need = consumed | (live[t.output.id] - set_by)
+            if not need <= live[t.input.id]:
+                live[t.input.id] |= need
+                changed = True
+    lane_slots = sorted((s, ln) for s in ring_states for ln in live[s])
+    return ring_states, lane_slots, live
+
+
+# VMEM budget for the carry-ring scratch; bounds the per-call batch size
+RING_VMEM_BYTES = 48 << 20
+
+
+def max_batch(model: Model, Qp: int, mode: str) -> int:
+    """Largest per-kernel batch whose carry ring fits the VMEM budget."""
+    plan = _build_plan(model)
+    ring_states, lane_slots, _ = _storage_plan(model, plan,
+                                               mode == "region")
+    K = max(max((t.advance_query + t.advance_target
+                 for t in model.transitions), default=1), 1)
+    per_pair = (max(len(ring_states), 1) + max(len(lane_slots), 1)) \
+        * (K + 1) * _qv(Qp) * 4
+    return max(1, RING_VMEM_BYTES // per_pair)
+
+
+def _chunk_pow2(items: list, cap: int):
+    """Split items into chunks of at most cap, each padded (by repeating
+    the final element) to a power of two — bounding both VMEM and the
+    number of distinct traces per (model, bucket)."""
+    chunks = []
+    i = 0
+    while i < len(items):
+        chunk = items[i:i + cap]
+        i += len(chunk)
+        b = 1
+        while b < len(chunk):
+            b *= 2
+        pad = b - len(chunk)
+        chunks.append((chunk, [x for _, x in chunk]
+                       + [chunk[-1][1]] * pad))
+    return chunks
+
+
 def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                            kinds: tuple, meta: dict, names: tuple,
                            interpret: bool | None = None,
@@ -237,63 +334,19 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
     has_blocked = "_blocked" in kind_map
 
-    plan = []
-    for t in model.transitions:
-        if t.input is end_state or t.output is start_state:
-            continue
-        shadow_starts = model.src_shadows(t.input)
-        plan.append(dict(
-            t=t,
-            is_match=t.is_match,
-            key=wf._grid_key(model, t) if t.calc is not None else None,
-            shkey=(f"sh{model.calcs.index(t.calc)}"
-                   if t.calc is not None and t.calc.shadow_fn is not None
-                   and t.calc.pallas_fn is None else None),
-            pallas_ci=(model.calcs.index(t.calc)
-                       if t.calc is not None
-                       and t.calc.pallas_fn is not None else None),
-            start_lanes=[(sh.designation, sh.start,
-                          (f"shv{model.shadows.index(sh)}"
-                           if sh.start_vec_fn is not None else None))
-                         for sh in shadow_starts],
-            dst_shadows=[(sh.name, sh.designation)
-                         for sh in t.dst_shadows],
-        ))
+    plan = _build_plan(model)
 
     # -- static storage planning: the carry ring is the kernel's VMEM
     # bandwidth bill (every diagonal reads+writes per-state planes), so
-    # store only what later diagonals can read --
-    # states read back from the ring = inputs of advancing transitions
-    ring_states = sorted({p["t"].input.id for p in plan
-                          if p["t"].advance_query
-                          + p["t"].advance_target > 0
-                          and p["t"].input is not start_state})
+    # store only what later diagonals can read: ring rows exist for
+    # inputs of advancing transitions; a lane slot (state, lane) exists
+    # iff a fixpoint over the transition graph shows the lane can still
+    # be consumed (shadow read, region-start pick at END) before being
+    # re-set (shadow start, START-exit region lanes) --
+    ring_states, lane_slots, live = _storage_plan(model, plan,
+                                                  want_region)
     ring_row = {s: r for r, s in enumerate(ring_states)}
     NR = max(len(ring_states), 1)
-    # per-state lane liveness (fixpoint over the transition graph):
-    # lane d is live at state s iff some path from s consumes d before
-    # re-setting it.  consumed = shadow lanes read by a calc on an
-    # outgoing transition; set_by = lanes freshly assigned on the
-    # transition (shadow starts, region-start lanes on START exits).
-    live = {s.id: set() for s in model.states}
-    if want_region:
-        live[end_state.id] = {rs_q, rs_t}
-    changed = True
-    while changed:
-        changed = False
-        for p in plan:
-            t = p["t"]
-            if t.input is start_state:
-                continue
-            consumed = ({d for _, d in p["dst_shadows"]}
-                        if (p["shkey"] is not None
-                            or p["pallas_ci"] is not None) else set())
-            set_by = {d for d, _k, _v in p["start_lanes"]}
-            need = consumed | (live[t.output.id] - set_by)
-            if not need <= live[t.input.id]:
-                live[t.input.id] |= need
-                changed = True
-    lane_slots = sorted((s, ln) for s in ring_states for ln in live[s])
     lane_row = {sl: r for r, sl in enumerate(lane_slots)}
     NL = max(len(lane_slots), 1)
 
@@ -744,33 +797,35 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
             for (n, _), r in zip(items, res):
                 out[n] = r
             continue
-        arrays, meta = pack_batched_inputs(
-            model, [inp for _, inp in items], kinds, Qp, Tp)
-        flat, names = _flatten(arrays)
-        if stream is None:
-            vbytes = sum(a.nbytes for a in flat if a.ndim == 2
-                         and a.shape[1] > Qp + 1)
-            use_stream = vbytes > STREAM_VMEM_BYTES
-        else:
-            use_stream = stream
-        meta_key = tuple(sorted(meta.items()))
-        key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-               bool(interpret), use_stream)
-        fn = _CACHE.get(key)
-        if fn is None:
-            fn = _CACHE[key] = build_pallas_wavefront(
-                model, Qp, Tp, mode, kinds, meta, names,
-                interpret=interpret, stream=use_stream)
-        res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
-        res = {k: np.asarray(v) for k, v in res.items()}
-        zeros = np.zeros(len(items), np.int32)
-        for b, (n, _) in enumerate(items):
-            out[n] = DPResult(
-                score=int(res["score"][b]),
-                query_end=int(res["query_end"][b]),
-                target_end=int(res["target_end"][b]),
-                query_start=int(res.get("query_start", zeros)[b]),
-                target_start=int(res.get("target_start", zeros)[b]))
+        cap = max_batch(model, Qp, mode)
+        for chunk, per_pair in _chunk_pow2(items, cap):
+            arrays, meta = pack_batched_inputs(model, per_pair, kinds,
+                                               Qp, Tp)
+            flat, names = _flatten(arrays)
+            if stream is None:
+                vbytes = sum(a.nbytes for a in flat if a.ndim == 2
+                             and a.shape[1] > Qp + 1)
+                use_stream = vbytes > STREAM_VMEM_BYTES
+            else:
+                use_stream = stream
+            meta_key = tuple(sorted(meta.items()))
+            key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
+                   bool(interpret), use_stream)
+            fn = _CACHE.get(key)
+            if fn is None:
+                fn = _CACHE[key] = build_pallas_wavefront(
+                    model, Qp, Tp, mode, kinds, meta, names,
+                    interpret=interpret, stream=use_stream)
+            res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
+            res = {k: np.asarray(v) for k, v in res.items()}
+            zeros = np.zeros(len(per_pair), np.int32)
+            for b, (n, _) in enumerate(chunk):
+                out[n] = DPResult(
+                    score=int(res["score"][b]),
+                    query_end=int(res["query_end"][b]),
+                    target_end=int(res["target_end"][b]),
+                    query_start=int(res.get("query_start", zeros)[b]),
+                    target_start=int(res.get("target_start", zeros)[b]))
     return out
 
 
@@ -801,30 +856,32 @@ def find_batched_sharded(model: Model, jobs: list, mesh,
             for (n, _), r in zip(items, res):
                 out[n] = r
             continue
-        # pad the batch to a device multiple (replicating the last job)
-        per_pair = [inp for _, inp in items]
-        pad = (-len(per_pair)) % n_dev
-        per_pair = per_pair + [per_pair[-1]] * pad
-        arrays, meta = pack_batched_inputs(model, per_pair, kinds, Qp, Tp)
-        flat, names = _flatten(arrays)
-        meta_key = tuple(sorted(meta.items()))
-        key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-               bool(interpret), "mesh", id(mesh))
-        fn = _CACHE.get(key)
-        if fn is None:
-            fn = _CACHE[key] = build_pallas_wavefront(
-                model, Qp, Tp, mode, kinds, meta, names,
-                interpret=interpret, stream=False, shard_mesh=mesh)
-        res = fn(tuple(jnp.asarray(a) for a in flat))
-        res = {k: np.asarray(v) for k, v in res.items()}
-        zeros = np.zeros(len(per_pair), np.int32)
-        for b, (n, _) in enumerate(items):
-            out[n] = DPResult(
-                score=int(res["score"][b]),
-                query_end=int(res["query_end"][b]),
-                target_end=int(res["target_end"][b]),
-                query_start=int(res.get("query_start", zeros)[b]),
-                target_start=int(res.get("target_start", zeros)[b]))
+        cap = max_batch(model, Qp, mode) * n_dev
+        for chunk, per_pair in _chunk_pow2(items, cap):
+            # pad the shard batch to a device multiple as well
+            pad = (-len(per_pair)) % n_dev
+            per_pair = per_pair + [per_pair[-1]] * pad
+            arrays, meta = pack_batched_inputs(model, per_pair, kinds,
+                                               Qp, Tp)
+            flat, names = _flatten(arrays)
+            meta_key = tuple(sorted(meta.items()))
+            key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
+                   bool(interpret), "mesh", id(mesh))
+            fn = _CACHE.get(key)
+            if fn is None:
+                fn = _CACHE[key] = build_pallas_wavefront(
+                    model, Qp, Tp, mode, kinds, meta, names,
+                    interpret=interpret, stream=False, shard_mesh=mesh)
+            res = fn(tuple(jnp.asarray(a) for a in flat))
+            res = {k: np.asarray(v) for k, v in res.items()}
+            zeros = np.zeros(len(per_pair), np.int32)
+            for b, (n, _) in enumerate(chunk):
+                out[n] = DPResult(
+                    score=int(res["score"][b]),
+                    query_end=int(res["query_end"][b]),
+                    target_end=int(res["target_end"][b]),
+                    query_start=int(res.get("query_start", zeros)[b]),
+                    target_start=int(res.get("target_start", zeros)[b]))
     return out
 
 
@@ -918,48 +975,55 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
         if not _supported(kinds) \
                 or not _shadows_supported(model, items[0][1]):
             continue
-        B = len(items)
         S = len(model.states)
         QV = _qv(Qp)
         n_steps = Qp + Tp + 1
-        PB8 = ((((S + 3) // 4) * B + 7) // 8) * 8
-        if n_steps * PB8 * QV * 4 > PATH_TB_BYTES:
+        P4 = (S + 3) // 4
+        tb_cap = PATH_TB_BYTES // max(n_steps * P4 * QV * 4, 1)
+        if tb_cap < 1:
             continue
         if ("_blocked", "blocked") in kinds \
-                and n_steps * B * QV * 4 > BLOCKED_SKEW_BYTES:
+                and n_steps * QV * 4 > BLOCKED_SKEW_BYTES:
             continue
-        arrays, meta = pack_batched_inputs(
-            model, [inp for _, inp in items], kinds, Qp, Tp)
-        flat, names = _flatten(arrays)
-        meta_key = tuple(sorted(meta.items()))
-        key = (id(model), Qp, Tp, "path", kinds, meta_key, names,
-               bool(interpret), False)
-        fn = _CACHE.get(key)
-        if fn is None:
-            fn = _CACHE[key] = build_pallas_wavefront(
-                model, Qp, Tp, "path", kinds, meta, names,
-                interpret=interpret, stream=False)
-        res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
-        cap = n_steps + 256
-        wkey = (id(model), B, cap, "walk")
-        walk = _CACHE.get(wkey)
-        if walk is None:
-            walk = _CACHE[wkey] = _build_walkback(model, B, cap)
-        ops, n_ops, qs, ts = walk(res["tb"], res["query_end"],
-                                  res["target_end"])
-        ops = np.asarray(ops)
-        n_ops = np.asarray(n_ops)
-        qs, ts = np.asarray(qs), np.asarray(ts)
-        score = np.asarray(res["score"])
-        qe, te = np.asarray(res["query_end"]), np.asarray(res["target_end"])
-        for b, (n, _) in enumerate(items):
-            k = int(n_ops[b])
-            if k >= cap:           # walk cap hit: let the caller fall back
-                continue
-            path = [plan_ts[tid - 1] for tid in ops[b, :k][::-1]]
-            r = DPResult(score=int(score[b]),
-                         query_end=int(qe[b]), target_end=int(te[b]),
-                         query_start=int(qs[b]), target_start=int(ts[b]))
-            r.path = path
-            out[n] = r
+        bcap = min(max_batch(model, Qp, "path"), tb_cap,
+                   BLOCKED_SKEW_BYTES // (n_steps * QV * 4)
+                   if ("_blocked", "blocked") in kinds else 1 << 30)
+        for chunk, per_pair in _chunk_pow2(items, bcap):
+            B = len(per_pair)
+            arrays, meta = pack_batched_inputs(model, per_pair, kinds,
+                                               Qp, Tp)
+            flat, names = _flatten(arrays)
+            meta_key = tuple(sorted(meta.items()))
+            key = (id(model), Qp, Tp, "path", kinds, meta_key, names,
+                   bool(interpret), False)
+            fn = _CACHE.get(key)
+            if fn is None:
+                fn = _CACHE[key] = build_pallas_wavefront(
+                    model, Qp, Tp, "path", kinds, meta, names,
+                    interpret=interpret, stream=False)
+            res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
+            cap = n_steps + 256
+            wkey = (id(model), B, cap, "walk")
+            walk = _CACHE.get(wkey)
+            if walk is None:
+                walk = _CACHE[wkey] = _build_walkback(model, B, cap)
+            ops, n_ops, qs, ts = walk(res["tb"], res["query_end"],
+                                      res["target_end"])
+            ops = np.asarray(ops)
+            n_ops = np.asarray(n_ops)
+            qs, ts = np.asarray(qs), np.asarray(ts)
+            score = np.asarray(res["score"])
+            qe = np.asarray(res["query_end"])
+            te = np.asarray(res["target_end"])
+            for b, (n, _) in enumerate(chunk):
+                k = int(n_ops[b])
+                if k >= cap:    # walk cap hit: caller falls back
+                    continue
+                path = [plan_ts[tid - 1] for tid in ops[b, :k][::-1]]
+                r = DPResult(score=int(score[b]),
+                             query_end=int(qe[b]), target_end=int(te[b]),
+                             query_start=int(qs[b]),
+                             target_start=int(ts[b]))
+                r.path = path
+                out[n] = r
     return out
