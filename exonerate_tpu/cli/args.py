@@ -106,8 +106,12 @@ class ArgumentParser:
         i = 0
         while i < len(argv):
             a = argv[i]
-            if a in ("--help", "-h"):
+            if a == "--help":
                 self.print_help()
+                raise SystemExit(0)
+            if a in ("--shorthelp", "-h"):
+                # (ref: argument.c:208-212 -h/--shorthelp)
+                self.print_help(short=True)
                 raise SystemExit(0)
             if a == "--version" or a == "-v":
                 from .. import __version__
@@ -154,18 +158,21 @@ class ArgumentParser:
         else:
             self.values[opt.dest] = opt.parser(vals[0])
 
-    def print_help(self):
+    def print_help(self, short: bool = False):
         print(f"{self.prog}: {self.desc}\n")
         print(f"Usage: {self.prog} [options] <files>\n")
         for aset in self.sets:
             print(f"{aset.name}:")
             for opt in aset.options:
-                short = f"-{opt.short} " if opt.short else ""
+                shortf = f"-{opt.short} " if opt.short else ""
+                if short:
+                    print(f"  {shortf}--{opt.long}")
+                    continue
                 sym = f" <{opt.symbol}>" if opt.symbol else ""
                 default = (f" [default: {opt.default}]"
                            if opt.default is not None else "")
                 first_line = opt.desc.splitlines()[0]
-                print(f"  {short}--{opt.long}{sym}  {first_line}{default}")
+                print(f"  {shortf}--{opt.long}{sym}  {first_line}{default}")
             print()
 
 

@@ -66,6 +66,8 @@ def build_parser() -> A.ArgumentParser:
            A.parse_string)
     an.add(None, "saturatethreshold", "int", "Word saturation threshold",
            "0", A.parse_int)
+    an.add(None, "customserver", "command",
+           "Custom command to send to server", "NULL", A.parse_string)
     an.add("c", "cores", "number", "Number of compute cores/devices", "1",
            A.parse_int)
     p.add_set(an)
@@ -231,6 +233,15 @@ def build_parser() -> A.ArgumentParser:
             A.parse_int)
     p.add_set(ner)
 
+    sdp = A.ArgumentSet("Seeded Dynamic Programming options")
+    sdp.add("x", "extensionthreshold", None,
+            "Gapped extension threshold (subsumed by dense locus DP)",
+            "50", A.parse_int)
+    sdp.add(None, "singlepass", None,
+            "Generate suboptimal alignments in a single pass "
+            "(subsumed by dense locus DP)", "TRUE", A.parse_boolean)
+    p.add_set(sdp)
+
     tr = A.ArgumentSet("Translation Options")
     tr.add(None, "geneticcode", None,
            "Use built-in or custom genetic code", "1", A.parse_string)
@@ -274,6 +285,7 @@ def make_analysis(v: dict, out=None) -> Analysis:
         force_scan=v["forcescan"],
         saturate_threshold=v["saturatethreshold"],
         cores=v["cores"],
+        custom_server=v["customserver"],
     )
     match_args = MatchArgs(
         dna_submat=Submat.create(v["dnasubmat"]),

@@ -36,6 +36,7 @@ class AnalysisArgs:
     force_scan: str = "none"
     saturate_threshold: int = 0
     cores: int = 1
+    custom_server: str | None = None
 
 
 class Analysis:

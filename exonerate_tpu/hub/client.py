@@ -128,6 +128,10 @@ def run_client_analysis(analysis, hostport: str):
     """Drive the server-backed comparison loop
     (ref: Analysis_Server_run, analysis.c:1063-1101)."""
     client = AnalysisClient(hostport)
+    if getattr(analysis.aas, "custom_server", None):
+        # (ref: --customserver, analysis.c:55-58): send a raw custom
+        # command to the server before anything else
+        client.send(analysis.aas.custom_server)
     info = client.dbinfo()
     target_type = (AlphabetType.DNA if info["type"].startswith("dna")
                    else AlphabetType.PROTEIN)
