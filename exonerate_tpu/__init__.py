@@ -20,3 +20,23 @@ __version__ = "0.1.0"
 
 IMPOSSIBLY_LOW_SCORE = -987654321   # ref: src/c4/c4.h:29
 IMPOSSIBLY_HIGH_SCORE = 987654321   # ref: src/c4/c4.h:30
+
+
+def enable_compilation_cache():
+    """Point JAX at a persistent compilation cache so kernel compiles
+    (minutes for fresh Pallas shapes) survive across processes — the
+    runtime analogue of the reference bootstrapper's compiled-model
+    archive (ref: src/model/bootstrapper.c:412-428).  Called by the CLI
+    entry points; honors JAX_COMPILATION_CACHE_DIR if the user set it."""
+    import os
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "exonerate_tpu", "xla")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass

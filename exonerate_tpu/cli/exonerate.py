@@ -358,6 +358,8 @@ def make_analysis(v: dict, out=None) -> Analysis:
 
 
 def main(argv=None, out=None):
+    from .. import enable_compilation_cache
+    enable_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     parser = build_parser()
     v = parser.parse(argv)

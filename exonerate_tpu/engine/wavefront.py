@@ -625,8 +625,29 @@ def find_path(model: Model, region: Region, data,
 # batched pairs (the production throughput path)
 # ---------------------------------------------------------------------------
 
+def _bucket_ladder(max_n: int = 1 << 24, step: int = 256,
+                   ratio: float = 1.25) -> list[int]:
+    """Geometric ladder of padded lengths: each rung is at most `ratio`
+    above the previous, so padding wastes <= ratio while the number of
+    distinct compiled kernel shapes stays logarithmic (each fresh
+    (Qp, Tp) bucket costs a multi-minute Pallas compile — a linear
+    256-step grid causes a compile storm on real locus workloads)."""
+    rungs = [step]
+    while rungs[-1] < max_n:
+        nxt = max(rungs[-1] + step,
+                  ((int(rungs[-1] * ratio) + step - 1) // step) * step)
+        rungs.append(nxt)
+    return rungs
+
+
+_LADDER = _bucket_ladder()
+
+
 def _bucket(n: int, step: int = 256) -> int:
-    return max(step, ((n + step - 1) // step) * step)
+    for r in _LADDER:
+        if n <= r:
+            return r
+    return _LADDER[-1]
 
 
 def _get_batched_fn(model: Model, Qp: int, Tp: int, mode: str,
