@@ -1,0 +1,238 @@
+"""Shared byte-golden parity case list.
+
+Used by tools/refbuild/gen_golden.py (runs the shim-built reference
+binaries, ref: tools/refbuild/build.sh) to produce tests/golden/out/*.txt
+and by tests/test_golden_parity.py (runs the exonerate_tpu CLIs on the
+same argv and compares normalized stdout byte-for-byte).
+
+Fixture inputs are synthesized deterministically into tests/golden/data/
+so both sides read identical files.
+"""
+from __future__ import annotations
+
+import os
+import re
+
+DATA = "/root/reference/test/data"
+CDNA = os.path.join(DATA, "cdna")
+PROT = os.path.join(DATA, "protein")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIXDIR = os.path.join(HERE, "data")
+OUTDIR = os.path.join(HERE, "out")
+
+
+def _mutate(seq: str, n: int, rng) -> str:
+    s = list(seq)
+    for _ in range(n):
+        s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+    return "".join(s)
+
+
+def make_fixtures(dirpath: str = FIXDIR) -> None:
+    """Deterministic fixture files (genome with introns, short pair,
+    annotation, ipcress experiments, softmasked query)."""
+    import numpy as np
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(11)
+
+    calm = None
+    with open(os.path.join(CDNA, "calm.human.dna.fasta")) as f:
+        calm = "".join(ln.strip() for ln in f if not ln.startswith(">"))
+    cdna = calm[:1200].upper()
+
+    # genome.fa: three exons of the calm cDNA separated by GT..AG introns
+    # inside random background (the est2genome/protein2genome target).
+    exons = [cdna[:400], cdna[400:800], cdna[800:]]
+    bg = rng.choice(list("acgt"), 12000).tolist()
+    pos = 3000
+    for i, exon in enumerate(exons):
+        bg[pos:pos + len(exon)] = list(exon)
+        pos += len(exon)
+        if i < len(exons) - 1:
+            ilen = 400 + 200 * i
+            intron = (["g", "t"]
+                      + rng.choice(list("acgt"), ilen - 4).tolist()
+                      + ["a", "g"])
+            bg[pos:pos + ilen] = intron
+            pos += ilen
+    genome = "".join(bg)
+    _write_fasta(os.path.join(dirpath, "genome.fa"), [("gfix", genome)])
+
+    # mutated query cDNA (so scores are not trivial self-matches)
+    _write_fasta(os.path.join(dirpath, "cdna_mut.fa"),
+                 [("qmut", _mutate(cdna, 24, rng))])
+
+    # short pair for exhaustive mode
+    s1 = "".join(rng.choice(list("ACGT"), 300).tolist())
+    s2 = _mutate(s1, 30, rng)
+    _write_fasta(os.path.join(dirpath, "short1.fa"), [("s1", s1)])
+    _write_fasta(os.path.join(dirpath, "short2.fa"), [("s2", s2)])
+
+    # two short proteins for exhaustive affine variants
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    p1 = "".join(rng.choice(aas, 120).tolist())
+    p2l = list(p1)
+    for _ in range(18):
+        p2l[int(rng.integers(0, len(p2l)))] = str(rng.choice(aas))
+    _write_fasta(os.path.join(dirpath, "prot1.fa"), [("pr1", p1)])
+    _write_fasta(os.path.join(dirpath, "prot2.fa"), [("pr2", "".join(p2l))])
+
+    # NER pair: two conserved blocks joined by unrelated linkers
+    blockA = "".join(rng.choice(aas, 60).tolist())
+    blockB = "".join(rng.choice(aas, 60).tolist())
+    link1 = "".join(rng.choice(aas, 25).tolist())
+    link2 = "".join(rng.choice(aas, 40).tolist())
+    _write_fasta(os.path.join(dirpath, "ner1.fa"),
+                 [("n1", blockA + link1 + blockB)])
+    _write_fasta(os.path.join(dirpath, "ner2.fa"),
+                 [("n2", blockA + link2 + blockB)])
+
+    # annotation file for cdna2genome: CDS from 61, length 900 (+ strand)
+    with open(os.path.join(dirpath, "annot.txt"), "w") as f:
+        f.write("qmut + 61 900\n")
+
+    # ipcress experiment file (reference's own simple test case)
+    with open(os.path.join(dirpath, "test.ipcress"), "w") as f:
+        f.write("test_primer CGCGGACGCGCG GTATTTTATTGG 2000 2500\n")
+
+    # softmasked copy of the calm cDNA (lowercase middle third)
+    third = len(calm) // 3
+    soft = calm[:third] + calm[third:2 * third].lower() + calm[2 * third:]
+    _write_fasta(os.path.join(dirpath, "calm_soft.fa"), [("soft", soft)])
+
+
+def _write_fasta(path, entries, width=60):
+    with open(path, "w") as f:
+        for name, seq in entries:
+            f.write(">" + name + "\n")
+            for i in range(0, len(seq), width):
+                f.write(seq[i:i + width] + "\n")
+
+
+_calm_dna = os.path.join(CDNA, "calm.human.dna.fasta")
+_p53_dna = os.path.join(CDNA, "p53.human.dna.fasta")
+_htrt_dna = os.path.join(CDNA, "htrt.human.dna.fasta")
+_calm_prot = os.path.join(PROT, "calm.human.protein.fasta")
+_p53_prot = os.path.join(PROT, "p53.human.protein.fasta")
+_genome = os.path.join(FIXDIR, "genome.fa")
+_cdna_mut = os.path.join(FIXDIR, "cdna_mut.fa")
+_short1 = os.path.join(FIXDIR, "short1.fa")
+_short2 = os.path.join(FIXDIR, "short2.fa")
+_prot1 = os.path.join(FIXDIR, "prot1.fa")
+_prot2 = os.path.join(FIXDIR, "prot2.fa")
+_annot = os.path.join(FIXDIR, "annot.txt")
+_ipcress = os.path.join(FIXDIR, "test.ipcress")
+_calm_soft = os.path.join(FIXDIR, "calm_soft.fa")
+_ner1 = os.path.join(FIXDIR, "ner1.fa")
+_ner2 = os.path.join(FIXDIR, "ner2.fa")
+
+_NOAL = ["--showalignment", "no"]
+_VULG = ["--showvulgar", "yes"]
+
+# (name, program, argv).  program in {"exonerate", "ipcress", <utilname>}.
+CASES = [
+    # seeded heuristic pipeline, assorted models & output blocks
+    ("ungapped_self", "exonerate",
+     ["-m", "ungapped", "--bestn", "1", _calm_dna, _calm_dna]
+     + _VULG + ["--showsugar", "yes", "--showcigar", "yes"] + _NOAL),
+    ("affine_local_dna_cross", "exonerate",
+     ["-m", "affine:local", _cdna_mut, _calm_dna] + _VULG + _NOAL),
+    ("affine_local_prot_align", "exonerate",
+     ["-m", "affine:local", _calm_prot, _calm_prot,
+      "--showalignment", "yes"] + _VULG),
+    ("est2genome_genomic", "exonerate",
+     ["-m", "est2genome", _cdna_mut, _genome,
+      "--showalignment", "yes", "--showtargetgff", "yes"] + _VULG),
+    ("est2genome_bestn", "exonerate",
+     ["-m", "est2genome", "--bestn", "3", _calm_dna, _genome]
+     + _VULG + _NOAL),
+    ("protein2dna", "exonerate",
+     ["-m", "protein2dna", _calm_prot, _calm_dna,
+      "--showalignment", "yes", "--showsugar", "yes"] + _VULG),
+    ("protein2genome_gff", "exonerate",
+     ["-m", "protein2genome", _calm_prot, _genome,
+      "--showtargetgff", "yes", "--showalignment", "yes"] + _VULG),
+    ("coding2coding", "exonerate",
+     ["-m", "coding2coding", _cdna_mut, _calm_dna] + _VULG + _NOAL),
+    ("coding2genome", "exonerate",
+     ["-m", "coding2genome", _cdna_mut, _genome] + _VULG + _NOAL),
+    ("cdna2genome_annot", "exonerate",
+     ["-m", "cdna2genome", "--annotation", _annot, _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("ner_prot", "exonerate",
+     ["-m", "ner", _ner1, _ner2, "--showalignment", "yes"] + _VULG),
+    ("genome2genome", "exonerate",
+     ["-m", "genome2genome", _cdna_mut, _genome] + _VULG + _NOAL),
+    ("ungapped_trans", "exonerate",
+     ["-m", "ungapped:trans", _cdna_mut, _calm_dna, "--bestn", "2"]
+     + _VULG + _NOAL),
+
+    # exhaustive DP
+    ("exhaustive_affine_local", "exonerate",
+     ["-m", "affine:local", "-E", "yes", "-S", "no", _short1, _short2,
+      "--showalignment", "yes"] + _VULG),
+    ("exhaustive_affine_global", "exonerate",
+     ["-m", "affine:global", "-E", "yes", "-S", "no", _prot1, _prot2,
+      "--showalignment", "yes"] + _VULG),
+    ("exhaustive_affine_bestfit", "exonerate",
+     ["-m", "affine:bestfit", "-E", "yes", "-S", "no", _prot1, _prot2]
+     + _VULG + _NOAL),
+    ("exhaustive_affine_overlap", "exonerate",
+     ["-m", "affine:overlap", "-E", "yes", "-S", "no", _prot1, _prot2]
+     + _VULG + _NOAL),
+    ("exhaustive_subopt", "exonerate",
+     ["-m", "affine:local", "-E", "yes", "--bestn", "3", _short1, _short2]
+     + _VULG + _NOAL),
+
+    # output formats / options
+    ("ryo_tokens", "exonerate",
+     ["-m", "affine:local", _cdna_mut, _calm_dna, "--ryo",
+      "R %qi %ql %qab %qae %ti %tl %tab %tae %s %pi %pI %ps %et %ei %em\\n"]
+     + _NOAL),
+    ("querygff", "exonerate",
+     ["-m", "est2genome", _cdna_mut, _genome, "--showquerygff", "yes"]
+     + _NOAL),
+    ("percent_filter", "exonerate",
+     ["-m", "affine:local", "--percent", "80", _cdna_mut, _calm_dna]
+     + _VULG + _NOAL),
+    ("softmask_query", "exonerate",
+     ["-m", "affine:local", "--softmaskquery", "yes", _calm_soft,
+      _cdna_mut] + _VULG + _NOAL),
+    ("wordlen_score_opts", "exonerate",
+     ["-m", "affine:local", "--dnawordlen", "8", "--score", "200",
+      _cdna_mut, _calm_dna] + _VULG + _NOAL),
+    ("gapped_no_extension", "exonerate",
+     ["-m", "est2genome", "--gappedextension", "no", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("revcomp_target", "exonerate",
+     ["-m", "ungapped", "--bestn", "2", _cdna_mut, _calm_dna]
+     + _VULG + _NOAL),
+
+    # ipcress
+    ("ipcress_simple", "ipcress", [_ipcress, _calm_dna]),
+
+    # fasta utilities (each of the 24 that makes sense on these files)
+    ("util_fastalength", "fastalength", [_calm_dna]),
+    ("util_fastacomposition", "fastacomposition", [_calm_dna]),
+    ("util_fastarevcomp", "fastarevcomp", [_calm_dna]),
+    ("util_fastatranslate", "fastatranslate", [_calm_dna]),
+    ("util_fastachecksum", "fastachecksum", [_calm_dna]),
+    ("util_fastaclean", "fastaclean", [_calm_soft]),
+    ("util_fastahardmask", "fastahardmask", [_calm_soft]),
+    ("util_fastareformat", "fastareformat", [_calm_soft]),
+    ("util_fastasort", "fastasort", [_p53_dna]),
+    ("util_fastasubseq", "fastasubseq", [_calm_dna, "100", "240"]),
+    ("util_fastaclip", "fastaclip", [_calm_soft]),
+    ("util_fastanrdb", "fastanrdb", [_calm_dna]),
+]
+
+_CMDLINE_RE = re.compile(r"^Command line: \[.*\]$", re.M)
+_HOSTNAME_RE = re.compile(r"^Hostname: \[.*\]$", re.M)
+
+
+def normalize(text: str) -> str:
+    """Mask run-environment lines; everything else must match exactly."""
+    text = _CMDLINE_RE.sub("Command line: [NORMALIZED]", text)
+    text = _HOSTNAME_RE.sub("Hostname: [NORMALIZED]", text)
+    return text

@@ -3,9 +3,14 @@
 #include "glib.h"
 
 /* ---- assertions ---- */
+#include <execinfo.h>
 void g_assertion_failed(const char *file, int line, const char *expr){
+    void *frames[32];
+    int n;
     fprintf(stderr, "** assertion failed: (%s) at %s:%d\n",
             expr, file, line);
+    n = backtrace(frames, 32);
+    backtrace_symbols_fd(frames, n, 2);
     abort();
 }
 
