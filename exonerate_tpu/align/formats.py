@@ -63,23 +63,30 @@ def _cigar_type(t) -> tuple[str, int]:
 
 
 def cigar_block(alignment: Alignment) -> str:
-    parts: list[str] = []
+    """(ref: Alignment_print_cigar_block, alignment.c:1656-1681).  The
+    separator flips to " " whenever a group *ends*, even a zero-move
+    group that prints nothing — so an alignment whose op list starts
+    with a silent transition gets a leading space (reference emits a
+    double space after the sugar score in that case).  Byte parity
+    requires reproducing that."""
+    out: list[str] = []
+    gap = ""
     ops = alignment.ops
-    t0, unit = _cigar_type(ops[0].transition)
+    ctype, unit = _cigar_type(ops[0].transition)
     move = unit * ops[0].length
-    ctype = t0
     for op in ops[1:]:
-        ntype, unit = _cigar_type(op.transition)
-        nmove = unit * op.length
+        ntype, nunit = _cigar_type(op.transition)
+        nmove = nunit * op.length
         if ntype == ctype:
             move += nmove
         else:
             if move:
-                parts.append(f"{ctype} {move}")
+                out.append(f"{gap}{ctype} {move}")
             ctype, move = ntype, nmove
+            gap = " "
     if move:
-        parts.append(f"{ctype} {move}")
-    return " ".join(parts)
+        out.append(f"{gap}{ctype} {move}")
+    return "".join(out)
 
 
 _VULGAR_LABEL = {

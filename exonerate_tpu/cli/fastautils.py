@@ -75,8 +75,9 @@ def fastarevcomp_main(argv, out):
     for seq in FastaDB(_input_paths(v)):
         rc = seq.revcomp()
         rc.id = seq.id
-        rc.definition = ((seq.definition + " " if seq.definition else "")
-                         + "[revcomp]")
+        # def suffix convention (ref: sequence.c:407-409)
+        rc.definition = ((seq.definition + ":[revcomp]")
+                         if seq.definition else "[revcomp]")
         write_fasta(rc, out)
 
 
@@ -137,6 +138,9 @@ def fastaclean_main(argv, out):
                ("a", "acgtn", None, "Only allow [ACGTN] symbols", "FALSE",
                 A.parse_boolean, "acgtn")]).parse(argv)
     from ..alphabet import IS_PROTEIN, IS_DNA, IS_DNA_CORE
+    # id rename convention (ref: sequence.c:453-460 Sequence_filter,
+    # filter names from alphabet.c Alphabet_Filter_Type_get_name)
+    fname = "clean_acgtn" if v["acgtn"] else "clean"
     for seq in FastaDB(_input_paths(v)):
         data = seq.data.copy()
         lower = IS_SOFTMASKED[data]
@@ -148,21 +152,26 @@ def fastaclean_main(argv, out):
             bad = ~(IS_DNA_CORE if v["acgtn"] else IS_DNA)[data]
             data[bad & ~lower] = ord("N")
             data[bad & lower] = ord("n")
-        write_fasta(Sequence(seq.id, seq.definition, data, seq.alphabet),
-                    out)
+        write_fasta(Sequence(f"{seq.id}:filter({fname})", seq.definition,
+                             data, seq.alphabet), out)
 
 
 def fastahardmask_main(argv, out):
-    """Softmasked (lowercase) -> N/X (ref: src/util/fastahardmask.c)."""
+    """Apply the alphabet's MASKED filter (ref: src/util/fastahardmask.c).
+
+    Reference quirk preserved for byte parity: fastahardmask opens its
+    FastaDB with a non-softmasked alphabet, whose MASKED filter is plain
+    TO_UPPER (alphabet.c Alphabet_create: masked=TO_UPPER unless
+    is_soft_masked) — so the output is simply uppercased, never
+    N-masked.  The id gains the :filter(masked) rename
+    (sequence.c:453-460)."""
     v = _simple_parser("fastahardmask",
                        "A utility to convert soft masked sequence to hard"
                        " masked").parse(argv)
     for seq in FastaDB(_input_paths(v)):
-        is_protein = seq.alphabet.type == AlphabetType.PROTEIN
-        data = seq.data.copy()
-        data[IS_SOFTMASKED[data]] = ord("X") if is_protein else ord("N")
-        write_fasta(Sequence(seq.id, seq.definition, data, seq.alphabet),
-                    out)
+        data = TO_UPPER[seq.data]
+        write_fasta(Sequence(f"{seq.id}:filter(masked)", seq.definition,
+                             data, seq.alphabet), out)
 
 
 def fastasoftmask_main(argv, out):
@@ -219,16 +228,26 @@ def fastaclip_main(argv, out):
 def fastasubseq_main(argv, out):
     v = _simple_parser(
         "fastasubseq", "A utility to extract subsequences",
-        extra=[("s", "start", "start", "Subsequence start", "0",
+        extra=[("s", "start", "start", "Subsequence start", None,
                 A.parse_int, "start"),
-               ("l", "length", "length", "Subsequence length", "-1",
+               ("l", "length", "length", "Subsequence length", None,
                 A.parse_int, "length")]).parse(argv)
-    for seq in FastaDB(_input_paths(v)):
-        length = v["length"] if v["length"] >= 0 else len(seq) - v["start"]
-        if v["start"] + length > len(seq):
+    # mandatory options fill from positionals in registration order
+    # (ref: argument.c positional shorthand; fastasubseq.c f/s/l)
+    pos = list(v.get("_positional", []))
+    path = v.get("fasta") or (pos.pop(0) if pos else None)
+    start = v.get("start") if v.get("start") is not None else (
+        int(pos.pop(0)) if pos else 0)
+    length = v.get("length") if v.get("length") is not None else (
+        int(pos.pop(0)) if pos else -1)
+    if path is None:
+        raise SystemExit("no fasta input specified")
+    for seq in FastaDB([path]):
+        n = length if length >= 0 else len(seq) - start
+        if start + n > len(seq):
             raise SystemExit("fastasubseq: subseq outside sequence")
-        sub = seq.subseq(v["start"], length)
-        sub.id = f"{seq.id}:subseq({v['start']},{length})"
+        sub = seq.subseq(start, n)
+        sub.id = f"{seq.id}:subseq({start},{n})"
         write_fasta(sub, out)
 
 
@@ -243,14 +262,20 @@ def fastatranslate_main(argv, out):
                 A.parse_string, "geneticcode")]).parse(argv)
     from ..translate import GeneticCode
     code = GeneticCode(v["geneticcode"])
+    # all-frames order is -3,-2,-1,1,2,3 (ref: fastatranslate.c:24-30);
+    # id stays, def gains :[revcomp] / :[translate(n)] suffixes
+    # (ref: sequence.c:407-409,527-529)
     frames = ([v["frame"]] if v["frame"]
-              else [1, 2, 3, -1, -2, -3])
+              else [-3, -2, -1, 1, 2, 3])
     for seq in FastaDB(_input_paths(v)):
         for frame in frames:
             pep = code.translate(seq.data, frame)
-            tr = Sequence(f"{seq.id}:[translate({frame})]",
-                          seq.definition, pep,
-                          Alphabet(AlphabetType.PROTEIN))
+            d = seq.definition
+            if frame < 0:
+                d = (d + ":[revcomp]") if d else "[revcomp]"
+            n = abs(frame)
+            d = (d + f":[translate({n})]") if d else f"[translate({n})]"
+            tr = Sequence(seq.id, d, pep, Alphabet(AlphabetType.PROTEIN))
             write_fasta(tr, out)
 
 
@@ -391,28 +416,51 @@ def fastanrdb_main(argv, out):
                 A.parse_boolean, "ignorecase"),
                ("r", "revcomp", None, "Also compare revcomp sequences",
                 "FALSE", A.parse_boolean, "revcomp")]).parse(argv)
-    groups: dict[bytes, list[Sequence]] = {}
-    order: list[bytes] = []
+    def norm(data):
+        return (TO_UPPER[data] if v["ignorecase"] else data).tobytes()
+
+    # entry = (seq, is_revcomp); with -r a revcomp twin is added unless
+    # palindromic (ref: fastanrdb.c:69-90)
+    entries: list[tuple[Sequence, bool]] = []
     for seq in FastaDB(_input_paths(v)):
-        key = seq.data.tobytes()
-        if v["ignorecase"]:
-            key = TO_UPPER[seq.data].tobytes()
+        entries.append((seq, False))
         if v["revcomp"]:
-            rc = COMPLEMENT[(TO_UPPER[seq.data] if v["ignorecase"]
-                             else seq.data)[::-1]].tobytes()
-            if rc in groups and key not in groups:
-                key = rc
-        if key not in groups:
-            groups[key] = []
-            order.append(key)
-        groups[key].append(seq)
-    for key in order:
-        seqs = groups[key]
-        head = seqs[0]
-        merged = Sequence(head.id,
-                          " ".join(s.id for s in seqs[1:]) or None,
-                          head.data, head.alphabet)
-        write_fasta(merged, out)
+            rc = seq.revcomp()
+            rc.id = seq.id
+            if norm(rc.data) != norm(seq.data):
+                entries.append((rc, True))
+
+    # stable sort by GCG checksum, group adjacent equal sequences
+    # (ref: NRDB_Data_sort_checksum_function + merge scan)
+    entries.sort(key=lambda e: e[0].gcg_checksum())
+    used = [False] * len(entries)
+    for i, (sa, _) in enumerate(entries):
+        if used[i]:
+            continue
+        group = [entries[i]]
+        used[i] = True
+        for j in range(i + 1, len(entries)):
+            sb = entries[j][0]
+            if sb.gcg_checksum() != sa.gcg_checksum():
+                break
+            if used[j] or len(sb) != len(sa):
+                continue
+            if norm(sb.data) == norm(sa.data):
+                group.append(entries[j])
+                used[j] = True
+        # report (ref: NRDB_Data_report_redundant_set): first forward
+        # member leads; suppressed when revcomp copies dominate
+        forward = [s for s, isrc in group if not isrc]
+        reverse = [s for s, isrc in group if isrc]
+        if not forward or len(forward) < len(reverse):
+            continue
+        leader, rest = forward[0], forward[1:]
+        merged = "".join(" " + s.id for s in rest)
+        merged += "".join(" " + s.id + ".revcomp" for s in reverse)
+        out.write(">" + leader.id + " " + merged + "\n")
+        s = leader.data.tobytes().decode()
+        for k in range(0, max(len(s), 1), 70):
+            out.write(s[k:k + 70] + "\n")
 
 
 def fastadiff_main(argv, out):

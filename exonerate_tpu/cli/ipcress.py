@@ -299,7 +299,12 @@ def main(argv=None, out=None):
                                    int(parts[3]), int(parts[4]))
             pcr.add_experiment(eid, pa, pb, mn, mx)
     for seq in FastaDB(seq_paths):
-        pcr.simulate(seq, out)
+        # reference scans an UNMASKED (TO_UPPER) filter view, which
+        # renames the id (ref: ipcress.c:298, sequence.c:453-460)
+        from ..seqio import Sequence as _S
+        filt = _S(seq.id + ":filter(unmasked)", seq.definition,
+                  TO_UPPER[seq.data], seq.alphabet, seq.strand)
+        pcr.simulate(filt, out)
     out.write("-- completed ipcress analysis\n")
     return 0
 

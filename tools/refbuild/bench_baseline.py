@@ -1,0 +1,131 @@
+"""Measure the single-core C reference baseline (BASELINE.json configs)
+using the shim-built binaries (tools/refbuild/build.sh [fast]).
+
+Writes BASELINE_MEASURED.json at the repo root and prints a table.
+exonerate-fast (bootstrapper codegen, -DG_DISABLE_ASSERT -O2) is used
+when present — that is the reference's real production configuration.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+BIN = os.path.join(REPO, "build", "ref", "bin")
+DATA = "/root/reference/test/data"
+FIX = os.path.join(REPO, "tests", "golden", "data")
+
+sys.path.insert(0, os.path.join(REPO, "tests", "golden"))
+
+
+def exonerate_bin():
+    fast = os.path.join(BIN, "exonerate-fast")
+    return fast if os.path.exists(fast) else os.path.join(BIN, "exonerate")
+
+
+def run(cmd, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            raise RuntimeError(f"{cmd}: rc={r.returncode}\n{r.stderr[-500:]}")
+        best = dt if best is None else min(best, dt)
+    return best, r.stdout
+
+
+def genome_scan_fixture(n_genes=8, n_queries=16, genome_mb=1.0, tmp="/tmp/bl"):
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import numpy as np
+    from genome_scan import synthesize
+    os.makedirs(tmp, exist_ok=True)
+    rng = np.random.default_rng(7)
+    cdna, genome, loci = synthesize(n_genes, int(genome_mb * 1e6), rng)
+    queries = []
+    for _ in range(n_queries):
+        q = list(cdna)
+        for _ in range(len(q) // 50):
+            q[rng.integers(0, len(q))] = rng.choice(list("ACGT"))
+        queries.append("".join(q))
+    qf, tf = os.path.join(tmp, "q.fa"), os.path.join(tmp, "t.fa")
+    with open(qf, "w") as f:
+        for i, q in enumerate(queries):
+            f.write(f">q{i}\n{q}\n")
+    with open(tf, "w") as f:
+        f.write(">genome\n" + genome + "\n")
+    return qf, tf, n_queries
+
+
+def main():
+    import cases
+    cases.make_fixtures()
+    exo = exonerate_bin()
+    results = {}
+    noal = ["--showalignment", "no", "--showvulgar", "yes"]
+
+    # config 1: affine:local DNA-vs-DNA (exonerate defaults)
+    dt, _ = run([exo, "-m", "affine:local",
+                 os.path.join(FIX, "cdna_mut.fa"),
+                 os.path.join(DATA, "cdna", "calm.human.dna.fasta")] + noal)
+    results["affine_local_dna"] = {"seconds": dt}
+
+    # config 2: affine:global + bestfit protein-vs-protein (exhaustive
+    # pair DP; blosum62 is the default protein submat)
+    t = 0.0
+    for variant in ("affine:global", "affine:bestfit"):
+        dt, _ = run([exo, "-m", variant, "-E", "yes", "-S", "no",
+                     os.path.join(DATA, "protein", "calm.human.protein.fasta"),
+                     os.path.join(DATA, "protein", "p53.human.protein.fasta")]
+                    + noal)
+        t += dt
+    results["affine_global_bestfit_prot"] = {"seconds": t}
+
+    # config 3: est2genome spliced alignment to a genomic region
+    dt, _ = run([exo, "-m", "est2genome",
+                 os.path.join(FIX, "cdna_mut.fa"),
+                 os.path.join(FIX, "genome.fa")] + noal)
+    results["est2genome_genomic"] = {"seconds": dt}
+
+    # config 4: protein2genome --exhaustive with full traceback
+    q, t_ = (os.path.join(DATA, "protein", "calm.human.protein.fasta"),
+             os.path.join(FIX, "genome.fa"))
+    dt, _ = run([exo, "-m", "protein2genome", "-E", "yes", "-S", "no",
+                 q, t_] + noal, reps=1)
+    qlen, tlen = 149, 12000
+    results["protein2genome_exhaustive"] = {
+        "seconds": dt, "cells": qlen * tlen,
+        "mcups": qlen * tlen / dt / 1e6}
+
+    # config 5: heuristic multi-query scan (16 mutated cDNAs vs 1 Mb
+    # synthetic genome, est2genome)
+    qf, tf, nq = genome_scan_fixture()
+    dt, out = run([exo, "-m", "est2genome", "--bestn", "1",
+                   "--maxintron", "20000", qf, tf] + noal, reps=1)
+    nvulgar = sum(1 for ln in out.splitlines() if ln.startswith("vulgar:"))
+    results["heuristic_genome_scan"] = {
+        "seconds": dt, "queries": nq, "queries_per_sec": nq / dt,
+        "alignments": nvulgar}
+
+    # headline kernel metric: exhaustive est2genome DP on the 2175x2175
+    # calm self-pair = the bench.py workload (region+path, full DP)
+    calm = os.path.join(DATA, "cdna", "calm.human.dna.fasta")
+    dt, _ = run([exo, "-m", "est2genome", "-E", "yes", "-S", "no",
+                 "--bestn", "1", calm, calm] + noal, reps=1)
+    cells = 2175 * 2175
+    results["est2genome_exhaustive_2175"] = {
+        "seconds": dt, "cells": cells, "mcups": cells / dt / 1e6}
+
+    out = {"binary": os.path.basename(exo), "host": "single-core C",
+           "results": results}
+    with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

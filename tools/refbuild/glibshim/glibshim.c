@@ -4,6 +4,23 @@
 
 /* ---- assertions ---- */
 #include <execinfo.h>
+#include <signal.h>
+
+static void shim_segv_handler(int sig){
+    void *frames[32];
+    int n = backtrace(frames, 32);
+    fprintf(stderr, "** caught signal %d\n", sig);
+    backtrace_symbols_fd(frames, n, 2);
+    signal(sig, SIG_DFL);
+    raise(sig);
+}
+
+__attribute__((constructor))
+static void shim_install_handlers(void){
+    signal(SIGSEGV, shim_segv_handler);
+    signal(SIGBUS, shim_segv_handler);
+}
+
 void g_assertion_failed(const char *file, int line, const char *expr){
     void *frames[32];
     int n;
