@@ -80,6 +80,13 @@ def _percent_region(alignment: Alignment, data, report_id: bool,
     return match / total * 100.0
 
 
+from ..alphabet import AlphabetType
+
+# (ref: Alphabet_Type_get_name, alphabet.c:299-311)
+_TYPE_NAME = {AlphabetType.DNA: "DNA", AlphabetType.PROTEIN: "Protein",
+              AlphabetType.UNKNOWN: "Unknown"}
+
+
 def display_gff(alignment: Alignment, query: Sequence, target: Sequence,
                 data, on_query: bool, on_genomic: bool,
                 args: Optional[AlignmentArgs] = None,
@@ -93,7 +100,7 @@ def display_gff(alignment: Alignment, query: Sequence, target: Sequence,
                f"##source-version {PACKAGE}:{alignment.model.name} "
                f"{VERSION}\n"
                f"##date {date}\n"
-               f"##type {seq.alphabet.type.value}\n"
+               f"##type {_TYPE_NAME[seq.alphabet.type]}\n"
                "#\n")
     out.append("#\n# seqname source feature start end"
                " score strand frame attributes\n#\n")

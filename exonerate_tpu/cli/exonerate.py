@@ -277,6 +277,8 @@ def make_analysis(v: dict, out=None) -> Analysis:
         use_gapped_extension=v["gappedextension"],
         refinement=Refinement(v["refine"]),
         refinement_boundary=v["refineboundary"],
+        extension_threshold=v["extensionthreshold"],
+        single_pass=v["singlepass"],
     )
     aas = AnalysisArgs(
         use_exhaustive=v["exhaustive"],

@@ -1,0 +1,669 @@
+"""Seeded DP (the reference's default gapped heuristic), exact semantics.
+
+This reproduces the observable behaviour of the reference SDP/Scheduler
+stack (ref: src/sdp/sdp.c, src/sdp/scheduler.c) so heuristic alignments
+are byte-identical to reference exonerate:
+
+- seeds = the comparison's HSPs, cobs-sorted in forward DP order and
+  deduped (ref: SDP_Pair_create_seed_list, sdp.c:439-494);
+- a *reverse* sparse extension pass from the seed cobs points finds the
+  best start per seed (or, for models with spans/shadows, the boundary
+  of reachable start cells; ref: SDP_Pair_find_start_points);
+- a *forward* pass from those starts finds the best end per seed, with
+  per-path maximum tracking and dropoff pruning
+  (ref: Scheduler_Cell_process, scheduler.c:860-1070);
+- spans (introns, NERs) cross the DP through freeze/thaw of "span
+  seeds" rather than cell-by-cell loops (ref: Scheduler_SpanData_submit
+  / _get_curr, scheduler.c:567-645);
+- paths are extracted per seed, best-first; in single-pass mode a path
+  overlapping an already-reported alignment is discarded outright
+  (ref: SDP_Pair_next_path, sdp.c:743-814).
+
+Tie-breaking is order-faithful: rows ascend, cells within a row ascend,
+transitions are evaluated in reverse model order, and a destination
+keeps its existing value on ties (first writer wins; ref:
+scheduler.c:887-888, 1048-1051).  Start/end registration happens only
+when the assigned score is the running maximum of its own path (ref:
+Scheduler_Cell_assign, scheduler.c:804-830).
+
+This module is the semantic oracle; the vectorized JAX/Pallas execution
+of the same recurrence plugs in underneath (engine/wavefront.py lanes).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .. import IMPOSSIBLY_LOW_SCORE
+from ..align.alignment import Alignment
+from ..model.ir import Label, Model, Protect, Transition
+from .region import Region
+
+NEG = IMPOSSIBLY_LOW_SCORE
+
+
+@dataclass
+class SdpArgs:
+    """(ref: SDP_ArgumentSet, sdp.c:28-32)."""
+    dropoff: int = 50          # -x / --extensionthreshold
+    single_pass: bool = True   # --singlepass
+
+
+class _TB:
+    """Sparse traceback cell (ref: STraceback_Cell, straceback.h:31-44)."""
+    __slots__ = ("transition", "length", "prev")
+
+    def __init__(self, transition, length, prev):
+        self.transition = transition
+        self.length = length
+        self.prev = prev
+
+
+def _tb_ops(tb: Optional[_TB]) -> list[tuple[Transition, int]]:
+    """Chain -> [(transition, length)] ordered far-to-near reversed, i.e.
+    earliest op first (ref: STraceback_List_create)."""
+    ops = []
+    while tb is not None:
+        ops.append((tb.transition, tb.length))
+        tb = tb.prev
+    ops.reverse()
+    return ops
+
+
+class _Cell:
+    __slots__ = ("score", "pmax", "seed", "shadow", "tb", "thaw")
+
+    def __init__(self, n_states: int, n_shadow: int, thaw: bool):
+        self.score = [NEG] * n_states
+        self.pmax = [NEG] * n_states
+        self.seed = [0] * n_states
+        self.shadow = ([[0] * n_shadow for _ in range(n_states)]
+                       if n_shadow else None)
+        self.tb: list = [None] * n_states
+        self.thaw = thaw
+
+
+class _SpanSeed:
+    __slots__ = ("score", "pmax", "seed", "shadow", "tb",
+                 "q_entry", "t_entry")
+
+    def __init__(self, score, pmax, seed, shadow, tb, q_entry, t_entry):
+        self.score = score
+        self.pmax = pmax
+        self.seed = seed
+        self.shadow = list(shadow) if shadow is not None else None
+        self.tb = tb
+        self.q_entry = q_entry
+        self.t_entry = t_entry
+
+
+@dataclass
+class _Terminal:
+    """(ref: SDP_Terminal)."""
+    score: int = NEG
+    qpos: int = 0
+    tpos: int = 0
+    tb: Optional[_TB] = None
+
+
+class _Seed:
+    __slots__ = ("seed_id", "hsp", "q_cobs", "t_cobs", "hsp_score",
+                 "max_start", "max_end")
+
+    def __init__(self, seed_id, hsp, q_cobs, t_cobs, hsp_score):
+        self.seed_id = seed_id
+        self.hsp = hsp
+        self.q_cobs = q_cobs
+        self.t_cobs = t_cobs
+        self.hsp_score = hsp_score
+        self.max_start = _Terminal()
+        self.max_end = _Terminal()
+
+
+def model_uses_boundary(model: Model) -> bool:
+    """(ref: SDP_create, sdp.c:299-321): bidirectional (no-boundary)
+    SDP only for models with no shadows, no spans and a single portal
+    with a single transition."""
+    if model.shadows or model.spans:
+        return True
+    if len(model.portals) != 1:
+        return True
+    portal = model.portals[0]
+    ntrans = sum(1 for t in model.transitions
+                 if t.calc is portal.calc and t.label == Label.MATCH)
+    return ntrans != 1
+
+
+def _grid_at(grid, i, j):
+    if grid.ndim == 0:
+        return int(grid)
+    return int(grid[i if grid.shape[0] > 1 else 0,
+                    j if grid.shape[1] > 1 else 0])
+
+
+class _Pass:
+    """One scheduler pass (forward or reverse) over a pair.
+
+    Works in *processing coordinates*: forward pass pq=q, pt=t; reverse
+    pass pq=-q, pt=-t, so rows/cells always ascend and dst = src +
+    advance (mirroring scheduler.c:880-886)."""
+
+    def __init__(self, model: Model, region: Region, grids, shadow_inputs,
+                 data, *, is_forward: bool, use_boundary: bool,
+                 dropoff: int, subopt, n_shadow: int):
+        self.model = model
+        self.region = region
+        self.grids = grids
+        self.shadow_inputs = shadow_inputs
+        self.data = data
+        self.is_forward = is_forward
+        self.use_boundary = use_boundary
+        self.dropoff = dropoff
+        self.subopt = subopt
+        self.n_shadow = n_shadow
+        self.start_func = None
+        self.end_func = None
+        self.rows: dict[int, dict[int, _Cell]] = {}
+        # span machinery (forward + boundary only)
+        self.span_by_state = {s.span_state.id: s for s in model.spans}
+        self.span_loops = {}
+        for span in model.spans:
+            qloop = tloop = None
+            for t in model.transitions:
+                if t.input is t.output is span.span_state and t.calc is None:
+                    if t.advance_query:
+                        qloop = t
+                    if t.advance_target:
+                        tloop = t
+            self.span_loops[span.id] = (qloop, tloop)
+        self.span_cache: dict[tuple[int, int], _SpanSeed] = {}
+        self.span_curr: dict[int, Optional[_SpanSeed]] = {
+            s.id: None for s in model.spans}
+        # reverse-id transition order (ref: scheduler.c:887-888)
+        self.trans_rev = list(model.transitions)[::-1]
+        self.start_state = model.start_state.state
+        self.end_state = model.end_state.state
+        # boundary output (reverse + boundary): {t: [(q, seed_id)]}
+        self.boundary_rows: dict[int, list[tuple[int, int]]] = {}
+
+    # -- coordinates -------------------------------------------------------
+
+    def _orig(self, pq, pt):
+        return (pq, pt) if self.is_forward else (-pq, -pt)
+
+    # -- cells -------------------------------------------------------------
+
+    def _get_row(self, pt):
+        row = self.rows.get(pt)
+        if row is None:
+            row = self.rows[pt] = {}
+        return row
+
+    def _cell(self, row, pq, thaw=False):
+        cell = row.get(pq)
+        if cell is None:
+            cell = row[pq] = _Cell(len(self.model.states), self.n_shadow,
+                                   thaw)
+        return cell
+
+    def seed_cell(self, pq, pt, seed_id, start_score, thaw=False):
+        """(ref: Scheduler_Cell_seed / Scheduler_Row_add_seed)."""
+        row = self._get_row(pt)
+        cell = self._cell(row, pq, thaw)
+        if thaw:
+            cell.thaw = True
+        state_id = (self.start_state.id if self.is_forward
+                    else self.end_state.id)
+        cell.score[state_id] = start_score
+        cell.pmax[state_id] = start_score
+        cell.seed[state_id] = seed_id
+        cell.tb[state_id] = None
+        if cell.shadow is not None:
+            cell.shadow[state_id] = [0] * self.n_shadow
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, seeds: list[tuple[int, int, int, int]]):
+        """seeds: [(pt, pq, seed_id, start_score)] sorted by (pt, pq);
+        injected when the row window reaches them (within
+        max_target_advance rows; ref: Scheduler_Pair_calculate)."""
+        mta = max(self.model.max_target_advance, 1)
+        si = 0
+        boundary_thaw = self.is_forward and self.use_boundary
+        while True:
+            if not self.rows:
+                if si >= len(seeds):
+                    break
+                pt0 = seeds[si][0]
+            else:
+                pt0 = min(self.rows)
+                if si < len(seeds):
+                    pt0 = min(pt0, seeds[si][0])
+            while si < len(seeds) and seeds[si][0] - pt0 <= mta:
+                st, sq, sid, sscore = seeds[si]
+                self.seed_cell(sq, st, sid, sscore, thaw=boundary_thaw)
+                si += 1
+            row = self.rows.get(pt0)
+            if row is not None:
+                self._process_row(pt0, row)
+                self._retire_row(pt0, row)
+                del self.rows[pt0]
+
+    def _retire_row(self, pt, row):
+        """Collect boundary points at row retirement (ref:
+        Scheduler_Row_traverse_cell_destroy, scheduler.c:965-1000)."""
+        if self.is_forward or not self.use_boundary:
+            return
+        pts = []
+        start_id = self.start_state.id
+        for pq in sorted(row):
+            cell = row[pq]
+            if cell.score[start_id] >= 0:
+                pts.append((-pq, cell.seed[start_id]))
+            else:
+                for span in self.model.spans:
+                    sid = span.span_state.id
+                    if cell.score[sid] > 0:
+                        pts.append((-pq, cell.seed[sid]))
+                        break
+        if pts:
+            # original coords: row at -pt, query positions ascend
+            self.boundary_rows[-pt] = pts[::-1]
+
+    def _process_row(self, pt, row):
+        if self.subopt is not None:
+            jorig = pt if self.is_forward else -pt
+            blocked = self.subopt.by_row.get(
+                self.region.target_start + jorig)
+        else:
+            blocked = None
+        pending = sorted(row)
+        idx = 0
+        while idx < len(pending):
+            pq = pending[idx]
+            idx += 1
+            cell = row.get(pq)
+            if cell is None:
+                continue
+            added = self._process_cell(pq, pt, cell, row, blocked)
+            if added:
+                # same-row cells created at higher pq: merge into order
+                rest = sorted(set(added))
+                pending = pending[:idx] + sorted(
+                    set(pending[idx:]) | {a for a in rest if a > pq})
+        return
+
+    # -- cell processing (ref: Scheduler_Cell_process) ----------------------
+
+    def _process_cell(self, pq, pt, cell, row, blocked):
+        model = self.model
+        region = self.region
+        qlen, tlen = region.query_length, region.target_length
+        added = []
+        src_q, src_t = self._orig(pq, pt)
+        for trans in self.trans_rev:
+            aq, at = trans.advance_query, trans.advance_target
+            # span transitions never walk cell-by-cell (ref:
+            # scheduler.c:891-922)
+            if trans.input is trans.output and trans.calc is None:
+                if self.is_forward and self.use_boundary:
+                    span = self.span_by_state.get(trans.output.id)
+                    if span is not None:
+                        ip = trans.input.id
+                        if cell.score[ip] >= 0:
+                            self._span_submit(span, cell, ip, src_q, src_t)
+                continue
+            if self.is_forward:
+                dst_q, dst_t = src_q + aq, src_t + at
+                if dst_q > qlen or dst_t > tlen:
+                    continue
+                ip, op = trans.input.id, trans.output.id
+                # span thaw into the input state (ref: scheduler.c:935-985)
+                if self.use_boundary and cell.thaw:
+                    span = self.span_by_state.get(trans.input.id)
+                    if span is not None:
+                        self._span_thaw(span, cell, ip, src_q, src_t)
+                calc_q, calc_t = src_q, src_t
+            else:
+                dst_q, dst_t = src_q - aq, src_t - at
+                if dst_q < 0 or dst_t < 0:
+                    continue
+                ip, op = trans.output.id, trans.input.id
+                calc_q, calc_t = dst_q, dst_t
+            src_score = cell.score[ip]
+            if src_score <= NEG:
+                continue
+            # transition score
+            if trans.calc is None:
+                tscore = 0
+            elif (not self.is_forward) and trans.dst_shadows:
+                # reverse extends through shadowed transitions for free
+                # (ref: scheduler.c:1008-1014)
+                tscore = 0
+            else:
+                grid = self.grids[id(trans.calc)]
+                tscore = _grid_at(grid, calc_q, calc_t)
+                if trans.calc.shadow_fn is not None:
+                    svals = {sh.name: (cell.shadow[ip][sh.designation]
+                                       if cell.shadow is not None else 0)
+                             for sh in trans.dst_shadows}
+                    tscore = int(trans.calc.shadow_fn(
+                        np, tscore, svals,
+                        self.shadow_inputs.get(id(trans.calc), {}),
+                        region.query_start + calc_q,
+                        region.target_start + calc_t))
+            max_score = cell.pmax[ip]
+            seed_id = cell.seed[ip]
+            dst_score = src_score + tscore
+            if trans.calc is not None:
+                if trans.calc.protect & Protect.UNDERFLOW \
+                        and dst_score < NEG:
+                    dst_score = NEG
+                if trans.calc.protect & Protect.OVERFLOW \
+                        and dst_score > -NEG:
+                    dst_score = -NEG
+            if self.is_forward and dst_score < 0:
+                continue
+            if (max_score - dst_score) > self.dropoff:
+                continue
+            if trans.label == Label.MATCH and blocked is not None \
+                    and (region.query_start + src_q) in blocked:
+                continue
+            # destination cell (same processing-coords direction)
+            dpq, dpt = pq + aq, pt + at
+            if at:
+                drow = self._get_row(dpt)
+            else:
+                drow = row
+            dcell = drow.get(dpq)
+            if dcell is None:
+                dcell = drow[dpq] = _Cell(len(model.states),
+                                          self.n_shadow, False)
+                if at == 0 and aq > 0:
+                    added.append(dpq)
+            elif dst_score <= dcell.score[op]:
+                # keep existing on ties (ref: scheduler.c:1048-1051)
+                continue
+            self._assign(cell, ip, dcell, op, dst_score, max_score,
+                         trans, seed_id, dst_q, dst_t)
+        return added
+
+    def _assign(self, src_cell, ip, dst_cell, op, dst_score, max_score,
+                trans, seed_id, dst_q, dst_t):
+        """(ref: Scheduler_Cell_assign, scheduler.c:763-830)."""
+        region = self.region
+        dst_cell.score[op] = dst_score
+        dst_cell.seed[op] = seed_id
+        dst_cell.tb[op] = _TB(trans, 1, src_cell.tb[ip])
+        if self.is_forward and dst_cell.shadow is not None:
+            sh = list(src_cell.shadow[ip])
+            for shadow in self.model.src_shadows(trans.input):
+                val = (region.query_start + dst_q - trans.advance_query
+                       if shadow.start == "query_pos"
+                       else region.target_start + dst_t
+                       - trans.advance_target)
+                if shadow.start_vec_fn is not None:
+                    vec = self._shadow_vec(shadow)
+                    val = int(vec[dst_q - trans.advance_query
+                                  if shadow.start == "query_pos"
+                                  else dst_t - trans.advance_target])
+                sh[shadow.designation] = val
+            dst_cell.shadow[op] = sh
+        if dst_score < max_score:
+            dst_cell.pmax[op] = max_score
+        else:
+            dst_cell.pmax[op] = dst_score
+            if self.start_func is not None \
+                    and trans.input is self.start_state:
+                self.start_func(seed_id, dst_score, dst_q, dst_t,
+                                dst_cell.tb[op])
+            if self.end_func is not None \
+                    and trans.output is self.end_state:
+                self.end_func(seed_id, dst_score, dst_q, dst_t,
+                              dst_cell.tb[op])
+
+    _shadow_vec_cache = None
+
+    def _shadow_vec(self, shadow):
+        if self._shadow_vec_cache is None:
+            self._shadow_vec_cache = {}
+        vec = self._shadow_vec_cache.get(id(shadow))
+        if vec is None:
+            vec = np.asarray(shadow.start_vec_fn(self.region, self.data))
+            self._shadow_vec_cache[id(shadow)] = vec
+        return vec
+
+    # -- spans (ref: scheduler.c:567-645) -----------------------------------
+
+    def _span_submit(self, span, cell, ip, src_q, src_t):
+        seed = _SpanSeed(cell.score[ip], cell.pmax[ip], cell.seed[ip],
+                         cell.shadow[ip] if cell.shadow is not None
+                         else None,
+                         cell.tb[ip], src_q, src_t)
+        if span.max_target:
+            key = (span.id, src_q)
+            stored = self.span_cache.get(key)
+            if stored is None or stored.score <= seed.score:
+                self.span_cache[key] = seed
+
+    def _span_thaw(self, span, cell, ip, q_pos, t_pos):
+        curr = self.span_curr[span.id]
+        # expire curr (ref: Scheduler_SpanData_get_curr)
+        if curr is not None:
+            if (curr.q_entry > q_pos
+                    or curr.q_entry + span.max_query < q_pos
+                    or curr.t_entry + span.max_target < t_pos):
+                curr = None
+        stored = self.span_cache.get((span.id, q_pos))
+        if stored is not None:
+            if stored.t_entry + span.max_target >= t_pos:
+                if curr is None or curr.score < stored.score:
+                    curr = stored
+            else:
+                del self.span_cache[(span.id, q_pos)]
+        self.span_curr[span.id] = curr
+        if curr is not None and cell.score[ip] < curr.score:
+            cell.score[ip] = curr.score
+            cell.pmax[ip] = curr.pmax
+            cell.seed[ip] = curr.seed
+            tb = curr.tb
+            qloop, tloop = self.span_loops[span.id]
+            qdiff = q_pos - curr.q_entry
+            tdiff = t_pos - curr.t_entry
+            if qdiff:
+                tb = _TB(qloop, qdiff, tb)
+            if tdiff:
+                tb = _TB(tloop, tdiff, tb)
+            cell.tb[ip] = tb
+            if cell.shadow is not None and curr.shadow is not None:
+                cell.shadow[ip] = list(curr.shadow)
+
+
+class SDPPair:
+    """(ref: SDP_Pair, sdp.h:69-106)."""
+
+    def __init__(self, model: Model, comparison, data, subopt,
+                 args: Optional[SdpArgs] = None):
+        self.model = model
+        self.comparison = comparison
+        self.data = data
+        self.subopt = subopt
+        self.args = args or SdpArgs()
+        self.use_boundary = model_uses_boundary(model)
+        self.region = Region(0, 0, len(comparison.query),
+                             len(comparison.target))
+        self.grids = {id(c): np.asarray(c.materialize(self.region, data))
+                      for c in model.calcs}
+        self.shadow_inputs = {
+            id(c): c.shadow_inputs_fn(self.region, data)
+            for c in model.calcs if c.shadow_inputs_fn is not None}
+        self.seeds = self._make_seeds(comparison)
+        self.alignment_count = 0
+        self.last_score = NEG
+        self.single_pass_order: Optional[list[_Seed]] = None
+        self.single_pass_pos = 0
+        self.boundary = None
+
+    # (ref: SDP_Pair_create_seed_list, sdp.c:439-494)
+    def _make_seeds(self, comparison):
+        hsps = []
+        for hs in comparison.hspsets():
+            qadv = hs.qadv
+            tadv = hs.tadv
+            for h in hs.hsps:
+                hsps.append((h.target_start + h.cobs * tadv,
+                             h.query_start + h.cobs * qadv, h))
+        hsps.sort(key=lambda x: (x[0], x[1]))
+        seeds = []
+        prev = None
+        for t_cobs, q_cobs, h in hsps:
+            if prev is None or prev != (t_cobs, q_cobs):
+                seeds.append(_Seed(len(seeds), h, q_cobs, t_cobs, h.score))
+            prev = (t_cobs, q_cobs)
+        return seeds
+
+    def _new_pass(self, is_forward: bool):
+        n_shadow = self.model.total_shadow_designations
+        return _Pass(self.model, self.region, self.grids,
+                     self.shadow_inputs, self.data,
+                     is_forward=is_forward, use_boundary=self.use_boundary,
+                     dropoff=self.args.dropoff, subopt=self.subopt,
+                     n_shadow=n_shadow)
+
+    # (ref: SDP_Pair_find_start_points)
+    def _find_starts(self):
+        p = self._new_pass(False)
+        if not self.use_boundary:
+            def start_func(seed_id, score, q, t, tb):
+                seed = self.seeds[seed_id]
+                if seed.max_start.score < score:
+                    seed.max_start = _Terminal(score, q, t, tb)
+            p.start_func = start_func
+        # reverse seeds at mirrored cobs with +hsp.score/2
+        # (ref: Scheduler_Seed_List_get_reverse, sdp.c:117-131)
+        seeds = sorted(
+            ((-s.t_cobs, -s.q_cobs, s.seed_id, s.hsp_score >> 1)
+             for s in self.seeds), key=lambda x: (x[0], x[1]))
+        p.run(seeds)
+        if self.use_boundary:
+            self.boundary = p.boundary_rows
+
+    # (ref: SDP_Pair_find_end_points)
+    def _find_ends(self):
+        p = self._new_pass(True)
+
+        def end_func(seed_id, score, q, t, tb):
+            seed = self.seeds[seed_id]
+            if seed.max_end.score < score:
+                seed.max_end = _Terminal(score, q, t, tb)
+        p.end_func = end_func
+        if self.use_boundary:
+            seeds = []
+            for t in sorted(self.boundary):
+                for q, sid in self.boundary[t]:
+                    seeds.append((t, q, sid, 0))
+        else:
+            seeds = sorted(
+                ((s.t_cobs, s.q_cobs, s.seed_id,
+                  s.max_start.score - (s.hsp_score >> 1))
+                 for s in self.seeds if s.max_start.score > NEG),
+                key=lambda x: (x[0], x[1]))
+        p.run(seeds)
+
+    # (ref: SDP_Pair_find_path, sdp.c:707-733)
+    def _find_path(self, seed: _Seed) -> Alignment:
+        fwd_ops = _tb_ops(seed.max_end.tb)
+        if self.use_boundary:
+            # start derived by walking the forward traceback back
+            # (ref: SDP_Seed_find_start, sdp.c:688-704)
+            q, t = seed.max_end.qpos, seed.max_end.tpos
+            for trans, length in fwd_ops:
+                q -= trans.advance_query * length
+                t -= trans.advance_target * length
+            region = Region(q, t, seed.max_end.qpos - q,
+                            seed.max_end.tpos - t)
+            alignment = Alignment(self.model, region, seed.max_end.score)
+            for trans, length in fwd_ops:
+                alignment.add(trans, length)
+        else:
+            region = Region(seed.max_start.qpos, seed.max_start.tpos,
+                            seed.max_end.qpos - seed.max_start.qpos,
+                            seed.max_end.tpos - seed.max_start.tpos)
+            alignment = Alignment(self.model, region, seed.max_end.score)
+            # reverse traceback: ops near-seed-first; emit far-to-near,
+            # dropping the op nearest the seed (ref: sdp.c:671-683)
+            rev_ops = _tb_ops(seed.max_start.tb)[::-1]
+            for trans, length in rev_ops[:-1] if rev_ops else []:
+                alignment.add(trans, length)
+            # forward traceback: skip the op leaving the seed cell
+            for trans, length in fwd_ops[1:]:
+                alignment.add(trans, length)
+        return alignment
+
+    def _overlaps(self, alignment: Alignment) -> bool:
+        """(ref: SubOpt_overlaps_alignment, subopt.c:177-204)."""
+        if self.subopt is None:
+            return False
+        qp = alignment.region.query_start
+        tp = alignment.region.target_start
+        for op in alignment.ops:
+            trans = op.transition
+            if trans.label == Label.MATCH:
+                for _ in range(op.length):
+                    for y in range(tp, tp + trans.advance_target):
+                        rowset = self.subopt.by_row.get(y)
+                        if rowset and any(
+                                qp <= x < qp + trans.advance_query
+                                for x in rowset):
+                            return True
+                    qp += trans.advance_query
+                    tp += trans.advance_target
+            else:
+                qp += trans.advance_query * op.length
+                tp += trans.advance_target * op.length
+        return False
+
+    def next_path(self, threshold: int) -> Optional[Alignment]:
+        """(ref: SDP_Pair_next_path, sdp.c:743-814)."""
+        if self.alignment_count:
+            if not self.args.single_pass:
+                for s in self.seeds:
+                    s.max_start = _Terminal()
+                self._find_starts()
+                for s in self.seeds:
+                    s.max_end = _Terminal()
+                self._find_ends()
+        else:
+            self._find_starts()
+            self._find_ends()
+            if self.args.single_pass:
+                self.single_pass_order = sorted(
+                    self.seeds, key=lambda s: -s.max_end.score)
+                self.single_pass_pos = 0
+        alignment = None
+        best_seed = None
+        if self.args.single_pass:
+            while self.single_pass_pos < len(self.single_pass_order):
+                best_seed = self.single_pass_order[self.single_pass_pos]
+                self.single_pass_pos += 1
+                if best_seed.max_end.score < threshold:
+                    return None
+                alignment = self._find_path(best_seed)
+                if self._overlaps(alignment):
+                    alignment = None
+                    best_seed = None
+                else:
+                    break
+            if best_seed is None:
+                return None
+        else:
+            best_seed = max(self.seeds, key=lambda s: s.max_end.score)
+            if best_seed.max_end.score < threshold:
+                return None
+            alignment = self._find_path(best_seed)
+        self.alignment_count += 1
+        self.last_score = best_seed.max_end.score
+        best_seed.max_end.score = NEG
+        return alignment

@@ -68,6 +68,18 @@ class Analysis:
         self.verbosity = verbosity
         self.annotations = (read_annotation_file(annotation_path)
                             if annotation_path else {})
+        # Reference-fork parity: the fork's tsearch migration broke the
+        # annotation id lookup (sequence.c:176-178 compares a gchar* key
+        # against Sequence_Annotation* nodes with strcmp), so in the
+        # reference binary --annotation is parsed but NEVER attaches to
+        # any sequence.  We replicate that by default; set
+        # EXONERATE_TPU_FIX_ANNOTATION=1 for the documented (pre-fork)
+        # semantics.  The correct behaviour stays covered by the
+        # cdna2genome model crib (score 1281) via the library API.
+        import os as _os
+        if self.annotations and \
+                not _os.environ.get("EXONERATE_TPU_FIX_ANNOTATION"):
+            self.annotations = {}
 
         from .client import is_server_path
         self.server_targets = [p for p in (target_paths or [])

@@ -51,6 +51,9 @@ class GamArgs:
     use_gapped_extension: bool = True
     refinement: Refinement = Refinement.NONE
     refinement_boundary: int = 32
+    # SDP options (ref: SDP_ArgumentSet, sdp.c:28-32)
+    extension_threshold: int = 50
+    single_pass: bool = True
 
 
 @dataclass
@@ -167,18 +170,58 @@ class GAM:
     def result_heuristic(self, comparison: Comparison
                          ) -> list[tuple[Alignment, AlignData]]:
         """Heuristic gapped path (ref: GAM_Result_heuristic_create,
-        gam.c:1107-1180): cluster seeds into locus regions and run the
-        wavefront DP with suboptimal enumeration per region — the dense
-        TPU replacement for the reference's sparse SDP extension."""
+        gam.c:1107-1180): seeded DP with reference-exact semantics
+        (ref: GAM_Result_SDP_create, gam.c:852-888).  The batched
+        locus-kernel fast path (pre-SDP design) remains available via
+        EXONERATE_TPU_HEURISTIC=locus until the SDP recurrence runs on
+        the fused kernel."""
+        import os
         from ..engine.subopt import SubOpt
-        from ..engine import optimal
-        from .heuristic import cluster_hsps, cluster_regions
+        from ..engine.sdp import SDPPair, SdpArgs
         if not comparison.has_hsps:
             return []
         query, target = comparison.query, comparison.target
         data = self.make_data(query, target)
         if not self.gas.use_gapped_extension:
             return self._result_bsdp(comparison, data)
+        if os.environ.get("EXONERATE_TPU_HEURISTIC") == "locus":
+            return self._result_heuristic_locus(comparison, data)
+        sdp_pair = SDPPair(self.model, comparison, data, SubOpt(),
+                           SdpArgs(self.gas.extension_threshold,
+                                   self.gas.single_pass))
+        out: list[tuple[Alignment, AlignData]] = []
+        while True:
+            threshold = self.query_threshold(query, data)
+            alignment = sdp_pair.next_path(threshold)
+            if alignment is None:
+                break
+            if self.gas.refinement != Refinement.NONE:
+                refined = self._refine(alignment, data,
+                                       sdp_pair.subopt)
+                if refined is not None and \
+                        refined.score >= alignment.score:
+                    alignment = refined
+            out.append((alignment, data))
+            sdp_pair.subopt.add_alignment(alignment)
+            # (ref: GAM_Result_is_full, gam.c:779-793)
+            if self.gas.best_n and len(out) >= self.gas.best_n \
+                    and len(out) > 1 \
+                    and out[-2][0].score != out[-1][0].score:
+                break
+            if not self.gas.use_subopt:
+                break
+        return out
+
+    def _result_heuristic_locus(self, comparison: Comparison,
+                                data: AlignData
+                                ) -> list[tuple[Alignment, AlignData]]:
+        """Batched locus-region fallback (dense kernel Waterman-Eggert;
+        not byte-parity with the reference SDP — kept for throughput
+        until the SDP recurrence is kernelized)."""
+        from ..engine.subopt import SubOpt
+        from ..engine import optimal
+        from .heuristic import cluster_hsps, cluster_regions
+        query, target = comparison.query, comparison.target
         genomic = has_genomic_target(self.gas.model_type)
         t_join = (data.intron.max_intron if genomic
                   else max(data.ner.max_ner, 10000))
@@ -314,14 +357,18 @@ class GAM:
         if not results:
             return
         query = None
+        # result_id is 1-based within this result batch
+        # (ref: GAM_Result_display, gam.c:1240-1251)
         if self.gas.best_n:
-            for alignment, data in results:
-                self._bestn_submit(alignment, data)
+            for i, (alignment, data) in enumerate(results, 1):
+                self._bestn_submit(alignment, data, i)
         else:
-            for alignment, data in results:
-                self.out.write(self._render(alignment, data, rank=-1))
+            for i, (alignment, data) in enumerate(results, 1):
+                self.out.write(self._render(alignment, data, rank=-1,
+                                            result_id=i))
 
-    def _bestn_submit(self, alignment: Alignment, data: AlignData):
+    def _bestn_submit(self, alignment: Alignment, data: AlignData,
+                      result_id: int):
         qid = data.query.id
         store = self.bestn_store.setdefault(qid, [])
         n = self.gas.best_n
@@ -330,7 +377,8 @@ class GAM:
             return
         self._order += 1
         store.append(_Stored(alignment.score,
-                             self._render(alignment, data, rank=None),
+                             self._render(alignment, data, rank=None,
+                                          result_id=result_id),
                              self._order))
         # evict: keep only entries with fewer than n strictly better
         scores = sorted((s.score for s in store), reverse=True)
@@ -352,7 +400,7 @@ class GAM:
     # -- rendering (ref: GAM_display_alignment, gam.c:1210-1237) ----------
 
     def _render(self, alignment: Alignment, data: AlignData,
-                rank) -> str:
+                rank, result_id: int = 0) -> str:
         gas = self.gas
         q, t = data.query, data.target
         parts = []
@@ -372,11 +420,13 @@ class GAM:
             from ..align import gff
             if gas.show_query_gff:
                 parts.append(gff.display_gff(alignment, q, t, data, True,
-                                             False, self.align_args))
+                                             False, self.align_args,
+                                             result_id=result_id))
             if gas.show_target_gff:
                 parts.append(gff.display_gff(
                     alignment, q, t, data, False,
-                    has_genomic_target(gas.model_type), self.align_args))
+                    has_genomic_target(gas.model_type), self.align_args,
+                    result_id=result_id))
         if gas.ryo:
             from ..align import ryo
             parts.append(ryo.display_ryo(alignment, q, t, data, gas.ryo,

@@ -53,19 +53,28 @@ class _Loader:
         self.kind = kind  # 'dna' | 'protein' | 'codon'
         self.args = args
         match = hsp_param.match
-        self.query_is_translated = match.advance_query == 3
-        self.target_is_translated = match.advance_target == 3
-        proteinish = match.type not in (MatchType.DNA2DNA,)
+        # per-strand translation flags (ref: Match_Strand_create calls,
+        # match.c:746-813): only the DNA side of the MIXED protein/DNA
+        # matches is translated for seeding; CODON2CODON seeds on RAW
+        # DNA words (12 nt) packed into the protein-member alphabet
+        self.query_is_translated = match.type == MatchType.DNA2PROTEIN
+        self.target_is_translated = match.type == MatchType.PROTEIN2DNA
         # comparison alphabet: protein for everything except dna2dna
         # (ref: match.c comparison_alphabet assignments)
         self.is_protein_words = match.type != MatchType.DNA2DNA
         self.codes = member_codes(self.is_protein_words)
         self.nsym = len(PROTEIN_MEMBERS if self.is_protein_words
                         else DNA_MEMBERS)
+        # words are wordlen SYMBOLS long in comparison space — even for
+        # translated comparisons, where a 12-symbol codon word covers 36
+        # nt (ref: Seeder_insert_query, seeder.c:478-559 uses
+        # hsp_param->wordlen over the translated string; seedlen is only
+        # the nascent HSP length, hspset.c:975)
+        self.wordlen = hsp_param.wordlen
         if self.target_is_translated:
-            self.tpos_modifier = hsp_param.wordlen * 3 - 3
+            self.tpos_modifier = self.wordlen * 3 - 3
         else:
-            self.tpos_modifier = hsp_param.wordlen - 1
+            self.tpos_modifier = self.wordlen - 1
         # packed word -> list of (query_index, orig_qpos) in insertion order
         self.words: dict[int, list[tuple[int, int]]] = {}
         # packed word -> list of neighbour packed words (wordhood)
@@ -78,7 +87,7 @@ class _Loader:
                     ) -> tuple[np.ndarray, np.ndarray]:
         """Return (packed, valid) arrays over window END positions."""
         data = seq.data
-        W = self.hsp_param.wordlen
+        W = self.wordlen
         n = len(data)
         if n < W:
             return (np.zeros(0, dtype=np.int64),
@@ -108,7 +117,7 @@ class _Loader:
             seqs = [query.translate_view(f) for f in frames]
         for frame, seq in zip(frames, seqs):
             packed, valid = self._pack_valid(seq, softmask)
-            W = self.hsp_param.wordlen
+            W = self.wordlen
             for i in np.nonzero(valid)[0]:
                 # word_jump counts valid words (ref: seeder.c:520-523)
                 if self._wj_ctr:
@@ -146,7 +155,7 @@ class _Loader:
             hits = np.nonzero(valid)[0]
 
             def emit_word(w: int, i: int):
-                end = i + self.hsp_param.wordlen - 1
+                end = i + self.wordlen - 1
                 tpos = end * 3 + frame - 1 if frame else end
                 target_pos = tpos - self.tpos_modifier
                 entry = self.words.get(w)
