@@ -33,7 +33,9 @@ def test_calm_selfalign_cigar_and_sugar():
     text = run_cli(["--bestn", "1", "--showvulgar", "no",
                     "--showalignment", "no", "--showcigar", "yes",
                     "--showsugar", "yes", CALM, CALM])
-    assert ("cigar: EMBL:J04046 0 2175 + EMBL:J04046 0 2175 + 10875 M 2175"
+    # double space after the score: the reference's zero-move first
+    # cigar group flips the separator (ref: alignment.c:1656-1681)
+    assert ("cigar: EMBL:J04046 0 2175 + EMBL:J04046 0 2175 + 10875  M 2175"
             in text)
     assert ("sugar: EMBL:J04046 0 2175 + EMBL:J04046 0 2175 + 10875"
             in text)

