@@ -41,9 +41,15 @@ class Alignment:
         self.ops: list[AlignmentOperation] = []
 
     def add(self, transition: Transition, length: int):
-        """(ref: Alignment_add)."""
+        """Append or merge; negative lengths trim the previous same-
+        transition run, dropping it at zero (ref: Alignment_add,
+        alignment.c — SAR assembly uses negative adds to un-emit HSP
+        cells consumed by join/span regions)."""
         if self.ops and self.ops[-1].transition is transition:
             self.ops[-1].length += length
+            assert self.ops[-1].length >= 0
+            if self.ops[-1].length == 0:
+                self.ops.pop()
         else:
             self.ops.append(AlignmentOperation(transition, length))
 

@@ -114,6 +114,26 @@ def build_parser() -> A.ArgumentParser:
             "32", A.parse_int)
     p.add_set(gam)
 
+    heu = A.ArgumentSet("Heuristic Options")
+    heu.add(None, "terminalrangeint", None, "Internal terminal range",
+            "12", A.parse_int)
+    heu.add(None, "terminalrangeext", None, "External terminal range",
+            "12", A.parse_int)
+    heu.add(None, "joinrangeint", None, "Internal join range", "12",
+            A.parse_int)
+    heu.add(None, "joinrangeext", None, "External join range", "12",
+            A.parse_int)
+    heu.add(None, "spanrangeint", None, "Internal span range", "12",
+            A.parse_int)
+    heu.add(None, "spanrangeext", None, "External span range", "12",
+            A.parse_int)
+    p.add_set(heu)
+
+    bsd = A.ArgumentSet("BSDP algorithm options")
+    bsd.add(None, "joinfilter", None, "BSDP join filter threshold", "0",
+            A.parse_int)
+    p.add_set(bsd)
+
     vit = A.ArgumentSet("Viterbi algorithm options")
     vit.add("D", "dpmemory", "Mb", "Maximum DP memory (Mb)", "32",
             A.parse_int)
@@ -165,8 +185,8 @@ def build_parser() -> A.ArgumentParser:
     aln.add(None, "forwardcoordinates", None,
             "Report all coordinates on the forward strand", "TRUE",
             A.parse_boolean)
-    aln.add(None, "quality", None,
-            "HSP quality threshold", "0", A.parse_int)
+    aln.add(None, "quality", "percent",
+            "HSP quality threshold", "0", A.parse_float)
     aln.add(None, "splice3", "path",
             "Supply frequency matrix for 3' splice sites", "primate",
             A.parse_string)
@@ -279,6 +299,14 @@ def make_analysis(v: dict, out=None) -> Analysis:
         refinement_boundary=v["refineboundary"],
         extension_threshold=v["extensionthreshold"],
         single_pass=v["singlepass"],
+        terminal_range_internal=v["terminalrangeint"],
+        terminal_range_external=v["terminalrangeext"],
+        join_range_internal=v["joinrangeint"],
+        join_range_external=v["joinrangeext"],
+        span_range_internal=v["spanrangeint"],
+        span_range_external=v["spanrangeext"],
+        join_filter=v["joinfilter"],
+        hsp_quality=float(v["quality"]),
     )
     aas = AnalysisArgs(
         use_exhaustive=v["exhaustive"],

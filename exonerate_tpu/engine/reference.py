@@ -83,12 +83,20 @@ def _scope_ok_end(scope: Scope, i: int, j: int, qlen: int, tlen: int) -> bool:
 def viterbi(model: Model, region: Region, data,
             mode: str = "score",
             subopt=None,
-            traceback_region_start: bool = False) -> DPResult:
+            traceback_region_start: bool = False,
+            start_cell_fn=None,
+            end_report_fn=None) -> DPResult:
     """Run the interpreted DP.
 
     mode: "score" | "region" | "path".
     subopt: optional SubOpt index; blocks MATCH transitions into blocked
     cells (ref: src/c4/viterbi.c:701-704).
+    start_cell_fn(abs_q, abs_t) -> np.ndarray [1 + n_shadow]: initial cell
+    for transitions leaving START (ref: cell_start_func, c4.h:102-105,
+    viterbi.c:729-741); score base + seeded shadow lanes.
+    end_report_fn(cell, abs_q, abs_t): called at every cell where the end
+    state is set, with the [1 + n_shadow] prefix of that cell
+    (ref: cell_end_func, viterbi.c:792-799).
     """
     assert not model.is_open
     qlen, tlen = region.query_length, region.target_length
@@ -159,8 +167,15 @@ def viterbi(model: Model, region: Region, data,
                 if t.is_match and blocked_row is not None and blocked_row[i]:
                     continue
                 if inp is start_state:
-                    base = 0
-                    src = None
+                    if start_cell_fn is not None:
+                        init = start_cell_fn(region.query_start + si,
+                                             region.target_start + sj)
+                        src = np.zeros(1 + n_extra, dtype=np.int64)
+                        src[:1 + n_shadow] = init[:1 + n_shadow]
+                        base = int(src[0])
+                    else:
+                        base = 0
+                        src = None
                 else:
                     src = rows[at][si][inp.id]
                     base = int(src[0])
@@ -216,8 +231,14 @@ def viterbi(model: Model, region: Region, data,
                     best_i, best_j = i, j
                     best_cell = cell[end_state.id].copy()
                     end_is_set = True
+                if end_report_fn is not None:
+                    end_report_fn(cell[end_state.id][:1 + n_shadow],
+                                  region.query_start + i,
+                                  region.target_start + j)
         rows = [rows[-1]] + rows[:-1]
 
+    if not end_is_set and end_report_fn is not None:
+        return DPResult(score=int(NEG))
     assert end_is_set, "no end state reached"
     res = DPResult(score=int(best_score), query_end=best_i, target_end=best_j)
     if (want_region or want_path) and best_cell is not None:

@@ -21,6 +21,7 @@ class SubOpt:
     def __init__(self):
         self.points: set[tuple[int, int]] = set()
         self.by_row: dict[int, set[int]] = {}
+        self.path_ids: dict[tuple[int, int], int] = {}
         self.path_count = 0
 
     def add_alignment(self, alignment: Alignment):
@@ -51,6 +52,25 @@ class SubOpt:
         if (q, t) not in self.points:
             self.points.add((q, t))
             self.by_row.setdefault(t, set()).add(q)
+            self.path_ids[(q, t)] = self.path_count
+
+    def find(self, region: Region, fn) -> bool:
+        """First-match search over stored points inside the half-open
+        rectangle (ref: SubOpt_find over RangeTree, subopt.c:166-175;
+        RangeTree_inside_rectangle uses [start, start+length) bounds).
+        fn(q, t, path_id) -> bool; True stops and is returned."""
+        q_lo = region.query_start
+        q_hi = region.query_start + region.query_length
+        t_lo = region.target_start
+        t_hi = region.target_start + region.target_length
+        for t in range(t_lo, t_hi):
+            row = self.by_row.get(t)
+            if not row:
+                continue
+            for q in sorted(row):
+                if q_lo <= q < q_hi and fn(q, t, self.path_ids[(q, t)]):
+                    return True
+        return False
 
     def blocked_row(self, region: Region, j_local: int):
         """Boolean mask over region-local query positions for row j."""

@@ -54,6 +54,16 @@ class GamArgs:
     # SDP options (ref: SDP_ArgumentSet, sdp.c:28-32)
     extension_threshold: int = 50
     single_pass: bool = True
+    # Heuristic/BSDP/SAR options (ref: heuristic.c:78-96, bsdp.c:25-26,
+    # sar.c:26-27)
+    terminal_range_internal: int = 12
+    terminal_range_external: int = 12
+    join_range_internal: int = 12
+    join_range_external: int = 12
+    span_range_internal: int = 12
+    span_range_external: int = 12
+    join_filter: int = 0
+    hsp_quality: float = 0.0
 
 
 @dataclass
@@ -302,27 +312,67 @@ class GAM:
         out.sort(key=lambda ad: -ad[0].score)
         return out
 
+    def _find_portal(self, hspset):
+        """First portal whose advances match the HSP class
+        (ref: GAM_Pair_find_portal, gam.c:560-581)."""
+        for portal in self.model.portals:
+            if portal.transitions \
+                    and portal.transitions[0].advance_query == hspset.qadv \
+                    and portal.transitions[0].advance_target == hspset.tadv:
+                return portal
+        raise ValueError("No compatible portal found for hspset")
+
+    def _get_heuristic(self, data: AlignData):
+        """Per-model Heuristic (derived sub-models + bound matrices),
+        built once like the reference's GAM-owned Heuristic
+        (ref: gam.c:392-456)."""
+        if getattr(self, "_heuristic", None) is None:
+            from .bsdp import Heuristic, HeuristicArgs
+            has = HeuristicArgs(
+                terminal_range_internal=self.gas.terminal_range_internal,
+                terminal_range_external=self.gas.terminal_range_external,
+                join_range_internal=self.gas.join_range_internal,
+                join_range_external=self.gas.join_range_external,
+                span_range_internal=self.gas.span_range_internal,
+                span_range_external=self.gas.span_range_external,
+                join_filter=self.gas.join_filter,
+                hsp_quality=self.gas.hsp_quality)
+            self._heuristic = Heuristic(self.model, has, data)
+        return self._heuristic
+
     def _result_bsdp(self, comparison: Comparison, data: AlignData
                      ) -> list[tuple[Alignment, AlignData]]:
         """--gappedextension no: the BSDP HSP-graph heuristic
         (ref: GAM_Result_BSDP_create, gam.c:797-850)."""
-        from .bsdp import BsdpSolver
-        span_q = max((sp.max_query for sp in self.model.spans), default=0)
-        span_t = max((sp.max_target for sp in self.model.spans),
-                     default=0)
-        solver = BsdpSolver(self.model, data, comparison,
-                            max_span_target=span_t, max_span_query=span_q)
-        out = []
-        threshold = self.query_threshold(comparison.query, data)
+        from .bsdp import HPair
+        from ..engine.subopt import SubOpt
+        query, target = comparison.query, comparison.target
+        heuristic = self._get_heuristic(data)
+        subopt = SubOpt()
+        hpair = HPair(heuristic, subopt, len(query), len(target), data)
+        for hspset in comparison.hspsets():
+            hpair.add_hspset(self._find_portal(hspset), hspset)
+        threshold = self.query_threshold(query, data)
+        hpair.finalise(threshold)
+        out: list[tuple[Alignment, AlignData]] = []
         while True:
-            alignment = solver.next_path(max(threshold, 1))
+            threshold = self.query_threshold(query, data)
+            alignment = hpair.next_path(threshold)
             if alignment is None:
                 break
+            if self.gas.refinement != Refinement.NONE:
+                refined = self._refine(alignment, data, subopt)
+                if refined is not None and \
+                        refined.score >= alignment.score:
+                    alignment = refined
             out.append((alignment, data))
-            if not self.gas.use_subopt:
+            subopt.add_alignment(alignment)
+            # (ref: GAM_Result_is_full, gam.c:779-793)
+            if self.gas.best_n and len(out) >= self.gas.best_n \
+                    and len(out) > 1 \
+                    and out[-2][0].score != out[-1][0].score:
                 break
-            if self.gas.best_n and len(out) >= max(self.gas.best_n * 4,
-                                                   16):
+            if not self.gas.use_subopt:
                 break
         return out
 

@@ -42,6 +42,18 @@ def _codon_gap_extend_grid(region, data: AlignData):
     return data.affine.codon_gap_extend
 
 
+def open_fn_max(codon: bool):
+    if codon:
+        return lambda data: data.affine.codon_gap_open
+    return lambda data: data.affine.gap_open
+
+
+def extend_fn_max(codon: bool):
+    if codon:
+        return lambda data: data.affine.codon_gap_extend
+    return lambda data: data.affine.gap_extend
+
+
 def affine_create(atype: AffineModelType,
                   query_type: AlphabetType,
                   target_type: AlphabetType,
@@ -62,9 +74,13 @@ def affine_create(atype: AffineModelType,
                 match_transition.advance_target) == 3
     open_fn = _codon_gap_open_grid if codon else _gap_open_grid
     extend_fn = _codon_gap_extend_grid if codon else _gap_extend_grid
-    # max_score 0: gap penalties are non-positive
-    gap_open = m.add_calc("gap open", 0, grid_fn=open_fn)
-    gap_extend = m.add_calc("gap extend", 0, grid_fn=extend_fn)
+    # the admissible bound IS the (negative) penalty, like the reference
+    # (ref: affine.c:210-217 passes aas->gap_open/gap_extend as max_score);
+    # heuristic bound matrices depend on this
+    gap_open = m.add_calc("gap open", 0, grid_fn=open_fn,
+                          max_score_fn=open_fn_max(codon))
+    gap_extend = m.add_calc("gap extend", 0, grid_fn=extend_fn,
+                            max_score_fn=extend_fn_max(codon))
     m.add_transition("match to insert", match_transition.input, insert_state,
                      match_transition.advance_query, 0, gap_open, Label.GAP)
     m.add_transition("match to delete", match_transition.input, delete_state,

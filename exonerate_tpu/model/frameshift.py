@@ -20,7 +20,9 @@ def frameshift_add(m: Model, match_state, suffix: str,
     fs_calc = next((c for c in m.calcs if c.grid_fn is _frameshift_grid),
                    None)
     if fs_calc is None:
-        fs_calc = m.add_calc("frameshift", 0, grid_fn=_frameshift_grid)
+        fs_calc = m.add_calc(
+            "frameshift", 0, grid_fn=_frameshift_grid,
+            max_score_fn=lambda data: data.frameshift.frameshift_penalty)
     q, t = (1, 0) if apply_to_query else (0, 1)
     m.add_transition(f"frameshift open 1 {suffix}", match_state, fs_state,
                      q, t, fs_calc, Label.FRAMESHIFT)

@@ -96,7 +96,9 @@ class Calc:
     Submat_lookup macro expansion (ref: viterbi.c:869-984).
 
     max_score is the admissible upper bound used by heuristics
-    (ref: src/c4/c4.h:75-89).
+    (ref: src/c4/c4.h:75-89).  When the bound depends on runtime flag
+    values that only live in AlignData (gap penalties, frameshift
+    penalty), ``max_score_fn(data) -> int`` supplies it instead.
     """
     name: str
     max_score: int = 0
@@ -112,6 +114,15 @@ class Calc:
     # returns {name: ("qvec"|"tvec", np.ndarray)} region-local vectors
     pallas_fn: Optional[Callable] = None
     kernel_inputs_fn: Optional[Callable] = None
+    max_score_fn: Optional[Callable] = None
+
+    def effective_max_score(self, data) -> int:
+        """The admissible bound, resolving flag-dependent calcs
+        (ref: C4_Calc_score with empty calc_func returns max_score,
+        c4.c:321-333)."""
+        if self.max_score_fn is not None:
+            return int(self.max_score_fn(data))
+        return int(self.max_score)
 
     def materialize(self, region, data) -> np.ndarray:
         if self.grid_fn is None:
@@ -238,11 +249,12 @@ class Model:
     def add_calc(self, name, max_score=0, grid_fn=None, shadow_fn=None,
                  shadow_inputs_fn=None, factored_fn=None,
                  protect=Protect.NONE, pallas_fn=None,
-                 kernel_inputs_fn=None) -> Calc:
+                 kernel_inputs_fn=None, max_score_fn=None) -> Calc:
         assert self.is_open
         c = Calc(name, max_score, grid_fn, shadow_fn, shadow_inputs_fn,
                  factored_fn, protect,
-                 pallas_fn=pallas_fn, kernel_inputs_fn=kernel_inputs_fn)
+                 pallas_fn=pallas_fn, kernel_inputs_fn=kernel_inputs_fn,
+                 max_score_fn=max_score_fn)
         self.calcs.append(c)
         return c
 
@@ -395,16 +407,84 @@ class Model:
         self.transitions = ordered
 
     def _designate_shadows(self):
-        """Assign shadow lanes; shadows with identical behaviour could share
-        a designation in the reference — we keep one lane per shadow, plus
-        wire dst_transition back-pointers."""
+        """Assign shadow lanes, SHARING a designation between shadows
+        whose live regions are disjoint — an exact port of the
+        reference's greedy colouring (ref: C4_Model_designate_shadows,
+        c4.c:1564-1668).  A shadow's region is the backward transition
+        cone from its dst transitions, stopped at its own dsts.  Lane
+        sharing is parity-critical: models with many shadows
+        (genome2genome) rely on — and inherit the quirks of — this
+        packing, including lane collisions between shadows the fits
+        predicate judges disjoint."""
         for t in self.transitions:
             t.dst_shadows = []
-        for d, sh in enumerate(self.shadows):
-            sh.designation = d
+        for sh in self.shadows:
             for t in sh.dst_transitions:
                 t.dst_shadows.append(sh)
-        self.total_shadow_designations = len(self.shadows)
+        s_idx = {id(s): i for i, s in enumerate(self.states)}
+        t_idx = {id(t): i for i, t in enumerate(self.transitions)}
+        n_t = len(self.transitions)
+        n_s = len(self.states)
+
+        def get_designation(shadow):
+            des = [False] * n_t
+            visited = [False] * n_s
+
+            def recur(transition):
+                state = transition.input
+                if visited[s_idx[id(state)]]:
+                    return
+                visited[s_idx[id(state)]] = True
+                # stop at the shadow's own dst transitions
+                if shadow in transition.dst_shadows:
+                    return
+                for t in self.input_transitions(state):
+                    des[t_idx[id(t)]] = True
+                    recur(t)
+
+            for t in shadow.dst_transitions:
+                des[t_idx[id(t)]] = True
+                recur(t)
+            return des
+
+        def fits(des_a, des_b):
+            for i in range(n_t):
+                if des_a[i] and des_b[i]:
+                    return False
+            # fail if any des_a output states are des_b inputs
+            used = [False] * n_s
+            for i in range(n_t):
+                if des_a[i]:
+                    used[s_idx[id(self.transitions[i].output)]] = True
+            for i in range(n_t):
+                if des_b[i] and \
+                        used[s_idx[id(self.transitions[i].input)]]:
+                    return False
+            used = [False] * n_s
+            for i in range(n_t):
+                if des_b[i]:
+                    used[s_idx[id(self.transitions[i].output)]] = True
+            for i in range(n_t):
+                if des_a[i] and \
+                        used[s_idx[id(self.transitions[i].input)]]:
+                    return False
+            return True
+
+        designation_list: list[list[bool]] = []
+        for sh in self.shadows:
+            curr = get_designation(sh)
+            sh.designation = -1
+            for j, des in enumerate(designation_list):
+                if fits(des, curr):
+                    for i in range(n_t):
+                        if curr[i]:
+                            des[i] = True
+                    sh.designation = j
+                    break
+            if sh.designation == -1:
+                sh.designation = len(designation_list)
+                designation_list.append(curr)
+        self.total_shadow_designations = len(designation_list)
 
     def _set_ids(self):
         for i, s in enumerate(self.states):
@@ -489,7 +569,8 @@ class Model:
                 existing = self.add_calc(c.name, c.max_score, c.grid_fn,
                                          c.shadow_fn, c.shadow_inputs_fn,
                                          c.factored_fn, c.protect,
-                                         c.pallas_fn, c.kernel_inputs_fn)
+                                         c.pallas_fn, c.kernel_inputs_fn,
+                                         c.max_score_fn)
             calc_map[id(c)] = existing
         state_map: dict[int, State] = {id(ins_start): src, id(ins_end): dst}
         for s in insert.states:
@@ -530,7 +611,8 @@ class Model:
             calc_map[id(c)] = m.add_calc(c.name, c.max_score, c.grid_fn,
                                          c.shadow_fn, c.shadow_inputs_fn,
                                          c.factored_fn, c.protect,
-                                         c.pallas_fn, c.kernel_inputs_fn)
+                                         c.pallas_fn, c.kernel_inputs_fn,
+                                         c.max_score_fn)
         trans_map: dict[int, Transition] = {}
         for t in self.transitions:
             trans_map[id(t)] = m.add_transition(
@@ -634,7 +716,7 @@ class DerivedModel:
                 calc_map[id(c)] = m.add_calc(
                     c.name, c.max_score, c.grid_fn, c.shadow_fn,
                     c.shadow_inputs_fn, c.factored_fn, c.protect,
-                    c.pallas_fn, c.kernel_inputs_fn)
+                    c.pallas_fn, c.kernel_inputs_fn, c.max_score_fn)
             return calc_map[id(c)]
 
         self.transition_map: dict[int, Transition] = {}
@@ -720,7 +802,12 @@ class DerivedModel:
                 for nt in new_of_old.get(id(t), []):
                     if nt in m.transitions:
                         new_sh.dst_transitions.append(nt)
-            if new_sh.src_states and new_sh.dst_transitions:
+            # keep the lane when either side survives: a setter with no
+            # interior consumer still records positions that cross a
+            # span boundary (read after Heuristic_Span integration), and
+            # a consumer with no interior setter reads the lane seeded
+            # from the init cell (ref: heuristic.c:412-443)
+            if new_sh.src_states or new_sh.dst_transitions:
                 m.shadows.append(new_sh)
         m.configure_start(start_scope)
         m.configure_end(end_scope)

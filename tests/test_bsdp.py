@@ -9,7 +9,31 @@ from exonerate_tpu.model.affine import AffineModelType, affine_create
 from exonerate_tpu.model.data import AlignData
 from exonerate_tpu.model.match import Match, MatchArgs, MatchType
 from exonerate_tpu.seeds.hsp import Comparison, HspArgs, HspParam, HspSet
-from exonerate_tpu.hub.bsdp import BsdpSolver
+from exonerate_tpu.engine.subopt import SubOpt
+from exonerate_tpu.hub.bsdp import Heuristic, HPair
+
+
+class _Solver:
+    """Thin harness over the faithful HPair/BSDP stack."""
+
+    def __init__(self, model, data, comp, threshold=50):
+        heuristic = Heuristic(model, None, data)
+        self.subopt = SubOpt()
+        self.hpair = HPair(heuristic, self.subopt,
+                           len(comp.query), len(comp.target), data)
+        for hs in comp.hspsets():
+            portal = next(
+                pt for pt in model.portals
+                if pt.transitions[0].advance_query == hs.qadv
+                and pt.transitions[0].advance_target == hs.tadv)
+            self.hpair.add_hspset(portal, hs)
+        self.hpair.finalise(threshold)
+
+    def next_path(self, threshold):
+        a = self.hpair.next_path(threshold)
+        if a is not None:
+            self.subopt.add_alignment(a)
+        return a
 
 rng = np.random.default_rng(3)
 DNA = Alphabet(AlphabetType.DNA)
@@ -41,8 +65,7 @@ def test_bsdp_single_and_subopt():
     model = affine_create(AffineModelType.LOCAL, AlphabetType.DNA,
                           AlphabetType.DNA)
     data = AlignData(q, t)
-    solver = BsdpSolver(model, data, comp, max_span_target=0,
-                        max_span_query=0)
+    solver = _Solver(model, data, comp)
     a1 = solver.next_path(50)
     a2 = solver.next_path(50)
     a3 = solver.next_path(50)
@@ -65,8 +88,7 @@ def test_bsdp_joins_close_hsps():
     model = affine_create(AffineModelType.LOCAL, AlphabetType.DNA,
                           AlphabetType.DNA)
     data = AlignData(q, t)
-    solver = BsdpSolver(model, data, comp, max_span_target=0,
-                        max_span_query=0)
+    solver = _Solver(model, data, comp)
     a1 = solver.next_path(50)
     assert a1 is not None
     # x-drop extension already crosses a 4-mismatch dip, so either a
