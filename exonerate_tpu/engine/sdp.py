@@ -152,7 +152,7 @@ class _Pass:
 
     def __init__(self, model: Model, region: Region, grids, shadow_inputs,
                  data, *, is_forward: bool, use_boundary: bool,
-                 dropoff: int, subopt, n_shadow: int):
+                 dropoff: int, subopt, n_shadow: int, factored=None):
         self.model = model
         self.region = region
         self.grids = grids
@@ -163,6 +163,10 @@ class _Pass:
         self.dropoff = dropoff
         self.subopt = subopt
         self.n_shadow = n_shadow
+        # the boundary-producing reverse pass never walks its traceback
+        # (ref: sdp.c creates the reverse Scheduler without traceback
+        # when spans force the boundary protocol)
+        self.has_traceback = is_forward or not use_boundary
         self.start_func = None
         self.end_func = None
         self.rows: dict[int, dict[int, _Cell]] = {}
@@ -185,6 +189,47 @@ class _Pass:
         self.trans_rev = list(model.transitions)[::-1]
         self.start_state = model.start_state.state
         self.end_state = model.end_state.state
+        # hot-loop metadata: plain tuples per transition, avoiding enum
+        # ops / dict lookups / per-call attribute walks in _process_cell
+        self.tinfo = []
+        for t in self.trans_rev:
+            is_span_loop = t.input is t.output and t.calc is None
+            grid = None
+            gmode = 0
+            gval = 0
+            if t.calc is not None:
+                if factored and id(t.calc) in factored:
+                    gmode, grid = 4, factored[id(t.calc)]
+                else:
+                    g = grids[id(t.calc)]
+                    if g.ndim == 0:
+                        gmode, gval = 0, int(g)
+                    elif g.shape[0] > 1 and g.shape[1] > 1:
+                        gmode, grid = 3, g
+                    elif g.shape[0] > 1:
+                        gmode, grid = 1, g
+                    else:
+                        gmode, grid = 2, g
+            self.tinfo.append((
+                t, t.advance_query, t.advance_target, is_span_loop,
+                t.input.id, t.output.id, t.calc,
+                gmode, gval, grid,
+                t.calc is not None and t.calc.shadow_fn is not None,
+                t.calc is not None
+                and bool(t.calc.protect & Protect.UNDERFLOW),
+                t.calc is not None
+                and bool(t.calc.protect & Protect.OVERFLOW),
+                t.label == Label.MATCH,
+                bool(t.dst_shadows) if not is_forward else False,
+            ))
+        # per-transition shadow starts, resolved for the assign path:
+        # (designation, starts_on_query, start_vec_fn, shadow)
+        self.tstarts = {}
+        for t in model.transitions:
+            self.tstarts[id(t)] = [
+                (sh.designation, sh.start == "query_pos",
+                 sh.start_vec_fn, sh)
+                for sh in model.src_shadows(t.input)]
         # boundary output (reverse + boundary): {t: [(q, seed_id)]}
         self.boundary_rows: dict[int, list[tuple[int, int]]] = {}
 
@@ -303,26 +348,33 @@ class _Pass:
         qlen, tlen = region.query_length, region.target_length
         added = []
         src_q, src_t = self._orig(pq, pt)
-        for trans in self.trans_rev:
-            aq, at = trans.advance_query, trans.advance_target
+        is_forward = self.is_forward
+        use_boundary = self.use_boundary
+        dropoff = self.dropoff
+        score = cell.score
+        pmax = cell.pmax
+        seed = cell.seed
+        rqs = region.query_start
+        for (trans, aq, at, is_span_loop, in_id, out_id, calc, gmode,
+             gval, grid, has_shadow_fn, p_under, p_over, is_match,
+             rev_shadowed) in self.tinfo:
             # span transitions never walk cell-by-cell (ref:
             # scheduler.c:891-922)
-            if trans.input is trans.output and trans.calc is None:
-                if self.is_forward and self.use_boundary:
-                    span = self.span_by_state.get(trans.output.id)
-                    if span is not None:
-                        ip = trans.input.id
-                        if cell.score[ip] >= 0:
-                            self._span_submit(span, cell, ip, src_q, src_t)
+            if is_span_loop:
+                if is_forward and use_boundary:
+                    span = self.span_by_state.get(out_id)
+                    if span is not None and score[in_id] >= 0:
+                        self._span_submit(span, cell, in_id, src_q,
+                                          src_t)
                 continue
-            if self.is_forward:
+            if is_forward:
                 dst_q, dst_t = src_q + aq, src_t + at
                 if dst_q > qlen or dst_t > tlen:
                     continue
-                ip, op = trans.input.id, trans.output.id
+                ip, op = in_id, out_id
                 # span thaw into the input state (ref: scheduler.c:935-985)
-                if self.use_boundary and cell.thaw:
-                    span = self.span_by_state.get(trans.input.id)
+                if use_boundary and cell.thaw:
+                    span = self.span_by_state.get(in_id)
                     if span is not None:
                         self._span_thaw(span, cell, ip, src_q, src_t)
                 calc_q, calc_t = src_q, src_t
@@ -330,46 +382,56 @@ class _Pass:
                 dst_q, dst_t = src_q - aq, src_t - at
                 if dst_q < 0 or dst_t < 0:
                     continue
-                ip, op = trans.output.id, trans.input.id
+                ip, op = out_id, in_id
                 calc_q, calc_t = dst_q, dst_t
-            src_score = cell.score[ip]
+            src_score = score[ip]
             if src_score <= NEG:
                 continue
             # transition score
-            if trans.calc is None:
+            if calc is None:
                 tscore = 0
-            elif (not self.is_forward) and trans.dst_shadows:
+            elif rev_shadowed:
                 # reverse extends through shadowed transitions for free
                 # (ref: scheduler.c:1008-1014)
                 tscore = 0
             else:
-                grid = self.grids[id(trans.calc)]
-                tscore = _grid_at(grid, calc_q, calc_t)
-                if trans.calc.shadow_fn is not None:
+                if gmode == 0:
+                    tscore = gval
+                elif gmode == 4:
+                    # q_override REPLACES where nonzero (the CDS veto)
+                    table, q_idx, t_idx, q_over = grid
+                    if q_over is not None and q_over[calc_q]:
+                        tscore = int(q_over[calc_q])
+                    else:
+                        tscore = int(table[q_idx[calc_q], t_idx[calc_t]])
+                elif gmode == 3:
+                    tscore = int(grid[calc_q, calc_t])
+                elif gmode == 1:
+                    tscore = int(grid[calc_q, 0])
+                else:
+                    tscore = int(grid[0, calc_t])
+                if has_shadow_fn:
                     svals = {sh.name: (cell.shadow[ip][sh.designation]
                                        if cell.shadow is not None else 0)
                              for sh in trans.dst_shadows}
-                    tscore = int(trans.calc.shadow_fn(
+                    tscore = int(calc.shadow_fn(
                         np, tscore, svals,
-                        self.shadow_inputs.get(id(trans.calc), {}),
-                        region.query_start + calc_q,
+                        self.shadow_inputs.get(id(calc), {}),
+                        rqs + calc_q,
                         region.target_start + calc_t))
-            max_score = cell.pmax[ip]
-            seed_id = cell.seed[ip]
+            max_score = pmax[ip]
+            seed_id = seed[ip]
             dst_score = src_score + tscore
-            if trans.calc is not None:
-                if trans.calc.protect & Protect.UNDERFLOW \
-                        and dst_score < NEG:
-                    dst_score = NEG
-                if trans.calc.protect & Protect.OVERFLOW \
-                        and dst_score > -NEG:
-                    dst_score = -NEG
-            if self.is_forward and dst_score < 0:
+            if p_under and dst_score < NEG:
+                dst_score = NEG
+            if p_over and dst_score > -NEG:
+                dst_score = -NEG
+            if is_forward and dst_score < 0:
                 continue
-            if (max_score - dst_score) > self.dropoff:
+            if (max_score - dst_score) > dropoff:
                 continue
-            if trans.label == Label.MATCH and blocked is not None \
-                    and (region.query_start + src_q) in blocked:
+            if is_match and blocked is not None \
+                    and (rqs + src_q) in blocked:
                 continue
             # destination cell (same processing-coords direction)
             dpq, dpt = pq + aq, pt + at
@@ -386,43 +448,36 @@ class _Pass:
             elif dst_score <= dcell.score[op]:
                 # keep existing on ties (ref: scheduler.c:1048-1051)
                 continue
-            self._assign(cell, ip, dcell, op, dst_score, max_score,
-                         trans, seed_id, dst_q, dst_t)
+            # assign, inlined (ref: Scheduler_Cell_assign,
+            # scheduler.c:763-830)
+            dcell.score[op] = dst_score
+            dcell.seed[op] = seed_id
+            if self.has_traceback:
+                dcell.tb[op] = _TB(trans, 1, cell.tb[ip])
+            if is_forward and dcell.shadow is not None:
+                sh = list(cell.shadow[ip])
+                for (des, on_query, vec_fn, shadow) in \
+                        self.tstarts[id(trans)]:
+                    if vec_fn is not None:
+                        vec = self._shadow_vec(shadow)
+                        sh[des] = int(vec[src_q if on_query else src_t])
+                    else:
+                        sh[des] = (rqs + src_q if on_query
+                                   else region.target_start + src_t)
+                dcell.shadow[op] = sh
+            if dst_score < max_score:
+                dcell.pmax[op] = max_score
+            else:
+                dcell.pmax[op] = dst_score
+                if self.start_func is not None \
+                        and trans.input is self.start_state:
+                    self.start_func(seed_id, dst_score, dst_q, dst_t,
+                                    dcell.tb[op])
+                if self.end_func is not None \
+                        and trans.output is self.end_state:
+                    self.end_func(seed_id, dst_score, dst_q, dst_t,
+                                  dcell.tb[op])
         return added
-
-    def _assign(self, src_cell, ip, dst_cell, op, dst_score, max_score,
-                trans, seed_id, dst_q, dst_t):
-        """(ref: Scheduler_Cell_assign, scheduler.c:763-830)."""
-        region = self.region
-        dst_cell.score[op] = dst_score
-        dst_cell.seed[op] = seed_id
-        dst_cell.tb[op] = _TB(trans, 1, src_cell.tb[ip])
-        if self.is_forward and dst_cell.shadow is not None:
-            sh = list(src_cell.shadow[ip])
-            for shadow in self.model.src_shadows(trans.input):
-                val = (region.query_start + dst_q - trans.advance_query
-                       if shadow.start == "query_pos"
-                       else region.target_start + dst_t
-                       - trans.advance_target)
-                if shadow.start_vec_fn is not None:
-                    vec = self._shadow_vec(shadow)
-                    val = int(vec[dst_q - trans.advance_query
-                                  if shadow.start == "query_pos"
-                                  else dst_t - trans.advance_target])
-                sh[shadow.designation] = val
-            dst_cell.shadow[op] = sh
-        if dst_score < max_score:
-            dst_cell.pmax[op] = max_score
-        else:
-            dst_cell.pmax[op] = dst_score
-            if self.start_func is not None \
-                    and trans.input is self.start_state:
-                self.start_func(seed_id, dst_score, dst_q, dst_t,
-                                dst_cell.tb[op])
-            if self.end_func is not None \
-                    and trans.output is self.end_state:
-                self.end_func(seed_id, dst_score, dst_q, dst_t,
-                              dst_cell.tb[op])
 
     _shadow_vec_cache = None
 
@@ -494,8 +549,24 @@ class SDPPair:
         self.use_boundary = model_uses_boundary(model)
         self.region = Region(0, 0, len(comparison.query),
                              len(comparison.target))
-        self.grids = {id(c): np.asarray(c.materialize(self.region, data))
-                      for c in model.calcs}
+        # factored calcs (match grids) stay O(Q+T): score[i,j] =
+        # table[q_idx[i], t_idx[j]] (+ q_add[i]) — materializing the
+        # full Q*T match grid is prohibitive at genome scale
+        self.grids = {}
+        self.factored = {}
+        for c in model.calcs:
+            if c.factored_fn is not None:
+                f = c.factored_fn(self.region, data)
+                ov = f.get("q_override")
+                if ov is not None and not np.any(ov):
+                    ov = None
+                self.factored[id(c)] = (
+                    np.asarray(f["table"]), np.asarray(f["q_idx"]),
+                    np.asarray(f["t_idx"]),
+                    np.asarray(ov) if ov is not None else None)
+            else:
+                self.grids[id(c)] = np.asarray(
+                    c.materialize(self.region, data))
         self.shadow_inputs = {
             id(c): c.shadow_inputs_fn(self.region, data)
             for c in model.calcs if c.shadow_inputs_fn is not None}
@@ -528,6 +599,7 @@ class SDPPair:
         n_shadow = self.model.total_shadow_designations
         return _Pass(self.model, self.region, self.grids,
                      self.shadow_inputs, self.data,
+                     factored=self.factored,
                      is_forward=is_forward, use_boundary=self.use_boundary,
                      dropoff=self.args.dropoff, subopt=self.subopt,
                      n_shadow=n_shadow)
