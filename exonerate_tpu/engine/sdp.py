@@ -152,7 +152,8 @@ class _Pass:
 
     def __init__(self, model: Model, region: Region, grids, shadow_inputs,
                  data, *, is_forward: bool, use_boundary: bool,
-                 dropoff: int, subopt, n_shadow: int, factored=None):
+                 dropoff: int, subopt, n_shadow: int, factored=None,
+                 qt=None):
         self.model = model
         self.region = region
         self.grids = grids
@@ -198,7 +199,9 @@ class _Pass:
             gmode = 0
             gval = 0
             if t.calc is not None:
-                if factored and id(t.calc) in factored:
+                if qt and id(t.calc) in qt:
+                    gmode, grid = 6, qt[id(t.calc)]
+                elif factored and id(t.calc) in factored:
                     gmode, grid = 4, factored[id(t.calc)]
                 else:
                     g = grids[id(t.calc)]
@@ -397,6 +400,8 @@ class _Pass:
             else:
                 if gmode == 0:
                     tscore = gval
+                elif gmode == 6:
+                    tscore = int(grid[0][calc_q]) + int(grid[1][calc_t])
                 elif gmode == 4:
                     # q_override REPLACES where nonzero (the CDS veto)
                     table, q_idx, t_idx, q_over = grid
@@ -554,8 +559,13 @@ class SDPPair:
         # full Q*T match grid is prohibitive at genome scale
         self.grids = {}
         self.factored = {}
+        self.qt = {}
         for c in model.calcs:
-            if c.factored_fn is not None:
+            if c.qt_fn is not None:
+                qv, tv = c.qt_fn(self.region, data)
+                self.qt[id(c)] = (np.ascontiguousarray(qv),
+                                  np.ascontiguousarray(tv))
+            elif c.factored_fn is not None:
                 f = c.factored_fn(self.region, data)
                 ov = f.get("q_override")
                 if ov is not None and not np.any(ov):
@@ -571,6 +581,7 @@ class SDPPair:
             id(c): c.shadow_inputs_fn(self.region, data)
             for c in model.calcs if c.shadow_inputs_fn is not None}
         self.seeds = self._make_seeds(comparison)
+        self._native_desc = None
         self.alignment_count = 0
         self.last_score = NEG
         self.single_pass_order: Optional[list[_Seed]] = None
@@ -599,13 +610,81 @@ class SDPPair:
         n_shadow = self.model.total_shadow_designations
         return _Pass(self.model, self.region, self.grids,
                      self.shadow_inputs, self.data,
-                     factored=self.factored,
+                     factored=self.factored, qt=self.qt,
                      is_forward=is_forward, use_boundary=self.use_boundary,
                      dropoff=self.args.dropoff, subopt=self.subopt,
                      n_shadow=n_shadow)
 
+    def _native(self):
+        """Native (C++) scheduler descriptor, or None (Python path).
+        Set EXONERATE_TPU_SDP=python to force the Python oracle."""
+        import os
+        if self._native_desc is False:
+            return None
+        if self._native_desc is None:
+            from . import sdp_native
+            if os.environ.get("EXONERATE_TPU_SDP") == "python" \
+                    or not sdp_native.supported(self.model):
+                self._native_desc = False
+                return None
+            try:
+                self._native_desc = sdp_native.NativeDescriptor(
+                    self.model, self.region, self.grids, self.factored,
+                    self.shadow_inputs, self.data, self.subopt,
+                    self.args.dropoff, qt=self.qt)
+            except (ValueError, KeyError):
+                self._native_desc = False
+                return None
+        return self._native_desc
+
+    def _tb_chains(self, arena, idxs):
+        """Rebuild shared _TB chains from the native arena."""
+        tb_trans, tb_len, tb_prev = arena
+        trans = self.model.transitions
+        memo: dict[int, _TB] = {}
+
+        def build(i):
+            # iterative: collect un-built ancestors, then link
+            chain = []
+            j = i
+            while j >= 0 and j not in memo:
+                chain.append(j)
+                j = int(tb_prev[j])
+            prev = memo.get(j) if j >= 0 else None
+            for j in reversed(chain):
+                prev = memo[j] = _TB(trans[int(tb_trans[j])],
+                                     int(tb_len[j]), prev)
+            return memo[i] if i >= 0 else None
+
+        return [build(int(i)) if i >= 0 else None for i in idxs]
+
     # (ref: SDP_Pair_find_start_points)
     def _find_starts(self):
+        # reverse seeds at mirrored cobs with +hsp.score/2
+        # (ref: Scheduler_Seed_List_get_reverse, sdp.c:117-131)
+        seeds = sorted(
+            ((-s.t_cobs, -s.q_cobs, s.seed_id, s.hsp_score >> 1)
+             for s in self.seeds), key=lambda x: (x[0], x[1]))
+        nd = self._native()
+        if nd is not None:
+            (t_score, t_q, t_t, t_tb, boundary, arena) = nd.run_pass(
+                is_forward=False, use_boundary=self.use_boundary,
+                seeds=seeds, n_reg_seeds=len(self.seeds),
+                want_start=not self.use_boundary, want_end=False,
+                n_shadow=self.model.total_shadow_designations)
+            if self.use_boundary:
+                # raw (t, q, sid) triplets stay native-side; the
+                # forward pass consumes them as numpy arrays
+                self.boundary = ("native", boundary)
+            else:
+                chains = self._tb_chains(arena, t_tb)
+                for s in self.seeds:
+                    sc = int(t_score[s.seed_id])
+                    if sc > NEG:
+                        s.max_start = _Terminal(
+                            sc, int(t_q[s.seed_id]),
+                            int(t_t[s.seed_id]), chains[s.seed_id])
+            return
         p = self._new_pass(False)
         if not self.use_boundary:
             def start_func(seed_id, score, q, t, tb):
@@ -613,17 +692,46 @@ class SDPPair:
                 if seed.max_start.score < score:
                     seed.max_start = _Terminal(score, q, t, tb)
             p.start_func = start_func
-        # reverse seeds at mirrored cobs with +hsp.score/2
-        # (ref: Scheduler_Seed_List_get_reverse, sdp.c:117-131)
-        seeds = sorted(
-            ((-s.t_cobs, -s.q_cobs, s.seed_id, s.hsp_score >> 1)
-             for s in self.seeds), key=lambda x: (x[0], x[1]))
         p.run(seeds)
         if self.use_boundary:
             self.boundary = p.boundary_rows
 
     # (ref: SDP_Pair_find_end_points)
     def _find_ends(self):
+        if self.use_boundary:
+            if isinstance(self.boundary, tuple) \
+                    and self.boundary[0] == "native":
+                tri = np.asarray(self.boundary[1]).reshape(-1, 3)
+                order = np.lexsort((tri[:, 1], tri[:, 0]))
+                tri = tri[order]
+                seeds = (tri[:, 0], tri[:, 1], tri[:, 2],
+                         np.zeros(len(tri), dtype=np.int64))
+            else:
+                seeds = []
+                for t in sorted(self.boundary):
+                    for q, sid in self.boundary[t]:
+                        seeds.append((t, q, sid, 0))
+        else:
+            seeds = sorted(
+                ((s.t_cobs, s.q_cobs, s.seed_id,
+                  s.max_start.score - (s.hsp_score >> 1))
+                 for s in self.seeds if s.max_start.score > NEG),
+                key=lambda x: (x[0], x[1]))
+        nd = self._native()
+        if nd is not None:
+            (t_score, t_q, t_t, t_tb, _boundary, arena) = nd.run_pass(
+                is_forward=True, use_boundary=self.use_boundary,
+                seeds=seeds, n_reg_seeds=len(self.seeds),
+                want_start=False, want_end=True,
+                n_shadow=self.model.total_shadow_designations)
+            chains = self._tb_chains(arena, t_tb)
+            for s in self.seeds:
+                sc = int(t_score[s.seed_id])
+                if sc > NEG:
+                    s.max_end = _Terminal(sc, int(t_q[s.seed_id]),
+                                          int(t_t[s.seed_id]),
+                                          chains[s.seed_id])
+            return
         p = self._new_pass(True)
 
         def end_func(seed_id, score, q, t, tb):
@@ -631,17 +739,6 @@ class SDPPair:
             if seed.max_end.score < score:
                 seed.max_end = _Terminal(score, q, t, tb)
         p.end_func = end_func
-        if self.use_boundary:
-            seeds = []
-            for t in sorted(self.boundary):
-                for q, sid in self.boundary[t]:
-                    seeds.append((t, q, sid, 0))
-        else:
-            seeds = sorted(
-                ((s.t_cobs, s.q_cobs, s.seed_id,
-                  s.max_start.score - (s.hsp_score >> 1))
-                 for s in self.seeds if s.max_start.score > NEG),
-                key=lambda x: (x[0], x[1]))
         p.run(seeds)
 
     # (ref: SDP_Pair_find_path, sdp.c:707-733)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
+from collections import OrderedDict
+
 import numpy as np
 
 from ..seqio import Sequence
@@ -65,11 +67,36 @@ class SpliceCache:
         self.sps = sps
         self._cache: dict[str, np.ndarray] = {}
 
+    # global LRU over (sequence fingerprint, predictor, site): target
+    # views are rebuilt per pair during scans, so per-object memoization
+    # misses; this scores a streamed genome once per site, not once per
+    # query (the reference equivalent is the per-sequence
+    # SplicePrediction cache, splice.h:114-139)
+    _memo: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+    _MEMO_CAP = 16
+
+    def _fingerprint(self) -> tuple:
+        data = self.seq.data
+        n = len(data)
+        step = max(1, n // 64)
+        return (self.seq.head_id, self.seq.strand, n,
+                data[::step][:64].tobytes())
+
     def scores(self, site: str, forward: bool) -> np.ndarray:
         key = f"ss{site}_{'f' if forward else 'r'}"
         if key not in self._cache:
-            sp = self.sps.get(site, forward)
-            self._cache[key] = sp.predict_array(self.seq.data)
+            memo_key = (self._fingerprint(), id(self.sps), key)
+            memo = SpliceCache._memo
+            arr = memo.get(memo_key)
+            if arr is None:
+                sp = self.sps.get(site, forward)
+                arr = sp.predict_array(self.seq.data)
+                memo[memo_key] = arr
+                while len(memo) > SpliceCache._MEMO_CAP:
+                    memo.popitem(last=False)
+            else:
+                memo.move_to_end(memo_key)
+            self._cache[key] = arr
         return self._cache[key]
 
 

@@ -60,6 +60,25 @@ def _make_post_grid(on_query: bool, on_target: bool,
     return grid_fn
 
 
+def _make_pre_qt(site_q: str, site_t: str, forward: bool):
+    """Separable form of the joint pre grid: qvec[i] + tvec[j]
+    (open penalty folded into qvec)."""
+    def qt_fn(region: Region, data: AlignData):
+        qv = _splice_vector(data, region, True, site_q, forward)[:, 0]
+        tv = _splice_vector(data, region, False, site_t, forward)[0, :]
+        return ((qv + np.int32(data.intron.intron_open_penalty))
+                .astype(np.int32), tv.astype(np.int32))
+    return qt_fn
+
+
+def _make_post_qt(site_q: str, site_t: str, forward: bool):
+    def qt_fn(region: Region, data: AlignData):
+        qv = _splice_vector(data, region, True, site_q, forward)[:, 0]
+        tv = _splice_vector(data, region, False, site_t, forward)[0, :]
+        return qv.astype(np.int32), tv.astype(np.int32)
+    return qt_fn
+
+
 def _intron_shadow_inputs(region, data: AlignData):
     return {"min_intron": np.int32(data.intron.min_intron),
             "max_intron": np.int32(data.intron.max_intron)}
@@ -122,6 +141,8 @@ def intron_create(suffix: str, on_query: bool, on_target: bool,
         grid_fn=_make_pre_grid(on_query, on_target, pre_site, pre_site,
                                is_forward),
         protect=Protect.UNDERFLOW)
+    if on_query and on_target:
+        pre_calc.qt_fn = _make_pre_qt(pre_site, pre_site, is_forward)
     post_calc = m.add_calc(
         f"{post_name} {suffix}", post_bound,
         grid_fn=_make_post_grid(on_query, on_target, post_site, post_site,
@@ -129,6 +150,12 @@ def intron_create(suffix: str, on_query: bool, on_target: bool,
         shadow_fn=_make_post_shadow_fn(on_query, on_target),
         shadow_inputs_fn=_intron_shadow_inputs,
         protect=Protect.UNDERFLOW)
+    post_calc.native_shadow = ("intron_window",
+                               {"on_query": on_query,
+                                "on_target": on_target})
+    if on_query and on_target:
+        post_calc.qt_fn = _make_post_qt(post_site, post_site,
+                                        is_forward)
 
     intron_state = m.add_state(f"intron {suffix}")
     m.add_transition(f"(START) to intron {suffix}", None, intron_state,

@@ -115,6 +115,14 @@ class Calc:
     pallas_fn: Optional[Callable] = None
     kernel_inputs_fn: Optional[Callable] = None
     max_score_fn: Optional[Callable] = None
+    # native-engine descriptor for shadow-dependent calcs: a
+    # (kind, params) tag the C++ scheduler understands
+    # ("intron_window" | "split_codon"; see native/sdplib.cpp)
+    native_shadow: Optional[tuple] = None
+    # separable 2-D grids (joint introns): qt_fn(region, data) ->
+    # (qvec[Q+1], tvec[T+1]) with grid[i,j] == qvec[i] + tvec[j];
+    # keeps genome-scale pairs O(Q+T)
+    qt_fn: Optional[Callable] = None
 
     def effective_max_score(self, data) -> int:
         """The admissible bound, resolving flag-dependent calcs
@@ -571,6 +579,8 @@ class Model:
                                          c.factored_fn, c.protect,
                                          c.pallas_fn, c.kernel_inputs_fn,
                                          c.max_score_fn)
+                existing.native_shadow = c.native_shadow
+                existing.qt_fn = c.qt_fn
             calc_map[id(c)] = existing
         state_map: dict[int, State] = {id(ins_start): src, id(ins_end): dst}
         for s in insert.states:
@@ -613,6 +623,8 @@ class Model:
                                          c.factored_fn, c.protect,
                                          c.pallas_fn, c.kernel_inputs_fn,
                                          c.max_score_fn)
+            calc_map[id(c)].native_shadow = c.native_shadow
+            calc_map[id(c)].qt_fn = c.qt_fn
         trans_map: dict[int, Transition] = {}
         for t in self.transitions:
             trans_map[id(t)] = m.add_transition(
@@ -717,6 +729,8 @@ class DerivedModel:
                     c.name, c.max_score, c.grid_fn, c.shadow_fn,
                     c.shadow_inputs_fn, c.factored_fn, c.protect,
                     c.pallas_fn, c.kernel_inputs_fn, c.max_score_fn)
+                calc_map[id(c)].native_shadow = c.native_shadow
+                calc_map[id(c)].qt_fn = c.qt_fn
             return calc_map[id(c)]
 
         self.transition_map: dict[int, Transition] = {}

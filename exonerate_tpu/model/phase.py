@@ -275,6 +275,14 @@ def phase_create(suffix, match: Match, on_query: bool, on_target: bool,
         grid_fn=_zero_grid,
         shadow_fn=_make_split_shadow_fn(match.type, 2, on_query, on_target),
         shadow_inputs_fn=_phase_shadow_inputs)
+    q_is_dna = match.type in (MatchType.DNA2PROTEIN, MatchType.CODON2CODON)
+    t_is_dna = match.type in (MatchType.PROTEIN2DNA, MatchType.CODON2CODON)
+    for _pc, _ph in ((phase1_calc, 1), (phase2_calc, 2)):
+        _pc.native_shadow = ("split_codon",
+                             {"phase": _ph, "q_is_dna": q_is_dna,
+                              "t_is_dna": t_is_dna,
+                              "on_query": on_query,
+                              "on_target": on_target})
 
     p1pre = m.add_state(f"phase1pre {full_suffix}")
     p1post = m.add_state(f"phase1post {full_suffix}")

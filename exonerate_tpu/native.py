@@ -76,6 +76,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,   # seeds
             ctypes.POINTER(_Hsp), ctypes.c_int64]             # out
+        fn = lib.wordhood_neighbours
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,   # matrix, n
+            ctypes.c_int64,                                   # wordlen
+            ctypes.POINTER(ctypes.c_int32),                   # word
+            ctypes.c_int64,                                   # threshold
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]   # out, cap
         _lib = lib
         return _lib
 
@@ -119,3 +127,25 @@ def seed_all(q_idx, t_idx, submat, q_veto, q_mask, t_mask,
     res = np.ctypeslib.as_array(out, shape=(cap,))[:n]
     return (res["q"].copy(), res["t"].copy(), res["len"].copy(),
             res["score"].copy(), res["cobs"].copy())
+
+
+def wordhood_neighbours(matrix, word, threshold):
+    """Native word-neighbourhood DFS; returns a list of packed words or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    n = matrix.shape[0]
+    w = np.ascontiguousarray(word, dtype=np.int32)
+    cap = 4096
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        got = lib.wordhood_neighbours(
+            matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+            len(w), w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(threshold),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+        if got >= 0:
+            return [int(x) for x in out[:got]]
+        cap *= 8

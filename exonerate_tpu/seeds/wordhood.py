@@ -63,6 +63,11 @@ class WordHood:
         self_score = int(sum(self.m[c, c] for c in word))
         threshold = (self_score - self.limit if self.use_dropoff
                      else self.limit)
+        from .. import native
+        nat = native.wordhood_neighbours(self.m, word, threshold)
+        if nat is not None:
+            self._cache[packed] = nat
+            return nat
         # suffix max bounds for pruning
         col_max = self.m.max(axis=1)
         suffix_max = np.zeros(W + 1, dtype=np.int64)

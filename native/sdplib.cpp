@@ -1,0 +1,868 @@
+// sdplib: native seeded-DP scheduler for exonerate-tpu.
+//
+// C++ implementation of the SDP sparse scheduler pass — the default
+// gapped-heuristic hot loop (ref: src/sdp/scheduler.c:700-1100
+// Scheduler_Cell_process / Scheduler_Cell_assign, and the span
+// freeze/thaw protocol scheduler.c:567-645).  The Python _Pass in
+// exonerate_tpu/engine/sdp.py is the behavioural specification; this
+// file reproduces it operation-for-operation (iteration order,
+// first-writer-wins ties, dropoff pruning, per-path max tracking,
+// shadow lanes, boundary extraction) so that byte-golden outputs are
+// identical whichever engine runs.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -o libsdplib.so sdplib.cpp
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kNeg = -987654321LL;
+
+// transition flags
+constexpr int32_t F_SPAN_LOOP = 1;
+constexpr int32_t F_MATCH = 2;
+constexpr int32_t F_P_UNDER = 4;
+constexpr int32_t F_P_OVER = 8;
+constexpr int32_t F_REV_SHADOWED = 16;
+constexpr int32_t F_FROM_START = 32;
+constexpr int32_t F_TO_END = 64;
+
+// score modes
+constexpr int32_t G_NONE = 5;
+constexpr int32_t G_CONST = 0;
+constexpr int32_t G_QVEC = 1;
+constexpr int32_t G_TVEC = 2;
+constexpr int32_t G_FACTORED = 4;
+constexpr int32_t G_QTSUM = 6;  // qvec[i] + tvec[j] (joint introns)
+
+// shadow kinds
+constexpr int32_t SK_NONE = 0;
+constexpr int32_t SK_INTRON_WINDOW = 1;
+constexpr int32_t SK_SPLIT_CODON = 2;
+
+struct TransDesc {
+    int32_t aq, at;
+    int32_t in_id, out_id;
+    int32_t flags;
+    int32_t gmode;
+    int32_t gval;          // G_CONST
+    const int32_t* qvec;   // G_QVEC
+    const int32_t* tvec;   // G_TVEC
+    const int32_t* table;  // G_FACTORED (dim x dim)
+    int32_t dim;
+    const int32_t* q_idx;
+    const int32_t* t_idx;
+    const int32_t* q_over;  // may be null
+    // shadow consumption
+    int32_t shadow_kind;
+    // intron window params
+    int32_t iw_use_q, iw_use_t, iw_lane_q, iw_lane_t;
+    int32_t iw_min, iw_max;
+    // split codon params
+    int32_t sc_phase, sc_q_is_dna, sc_t_is_dna, sc_on_q, sc_on_t;
+    int32_t sc_lane_q, sc_lane_t;
+    // shadow starts
+    int32_t n_starts;
+    int32_t starts_off;
+    // span whose state == output (freeze at span loop), else -1
+    int32_t span_id;
+    // original model-order transition index (for traceback export)
+    int32_t orig_idx;
+};
+
+struct SpanDesc {
+    int32_t state_id;
+    int64_t min_q, max_q, min_t, max_t;
+    int32_t qloop_orig, tloop_orig;  // original transition idx, -1 none
+};
+
+struct PassDesc {
+    int32_t n_states, n_shadow, n_trans, n_spans;
+    int32_t is_forward, use_boundary, has_traceback;
+    int64_t qlen, tlen;        // region lengths
+    int64_t rqs, rts;          // region absolute offsets
+    int64_t dropoff;
+    int64_t mta;               // max(model.max_target_advance, 1)
+    const TransDesc* trans;    // reverse model order
+    const SpanDesc* spans;
+    // shadow starts flattened
+    const int32_t* starts_des;
+    const int32_t* starts_onq;
+    const int32_t* const* starts_vec;  // per start: vec or null
+    // split-codon shared arrays
+    const int32_t* q_nt4;
+    int64_t q_nt4_len;
+    const int32_t* t_nt4;
+    int64_t t_nt4_len;
+    const int32_t* q_sym;
+    int64_t q_sym_len;
+    const int32_t* t_sym;
+    int64_t t_sym_len;
+    const int32_t* trans_idx;
+    const int32_t* psub;
+    int32_t psub_dim;
+    // subopt blocked points CSR: sorted rows, per-row sorted qpos
+    int32_t n_blocked_rows;
+    const int64_t* blk_rows;
+    const int64_t* blk_off;      // n_blocked_rows + 1
+    const int64_t* blk_q;
+    // seeds
+    int32_t n_seeds;
+    const int64_t* seed_pt;
+    const int64_t* seed_pq;
+    const int64_t* seed_id;
+    const int64_t* seed_score;
+    // terminal registration
+    int32_t want_start_func;   // reverse non-boundary
+    int32_t want_end_func;     // forward
+    int32_t start_state_id, end_state_id;
+    int32_t n_reg_seeds;       // number of logical seeds for terminals
+};
+
+struct Outputs {
+    // per-registered-seed terminals (size n_reg_seeds)
+    int64_t* term_score;
+    int64_t* term_q;
+    int64_t* term_t;
+    int64_t* term_tb;
+    // boundary triplets (reverse + boundary): grown internally
+    std::vector<int64_t> boundary;  // (t, q, seed) triplets
+    // traceback arena
+    std::vector<int32_t> tb_trans;
+    std::vector<int64_t> tb_len;
+    std::vector<int64_t> tb_prev;
+};
+
+struct Cell {
+    int64_t* score;
+    int64_t* pmax;
+    int64_t* seed;
+    int64_t* tb;       // arena index, -1 none
+    int64_t* shadow;   // n_states * n_shadow (may be unused)
+    bool thaw;
+};
+
+class CellPool {
+  public:
+    CellPool(int n_states, int n_shadow)
+        : n_states_(n_states), n_shadow_(n_shadow) {
+        stride_ = n_states * 4 + n_states * n_shadow;
+    }
+    Cell* alloc(bool thaw) {
+        if (free_.empty()) {
+            blocks_.emplace_back(new int64_t[stride_ * kBlock]);
+            cells_.emplace_back(new Cell[kBlock]);
+            int64_t* base = blocks_.back();
+            Cell* cb = cells_.back();
+            for (int i = 0; i < kBlock; i++) {
+                Cell& c = cb[i];
+                int64_t* p = base + (int64_t)i * stride_;
+                c.score = p;
+                c.pmax = p + n_states_;
+                c.seed = p + 2 * n_states_;
+                c.tb = p + 3 * n_states_;
+                c.shadow = p + 4 * n_states_;
+                free_.push_back(&c);
+            }
+        }
+        Cell* c = free_.back();
+        free_.pop_back();
+        for (int k = 0; k < n_states_; k++) {
+            c->score[k] = kNeg;
+            c->pmax[k] = kNeg;
+            c->seed[k] = 0;
+            c->tb[k] = -1;
+        }
+        if (n_shadow_)
+            std::memset(c->shadow, 0,
+                        sizeof(int64_t) * n_states_ * n_shadow_);
+        c->thaw = thaw;
+        return c;
+    }
+    void release(Cell* c) { free_.push_back(c); }
+    ~CellPool() {
+        for (auto* b : blocks_) delete[] b;
+        for (auto* cb : cells_) delete[] cb;
+    }
+
+  private:
+    static constexpr int kBlock = 1024;
+    int n_states_, n_shadow_;
+    int64_t stride_;
+    std::vector<int64_t*> blocks_;
+    std::vector<Cell*> cells_;
+    std::vector<Cell*> free_;
+};
+
+struct SpanSeed {
+    int64_t score, pmax, seed;
+    int64_t tb;
+    int64_t q_entry, t_entry;
+    std::vector<int64_t> shadow;
+};
+
+// A sparse row: O(1) cell lookup plus a min-heap of pending keys used
+// while the row is being processed (ascending-pq order with same-row
+// insertions, matching the Python pending-merge / the reference's
+// Lookahead ring semantics).
+struct Row {
+    std::unordered_map<int64_t, Cell*> cells;
+    std::vector<int64_t> pending;
+    bool processing = false;
+};
+
+class Pass {
+  public:
+    Pass(const PassDesc& d, Outputs& out) : d_(d), out_(out),
+        pool_(d.n_states, d.n_shadow) {
+        for (int i = 0; i < d_.n_spans; i++)
+            span_by_state_[d_.spans[i].state_id] = i;
+        span_curr_.assign(d_.n_spans, -1);
+        for (int i = 0; i < d_.n_reg_seeds; i++) {
+            out_.term_score[i] = kNeg;
+            out_.term_q[i] = 0;
+            out_.term_t[i] = 0;
+            out_.term_tb[i] = -1;
+        }
+    }
+
+    void run() {
+        int64_t mta = d_.mta;
+        int32_t si = 0;
+        bool boundary_thaw = d_.is_forward && d_.use_boundary;
+        while (true) {
+            int64_t pt0;
+            if (rows_.empty()) {
+                if (si >= d_.n_seeds) break;
+                pt0 = d_.seed_pt[si];
+            } else {
+                pt0 = rows_.begin()->first;
+                if (si < d_.n_seeds && d_.seed_pt[si] < pt0)
+                    pt0 = d_.seed_pt[si];
+            }
+            while (si < d_.n_seeds && d_.seed_pt[si] - pt0 <= mta) {
+                seed_cell(d_.seed_pq[si], d_.seed_pt[si],
+                          d_.seed_id[si], d_.seed_score[si],
+                          boundary_thaw);
+                si++;
+            }
+            auto it = rows_.find(pt0);
+            if (it != rows_.end()) {
+                process_row(pt0, *it->second);
+                retire_row(pt0, *it->second);
+                for (auto& kv : it->second->cells)
+                    pool_.release(kv.second);
+                delete it->second;
+                rows_.erase(it);
+            }
+        }
+    }
+
+  private:
+    const PassDesc& d_;
+    Outputs& out_;
+    CellPool pool_;
+    std::map<int64_t, Row*> rows_;
+    std::unordered_map<int32_t, int32_t> span_by_state_;
+    // span freeze cache: key = span_id * 2^40 + (q + 2^38)
+    std::unordered_map<int64_t, SpanSeed> span_cache_;
+    std::vector<int64_t> span_curr_;  // index into span_curr_store_
+    std::vector<SpanSeed> span_curr_store_;
+
+    Row* get_row(int64_t pt) {
+        auto it = rows_.find(pt);
+        if (it != rows_.end()) return it->second;
+        Row* r = new Row();
+        rows_[pt] = r;
+        return r;
+    }
+
+    Cell* get_cell(Row& row, int64_t pq, bool thaw, bool* created) {
+        auto it = row.cells.find(pq);
+        if (it != row.cells.end()) {
+            *created = false;
+            return it->second;
+        }
+        Cell* c = pool_.alloc(thaw);
+        row.cells.emplace(pq, c);
+        if (row.processing) {
+            row.pending.push_back(pq);
+            std::push_heap(row.pending.begin(), row.pending.end(),
+                           std::greater<int64_t>());
+        }
+        *created = true;
+        return c;
+    }
+
+    void seed_cell(int64_t pq, int64_t pt, int64_t sid, int64_t sscore,
+                   bool thaw) {
+        Row& row = *get_row(pt);
+        bool created;
+        Cell* cell = get_cell(row, pq, thaw, &created);
+        if (thaw) cell->thaw = true;
+        int32_t state_id = d_.is_forward ? d_.start_state_id
+                                         : d_.end_state_id;
+        cell->score[state_id] = sscore;
+        cell->pmax[state_id] = sscore;
+        cell->seed[state_id] = sid;
+        cell->tb[state_id] = -1;
+        if (d_.n_shadow)
+            std::memset(cell->shadow + (int64_t)state_id * d_.n_shadow,
+                        0, sizeof(int64_t) * d_.n_shadow);
+    }
+
+    int64_t tb_add(int32_t trans_orig, int64_t len, int64_t prev) {
+        out_.tb_trans.push_back(trans_orig);
+        out_.tb_len.push_back(len);
+        out_.tb_prev.push_back(prev);
+        return (int64_t)out_.tb_trans.size() - 1;
+    }
+
+    void retire_row(int64_t pt, Row& row) {
+        // (ref: boundary extraction, scheduler.c:965-1000)
+        if (d_.is_forward || !d_.use_boundary) return;
+        std::vector<int64_t> keys;
+        keys.reserve(row.cells.size());
+        for (auto& kv : row.cells) keys.push_back(kv.first);
+        std::sort(keys.begin(), keys.end());
+        std::vector<int64_t> pts;  // (q, seed) pairs, later reversed
+        for (int64_t key : keys) {  // ascending pq
+            Cell* cell = row.cells[key];
+            if (cell->score[d_.start_state_id] >= 0) {
+                pts.push_back(-key);
+                pts.push_back(cell->seed[d_.start_state_id]);
+            } else {
+                for (int i = 0; i < d_.n_spans; i++) {
+                    int32_t sid = d_.spans[i].state_id;
+                    if (cell->score[sid] > 0) {
+                        pts.push_back(-key);
+                        pts.push_back(cell->seed[sid]);
+                        break;
+                    }
+                }
+            }
+        }
+        // emit reversed (ascending original q) as (t, q, seed)
+        for (int64_t i = (int64_t)pts.size() - 2; i >= 0; i -= 2) {
+            out_.boundary.push_back(-pt);
+            out_.boundary.push_back(pts[i]);
+            out_.boundary.push_back(pts[i + 1]);
+        }
+    }
+
+    // subopt: is (abs q) blocked on abs target row?
+    const int64_t* blocked_begin_ = nullptr;
+    const int64_t* blocked_end_ = nullptr;
+
+    void set_blocked_row(int64_t abs_t) {
+        blocked_begin_ = blocked_end_ = nullptr;
+        if (!d_.n_blocked_rows) return;
+        const int64_t* lo = d_.blk_rows;
+        const int64_t* hi = d_.blk_rows + d_.n_blocked_rows;
+        const int64_t* p = std::lower_bound(lo, hi, abs_t);
+        if (p == hi || *p != abs_t) return;
+        int64_t k = p - lo;
+        blocked_begin_ = d_.blk_q + d_.blk_off[k];
+        blocked_end_ = d_.blk_q + d_.blk_off[k + 1];
+    }
+
+    bool is_blocked(int64_t abs_q) const {
+        if (blocked_begin_ == nullptr) return false;
+        const int64_t* p =
+            std::lower_bound(blocked_begin_, blocked_end_, abs_q);
+        return p != blocked_end_ && *p == abs_q;
+    }
+
+    void process_row(int64_t pt, Row& row) {
+        set_blocked_row(d_.rts + (d_.is_forward ? pt : -pt));
+        // ascending pq via a min-heap; cells inserted at higher pq
+        // during processing are pushed and visited in order (matches
+        // the Python pending-merge)
+        row.processing = true;
+        row.pending.clear();
+        row.pending.reserve(row.cells.size());
+        for (auto& kv : row.cells) row.pending.push_back(kv.first);
+        std::make_heap(row.pending.begin(), row.pending.end(),
+                       std::greater<int64_t>());
+        while (!row.pending.empty()) {
+            std::pop_heap(row.pending.begin(), row.pending.end(),
+                          std::greater<int64_t>());
+            int64_t pq = row.pending.back();
+            row.pending.pop_back();
+            process_cell(pq, pt, row.cells[pq], row);
+        }
+        row.processing = false;
+    }
+
+    int64_t shadow_lane(const Cell* cell, int32_t ip,
+                        int32_t lane) const {
+        if (lane < 0 || !d_.n_shadow) return 0;
+        return cell->shadow[(int64_t)ip * d_.n_shadow + lane];
+    }
+
+    int64_t split_codon_score(const TransDesc& t, const Cell* cell,
+                              int32_t ip, int64_t qpos,
+                              int64_t tpos) const {
+        // (ref: Phase_CalcFunc, phase.c:196-230; spec:
+        // model/phase.py:_make_split_shadow_fn)
+        bool valid = true;
+        int32_t phase = t.sc_phase;
+        if (t.sc_q_is_dna) {
+            if (t.sc_on_q)
+                valid = valid &&
+                        (shadow_lane(cell, ip, t.sc_lane_q) >= phase);
+            else
+                valid = valid && (qpos >= phase);
+        }
+        if (t.sc_t_is_dna) {
+            if (t.sc_on_t)
+                valid = valid &&
+                        (shadow_lane(cell, ip, t.sc_lane_t) >= phase);
+            else
+                valid = valid && (tpos >= phase);
+        }
+        auto codon_positions = [phase](int64_t pos, int64_t start,
+                                       bool has_intron, int64_t* p) {
+            if (phase == 1) {
+                p[0] = has_intron ? start - 1 : pos - 1;
+                p[1] = pos;
+                p[2] = pos + 1;
+            } else {
+                p[0] = has_intron ? start - 2 : pos - 2;
+                p[1] = has_intron ? start - 1 : pos - 1;
+                p[2] = pos;
+            }
+        };
+        auto codon_index = [](const int32_t* nt4, int64_t n,
+                              const int32_t* trans_idx,
+                              const int64_t* p) {
+            auto clip = [n](int64_t x) {
+                return x < 0 ? 0 : (x >= n ? n - 1 : x);
+            };
+            int32_t packed = nt4[clip(p[0])] | (nt4[clip(p[1])] << 4) |
+                             (nt4[clip(p[2])] << 8);
+            return trans_idx[packed];
+        };
+        int32_t qi, ti;
+        if (t.sc_q_is_dna) {
+            int64_t qstart =
+                t.sc_on_q ? shadow_lane(cell, ip, t.sc_lane_q) : 0;
+            int64_t p[3];
+            codon_positions(qpos, qstart, t.sc_on_q, p);
+            qi = codon_index(d_.q_nt4, d_.q_nt4_len, d_.trans_idx, p);
+        } else {
+            int64_t q = qpos < 0 ? 0
+                        : (qpos >= d_.q_sym_len ? d_.q_sym_len - 1
+                                                : qpos);
+            qi = d_.q_sym[q];
+        }
+        if (t.sc_t_is_dna) {
+            int64_t tstart =
+                t.sc_on_t ? shadow_lane(cell, ip, t.sc_lane_t) : 0;
+            int64_t p[3];
+            codon_positions(tpos, tstart, t.sc_on_t, p);
+            ti = codon_index(d_.t_nt4, d_.t_nt4_len, d_.trans_idx, p);
+        } else {
+            int64_t tt = tpos < 0 ? 0
+                         : (tpos >= d_.t_sym_len ? d_.t_sym_len - 1
+                                                 : tpos);
+            ti = d_.t_sym[tt];
+        }
+        if (!valid) return kNeg;
+        return d_.psub[qi * d_.psub_dim + ti];
+    }
+
+    void span_submit(int32_t span_i, Cell* cell, int32_t ip,
+                     int64_t src_q, int64_t src_t) {
+        const SpanDesc& sp = d_.spans[span_i];
+        if (!sp.max_t) return;
+        int64_t key = ((int64_t)span_i << 40) | (src_q + (1LL << 38));
+        auto it = span_cache_.find(key);
+        if (it != span_cache_.end() &&
+            it->second.score > cell->score[ip])
+            return;
+        SpanSeed& s = span_cache_[key];
+        s.score = cell->score[ip];
+        s.pmax = cell->pmax[ip];
+        s.seed = cell->seed[ip];
+        s.tb = cell->tb[ip];
+        s.q_entry = src_q;
+        s.t_entry = src_t;
+        if (d_.n_shadow) {
+            s.shadow.assign(
+                cell->shadow + (int64_t)ip * d_.n_shadow,
+                cell->shadow + (int64_t)(ip + 1) * d_.n_shadow);
+        }
+    }
+
+    void span_thaw(int32_t span_i, Cell* cell, int32_t ip,
+                   int64_t q_pos, int64_t t_pos) {
+        const SpanDesc& sp = d_.spans[span_i];
+        int64_t curr = span_curr_[span_i];
+        // expire curr (ref: Scheduler_SpanData_get_curr)
+        if (curr >= 0) {
+            const SpanSeed& c = span_curr_store_[curr];
+            if (c.q_entry > q_pos || c.q_entry + sp.max_q < q_pos ||
+                c.t_entry + sp.max_t < t_pos)
+                curr = -1;
+        }
+        int64_t key = ((int64_t)span_i << 40) | (q_pos + (1LL << 38));
+        auto it = span_cache_.find(key);
+        if (it != span_cache_.end()) {
+            if (it->second.t_entry + sp.max_t >= t_pos) {
+                if (curr < 0 ||
+                    span_curr_store_[curr].score < it->second.score) {
+                    span_curr_store_.push_back(it->second);
+                    curr = (int64_t)span_curr_store_.size() - 1;
+                }
+            } else {
+                span_cache_.erase(it);
+            }
+        }
+        span_curr_[span_i] = curr;
+        if (curr >= 0) {
+            const SpanSeed& c = span_curr_store_[curr];
+            if (cell->score[ip] < c.score) {
+                cell->score[ip] = c.score;
+                cell->pmax[ip] = c.pmax;
+                cell->seed[ip] = c.seed;
+                int64_t tb = c.tb;
+                int64_t qdiff = q_pos - c.q_entry;
+                int64_t tdiff = t_pos - c.t_entry;
+                if (qdiff) tb = tb_add(sp.qloop_orig, qdiff, tb);
+                if (tdiff) tb = tb_add(sp.tloop_orig, tdiff, tb);
+                cell->tb[ip] = tb;
+                if (d_.n_shadow && !c.shadow.empty())
+                    std::memcpy(
+                        cell->shadow + (int64_t)ip * d_.n_shadow,
+                        c.shadow.data(),
+                        sizeof(int64_t) * d_.n_shadow);
+            }
+        }
+    }
+
+    void process_cell(int64_t pq, int64_t pt, Cell* cell, Row& row) {
+        bool is_forward = d_.is_forward;
+        bool use_boundary = d_.use_boundary;
+        int64_t src_q = is_forward ? pq : -pq;
+        int64_t src_t = is_forward ? pt : -pt;
+        Row* dst_rows[4] = {&row, nullptr, nullptr, nullptr};
+        for (int32_t k = 0; k < d_.n_trans; k++) {
+            const TransDesc& t = d_.trans[k];
+            if (t.flags & F_SPAN_LOOP) {
+                // (ref: scheduler.c:891-922)
+                if (is_forward && use_boundary && t.span_id >= 0 &&
+                    cell->score[t.in_id] >= 0)
+                    span_submit(t.span_id, cell, t.in_id, src_q, src_t);
+                continue;
+            }
+            int64_t dst_q, dst_t, calc_q, calc_t;
+            int32_t ip, op;
+            if (is_forward) {
+                dst_q = src_q + t.aq;
+                dst_t = src_t + t.at;
+                if (dst_q > d_.qlen || dst_t > d_.tlen) continue;
+                ip = t.in_id;
+                op = t.out_id;
+                if (use_boundary && cell->thaw) {
+                    auto sit = span_by_state_.find(t.in_id);
+                    if (sit != span_by_state_.end())
+                        span_thaw(sit->second, cell, ip, src_q, src_t);
+                }
+                calc_q = src_q;
+                calc_t = src_t;
+            } else {
+                dst_q = src_q - t.aq;
+                dst_t = src_t - t.at;
+                if (dst_q < 0 || dst_t < 0) continue;
+                ip = t.out_id;
+                op = t.in_id;
+                calc_q = dst_q;
+                calc_t = dst_t;
+            }
+            int64_t src_score = cell->score[ip];
+            if (src_score <= kNeg) continue;
+            int64_t tscore;
+            if (t.gmode == G_NONE ||
+                (!is_forward && (t.flags & F_REV_SHADOWED))) {
+                tscore = 0;  // (ref: scheduler.c:1008-1014)
+            } else {
+                switch (t.gmode) {
+                    case G_CONST:
+                        tscore = t.gval;
+                        break;
+                    case G_QVEC:
+                        tscore = t.qvec[calc_q];
+                        break;
+                    case G_TVEC:
+                        tscore = t.tvec[calc_t];
+                        break;
+                    case G_FACTORED:
+                        if (t.q_over && t.q_over[calc_q])
+                            tscore = t.q_over[calc_q];
+                        else
+                            tscore = t.table[t.q_idx[calc_q] * t.dim +
+                                             t.t_idx[calc_t]];
+                        break;
+                    case G_QTSUM:
+                        tscore = (int64_t)t.qvec[calc_q] +
+                                 t.tvec[calc_t];
+                        break;
+                    default:
+                        tscore = 0;
+                }
+                if (t.shadow_kind == SK_INTRON_WINDOW) {
+                    // (ref: Intron_CalcFunc !is_pre, intron.c:147-158)
+                    int64_t abs_q = d_.rqs + calc_q;
+                    int64_t abs_t = d_.rts + calc_t;
+                    bool bad = false;
+                    if (t.iw_use_q) {
+                        int64_t len = abs_q -
+                            shadow_lane(cell, ip, t.iw_lane_q) + 2;
+                        bad |= (len < t.iw_min) || (len > t.iw_max);
+                    }
+                    if (t.iw_use_t) {
+                        int64_t len = abs_t -
+                            shadow_lane(cell, ip, t.iw_lane_t) + 2;
+                        bad |= (len < t.iw_min) || (len > t.iw_max);
+                    }
+                    if (bad) tscore = kNeg;
+                } else if (t.shadow_kind == SK_SPLIT_CODON) {
+                    tscore = split_codon_score(t, cell, ip,
+                                               d_.rqs + calc_q,
+                                               d_.rts + calc_t);
+                }
+            }
+            int64_t max_score = cell->pmax[ip];
+            int64_t seed_id = cell->seed[ip];
+            int64_t dst_score = src_score + tscore;
+            if ((t.flags & F_P_UNDER) && dst_score < kNeg)
+                dst_score = kNeg;
+            if ((t.flags & F_P_OVER) && dst_score > -kNeg)
+                dst_score = -kNeg;
+            if (is_forward && dst_score < 0) continue;
+            if (max_score - dst_score > d_.dropoff) continue;
+            if ((t.flags & F_MATCH) && is_blocked(d_.rqs + src_q))
+                continue;
+            int64_t dpq = pq + t.aq;
+            Row* drow = dst_rows[t.at];
+            if (drow == nullptr)
+                drow = dst_rows[t.at] = get_row(pt + t.at);
+            bool created;
+            Cell* dcell = get_cell(*drow, dpq, false, &created);
+            if (!created && dst_score <= dcell->score[op])
+                continue;  // keep existing on ties (scheduler.c:1048)
+            // assign (ref: Scheduler_Cell_assign, scheduler.c:763-830)
+            dcell->score[op] = dst_score;
+            dcell->seed[op] = seed_id;
+            if (d_.has_traceback)
+                dcell->tb[op] = tb_add(t.orig_idx, 1, cell->tb[ip]);
+            if (is_forward && d_.n_shadow) {
+                int64_t* dst_sh =
+                    dcell->shadow + (int64_t)op * d_.n_shadow;
+                if (dst_sh != cell->shadow + (int64_t)ip * d_.n_shadow)
+                    std::memcpy(dst_sh,
+                                cell->shadow + (int64_t)ip * d_.n_shadow,
+                                sizeof(int64_t) * d_.n_shadow);
+                for (int32_t s = 0; s < t.n_starts; s++) {
+                    int32_t off = t.starts_off + s;
+                    int32_t des = d_.starts_des[off];
+                    const int32_t* vec = d_.starts_vec[off];
+                    if (vec != nullptr) {
+                        dst_sh[des] = vec[d_.starts_onq[off] ? src_q
+                                                             : src_t];
+                    } else {
+                        dst_sh[des] = d_.starts_onq[off]
+                                          ? d_.rqs + src_q
+                                          : d_.rts + src_t;
+                    }
+                }
+            }
+            if (dst_score < max_score) {
+                dcell->pmax[op] = max_score;
+            } else {
+                dcell->pmax[op] = dst_score;
+                if (d_.want_start_func && (t.flags & F_FROM_START)) {
+                    if (out_.term_score[seed_id] < dst_score) {
+                        out_.term_score[seed_id] = dst_score;
+                        out_.term_q[seed_id] = dst_q;
+                        out_.term_t[seed_id] = dst_t;
+                        out_.term_tb[seed_id] = dcell->tb[op];
+                    }
+                }
+                if (d_.want_end_func && (t.flags & F_TO_END)) {
+                    if (out_.term_score[seed_id] < dst_score) {
+                        out_.term_score[seed_id] = dst_score;
+                        out_.term_q[seed_id] = dst_q;
+                        out_.term_t[seed_id] = dst_t;
+                        out_.term_tb[seed_id] = dcell->tb[op];
+                    }
+                }
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque result handle so Python can copy out variable-size arrays.
+struct SdpResult {
+    Outputs out;
+    std::vector<TransDesc> trans;
+    std::vector<SpanDesc> spans;
+    PassDesc desc;
+};
+
+// All inputs arrive as structure-of-arrays (no cross-ABI struct
+// marshaling): tmeta is int32 with stride 26 per transition, smeta is
+// int64 with stride 7 per span, params is int64[25].
+SdpResult* sdp_run_pass(
+    const int64_t* params, const int32_t* tmeta,
+    const int32_t* const* t_qvec, const int32_t* const* t_tvec,
+    const int32_t* const* t_table, const int32_t* const* t_qidx,
+    const int32_t* const* t_tidx, const int32_t* const* t_qover,
+    const int64_t* smeta, const int32_t* starts_des,
+    const int32_t* starts_onq, const int32_t* const* starts_vec,
+    const int32_t* q_nt4, const int32_t* t_nt4, const int32_t* q_sym,
+    const int32_t* t_sym, const int32_t* trans_idx, const int32_t* psub,
+    const int64_t* blk_rows, const int64_t* blk_off,
+    const int64_t* blk_q, const int64_t* seed_pt,
+    const int64_t* seed_pq, const int64_t* seed_id,
+    const int64_t* seed_score, int64_t* term_score, int64_t* term_q,
+    int64_t* term_t, int64_t* term_tb) {
+    SdpResult* res = new SdpResult();
+    PassDesc& d = res->desc;
+    d.n_states = (int32_t)params[0];
+    d.n_shadow = (int32_t)params[1];
+    d.n_trans = (int32_t)params[2];
+    d.n_spans = (int32_t)params[3];
+    d.is_forward = (int32_t)params[4];
+    d.use_boundary = (int32_t)params[5];
+    d.has_traceback = (int32_t)params[6];
+    d.qlen = params[7];
+    d.tlen = params[8];
+    d.rqs = params[9];
+    d.rts = params[10];
+    d.dropoff = params[11];
+    d.mta = params[12];
+    d.n_blocked_rows = (int32_t)params[13];
+    d.n_seeds = (int32_t)params[14];
+    d.want_start_func = (int32_t)params[15];
+    d.want_end_func = (int32_t)params[16];
+    d.start_state_id = (int32_t)params[17];
+    d.end_state_id = (int32_t)params[18];
+    d.n_reg_seeds = (int32_t)params[19];
+    d.q_nt4_len = params[20];
+    d.t_nt4_len = params[21];
+    d.q_sym_len = params[22];
+    d.t_sym_len = params[23];
+    d.psub_dim = (int32_t)params[24];
+    res->trans.resize(d.n_trans);
+    for (int32_t i = 0; i < d.n_trans; i++) {
+        const int32_t* m = tmeta + (int64_t)i * 26;
+        TransDesc& t = res->trans[i];
+        t.aq = m[0];
+        t.at = m[1];
+        t.in_id = m[2];
+        t.out_id = m[3];
+        t.flags = m[4];
+        t.gmode = m[5];
+        t.gval = m[6];
+        t.dim = m[7];
+        t.shadow_kind = m[8];
+        t.iw_use_q = m[9];
+        t.iw_use_t = m[10];
+        t.iw_lane_q = m[11];
+        t.iw_lane_t = m[12];
+        t.iw_min = m[13];
+        t.iw_max = m[14];
+        t.sc_phase = m[15];
+        t.sc_q_is_dna = m[16];
+        t.sc_t_is_dna = m[17];
+        t.sc_on_q = m[18];
+        t.sc_on_t = m[19];
+        t.sc_lane_q = m[20];
+        t.sc_lane_t = m[21];
+        t.n_starts = m[22];
+        t.starts_off = m[23];
+        t.span_id = m[24];
+        t.orig_idx = m[25];
+        t.qvec = t_qvec[i];
+        t.tvec = t_tvec[i];
+        t.table = t_table[i];
+        t.q_idx = t_qidx[i];
+        t.t_idx = t_tidx[i];
+        t.q_over = t_qover[i];
+    }
+    res->spans.resize(d.n_spans);
+    for (int32_t i = 0; i < d.n_spans; i++) {
+        const int64_t* m = smeta + (int64_t)i * 7;
+        SpanDesc& sp = res->spans[i];
+        sp.state_id = (int32_t)m[0];
+        sp.min_q = m[1];
+        sp.max_q = m[2];
+        sp.min_t = m[3];
+        sp.max_t = m[4];
+        sp.qloop_orig = (int32_t)m[5];
+        sp.tloop_orig = (int32_t)m[6];
+    }
+    d.trans = res->trans.data();
+    d.spans = res->spans.data();
+    d.starts_des = starts_des;
+    d.starts_onq = starts_onq;
+    d.starts_vec = starts_vec;
+    d.q_nt4 = q_nt4;
+    d.t_nt4 = t_nt4;
+    d.q_sym = q_sym;
+    d.t_sym = t_sym;
+    d.trans_idx = trans_idx;
+    d.psub = psub;
+    d.blk_rows = blk_rows;
+    d.blk_off = blk_off;
+    d.blk_q = blk_q;
+    d.seed_pt = seed_pt;
+    d.seed_pq = seed_pq;
+    d.seed_id = seed_id;
+    d.seed_score = seed_score;
+    res->out.term_score = term_score;
+    res->out.term_q = term_q;
+    res->out.term_t = term_t;
+    res->out.term_tb = term_tb;
+    Pass pass(d, res->out);
+    pass.run();
+    return res;
+}
+
+int64_t sdp_result_boundary_size(const SdpResult* r) {
+    return (int64_t)r->out.boundary.size();
+}
+
+void sdp_result_boundary_copy(const SdpResult* r, int64_t* dst) {
+    std::memcpy(dst, r->out.boundary.data(),
+                r->out.boundary.size() * sizeof(int64_t));
+}
+
+int64_t sdp_result_tb_size(const SdpResult* r) {
+    return (int64_t)r->out.tb_trans.size();
+}
+
+void sdp_result_tb_copy(const SdpResult* r, int32_t* trans,
+                        int64_t* len, int64_t* prev) {
+    std::memcpy(trans, r->out.tb_trans.data(),
+                r->out.tb_trans.size() * sizeof(int32_t));
+    std::memcpy(len, r->out.tb_len.data(),
+                r->out.tb_len.size() * sizeof(int64_t));
+    std::memcpy(prev, r->out.tb_prev.data(),
+                r->out.tb_prev.size() * sizeof(int64_t));
+}
+
+void sdp_result_free(SdpResult* r) { delete r; }
+
+}  // extern "C"

@@ -193,4 +193,60 @@ int64_t seedlib_seed_all(
     return n_out;
 }
 
+// BLAST-style word neighbourhood DFS (ref: WordHood_traverse,
+// wordhood.c:321-341; spec: seeds/wordhood.py:neighbours).  Emits all
+// base-n packed words scoring >= threshold against `word`, in the same
+// ascending-member DFS order as the Python implementation.  Returns the
+// count, or -1 when out_cap is too small (caller retries bigger).
+int64_t wordhood_neighbours(const int32_t* matrix, int64_t n,
+                            int64_t wordlen, const int32_t* word,
+                            int64_t threshold, int64_t* out,
+                            int64_t out_cap) {
+    // suffix max bounds for pruning
+    int64_t suffix_max[64];
+    suffix_max[wordlen] = 0;
+    for (int64_t i = wordlen - 1; i >= 0; --i) {
+        int64_t mx = matrix[word[i] * n];
+        for (int64_t c = 1; c < n; ++c) {
+            int64_t v = matrix[word[i] * n + c];
+            if (v > mx) mx = v;
+        }
+        suffix_max[i] = suffix_max[i + 1] + mx;
+    }
+    int64_t n_out = 0;
+    // iterative DFS, ascending member order per position
+    int64_t cstack[64];
+    int64_t sstack[64];
+    int64_t astack[64];
+    int64_t pos = 0;
+    cstack[0] = 0;
+    sstack[0] = 0;
+    astack[0] = 0;
+    while (pos >= 0) {
+        if (pos == wordlen) {
+            if (sstack[pos] >= threshold) {
+                if (n_out >= out_cap) return -1;
+                out[n_out++] = astack[pos];
+            }
+            pos--;
+            continue;
+        }
+        int64_t c = cstack[pos];
+        if (c >= n) {
+            pos--;
+            continue;
+        }
+        cstack[pos] = c + 1;
+        int64_t s = matrix[word[pos] * n + c];
+        int64_t bound = threshold - sstack[pos] - suffix_max[pos + 1];
+        if (s >= bound) {
+            sstack[pos + 1] = sstack[pos] + s;
+            astack[pos + 1] = astack[pos] * n + c;
+            pos++;
+            if (pos < wordlen) cstack[pos] = 0;
+        }
+    }
+    return n_out;
+}
+
 }  // extern "C"
