@@ -150,9 +150,25 @@ class _Loader:
         if self.target_is_translated:
             frames = [1, 2, 3]
             seqs = [target.translate_view(f) for f in frames]
+        # vectorized membership: only windows whose packed word is a
+        # known query word (or neighbour) reach the Python emit loop —
+        # the equivalent of the VFSM rejecting non-query words in-state
+        # (ref: seeder.c:696-716)
+        known = None
+        if self.words or self.neighbours:
+            known = np.fromiter(
+                set(self.words) | set(self.neighbours), dtype=np.int64)
+            known.sort()
         for frame, seq in zip(frames, seqs):
             packed, valid = self._pack_valid(seq, softmask)
             hits = np.nonzero(valid)[0]
+            if known is None or not len(known):
+                hits = hits[:0]
+            elif len(hits):
+                pw = packed[hits]
+                pos = np.searchsorted(known, pw)
+                pos[pos >= len(known)] = len(known) - 1
+                hits = hits[known[pos] == pw]
 
             def emit_word(w: int, i: int):
                 end = i + self.wordlen - 1
