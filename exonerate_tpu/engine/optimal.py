@@ -10,6 +10,8 @@ the O(diagonal)-memory pass.
 """
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 from ..align.alignment import Alignment
@@ -26,7 +28,41 @@ SMALL_DP_CELLS = 40_000
 DP_MEMORY_LIMIT = 32 << 20
 
 
+# native dense-DP traceback plane budget (bytes); beyond it the
+# checkpointed / device engines take over
+NATIVE_TB_BUDGET = 256 << 20
+
+
+def _native_res(model: Model, region: Region, data, mode, subopt):
+    """Dense C++ Viterbi (native/sdplib.cpp), or None to fall back."""
+    import os
+    if os.environ.get("EXONERATE_TPU_SDP") == "python":
+        return None
+    from . import sdp_native
+    try:
+        return sdp_native.run_viterbi(model, region, data, mode, subopt)
+    except AssertionError:
+        raise
+    except Exception:
+        return None
+
+
+# up to this many cells the native dense DP beats device dispatch
+# (per-call tunnel latency + compile amortize only at larger sizes)
+NATIVE_DIRECT_CELLS = int(os.environ.get(
+    "EXONERATE_TPU_NATIVE_CELLS", 16_000_000))
+
+
+def _prefer_native(region: Region) -> bool:
+    return ((region.query_length + 1) * (region.target_length + 1)
+            <= NATIVE_DIRECT_CELLS)
+
+
 def find_score(model: Model, region: Region, data, subopt=None) -> int:
+    if _prefer_native(region) or not _use_pallas_prescan():
+        res = _native_res(model, region, data, "score", subopt)
+        if res is not None:
+            return res.score
     if _is_small(region):
         return reference.find_score(model, region, data, subopt)
     return wavefront.find_score(model, region, data, subopt)
@@ -48,6 +84,16 @@ def find_path(model: Model, region: Region, data, subopt=None,
               threshold: Optional[int] = None,
               device=None) -> Optional[Alignment]:
     """(ref: Optimal_find_path, optimal.c): region scan then path DP."""
+    if _prefer_native(region):
+        tb_bytes = ((region.query_length + 1)
+                    * (region.target_length + 1)
+                    * len(model.states) * 2)
+        if tb_bytes <= NATIVE_TB_BUDGET:
+            res = _native_res(model, region, data, "path", subopt)
+            if res is not None:
+                if threshold is not None and res.score < threshold:
+                    return None
+                return _to_alignment(model, region, res)
     if _is_small(region):
         res = reference.viterbi(model, region, data, "path", subopt)
         return _to_alignment(model, region, res)
@@ -80,6 +126,14 @@ def find_path(model: Model, region: Region, data, subopt=None,
         res = pallas_wavefront.find_path_batched(
             model, [(region, data)], subopt=subopt,
             interpret=_PRESCAN_INTERPRET)[0]
+        if res is not None:
+            if threshold is not None and res.score < threshold:
+                return None
+            return _to_alignment(model, region, res)
+    tb_bytes = ((region.query_length + 1) * (region.target_length + 1)
+                * len(model.states) * 2)
+    if tb_bytes <= NATIVE_TB_BUDGET:
+        res = _native_res(model, region, data, "path", subopt)
         if res is not None:
             if threshold is not None and res.score < threshold:
                 return None

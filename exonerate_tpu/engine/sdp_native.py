@@ -78,6 +78,10 @@ def get_lib():
                                                _i64p, _i64p]
             lib.sdp_result_free.restype = None
             lib.sdp_result_free.argtypes = [ctypes.c_void_p]
+            lib.c4_viterbi.restype = ctypes.c_int64
+            lib.c4_viterbi.argtypes = [_i64p, _i32p] + [_pp] * 6 + [
+                _i32p, _i32p, _pp] + [_i32p] * 6 + [_i64p] * 3 + [
+                _i64p, _i64p, _i32p, ctypes.c_int64]
             _lib = lib
         except OSError:
             _failed = True
@@ -159,22 +163,15 @@ class _Keep:
         return a
 
 
-class NativeDescriptor:
-    """Per (model, pair) descriptor, reusable across the two passes.
+class _TransTables:
+    """Structure-of-arrays transition descriptors shared by the
+    scheduler pass and the dense Viterbi (same calc vocabulary)."""
 
-    Built from the same grids/factored/shadow-input data the Python
-    _Pass consumes, so both engines score identically."""
-
-    def __init__(self, model: Model, region, grids, factored,
-                 shadow_inputs, data, subopt, dropoff: int, qt=None):
-        self.model = model
-        self.region = region
-        self.dropoff = dropoff
-        self.keep = _Keep()
-        k = self.keep
-        trans_rev = list(model.transitions)[::-1]
+    def __init__(self, model: Model, trans_list, region, data, grids,
+                 factored, qt, shadow_inputs, keep: "_Keep"):
+        k = keep
         orig_index = {id(t): i for i, t in enumerate(model.transitions)}
-        n_trans = len(trans_rev)
+        n_trans = len(trans_list)
         self.tmeta = np.zeros(n_trans * _TMETA_STRIDE, dtype=np.int32)
         self.t_qvec = (ctypes.c_void_p * n_trans)()
         self.t_tvec = (ctypes.c_void_p * n_trans)()
@@ -188,7 +185,7 @@ class NativeDescriptor:
         span_index = {id(sp): i for i, sp in enumerate(model.spans)}
         # split-codon shared arrays (filled lazily from shadow inputs)
         self.sc_arrays = None
-        for i, t in enumerate(trans_rev):
+        for i, t in enumerate(trans_list):
             m = self.tmeta[i * _TMETA_STRIDE:(i + 1) * _TMETA_STRIDE]
             m[0] = t.advance_query
             m[1] = t.advance_target
@@ -317,6 +314,35 @@ class NativeDescriptor:
             starts_vec_arrays)))()
         for j, v in enumerate(starts_vec_arrays):
             self.starts_vec[j] = v.ctypes.data if v is not None else None
+
+
+class NativeDescriptor:
+    """Per (model, pair) descriptor, reusable across the two passes.
+
+    Built from the same grids/factored/shadow-input data the Python
+    _Pass consumes, so both engines score identically."""
+
+    def __init__(self, model: Model, region, grids, factored,
+                 shadow_inputs, data, subopt, dropoff: int, qt=None):
+        self.model = model
+        self.region = region
+        self.dropoff = dropoff
+        self.keep = _Keep()
+        k = self.keep
+        orig_index = {id(t): i for i, t in enumerate(model.transitions)}
+        tt = _TransTables(model, list(model.transitions)[::-1], region,
+                          data, grids, factored, qt, shadow_inputs, k)
+        self.tmeta = tt.tmeta
+        self.t_qvec = tt.t_qvec
+        self.t_tvec = tt.t_tvec
+        self.t_table = tt.t_table
+        self.t_qidx = tt.t_qidx
+        self.t_tidx = tt.t_tidx
+        self.t_qover = tt.t_qover
+        self.starts_des = tt.starts_des
+        self.starts_onq = tt.starts_onq
+        self.starts_vec = tt.starts_vec
+        self.sc_arrays = tt.sc_arrays
         # spans
         self.smeta = np.zeros(max(1, len(model.spans)) * 7,
                               dtype=np.int64)
@@ -447,3 +473,140 @@ class NativeDescriptor:
             lib.sdp_result_free(handle)
         return (term_score, term_q, term_t, term_tb,
                 boundary[:nb], (tb_trans, tb_len, tb_prev))
+
+
+_SCOPES = {"anywhere": 0, "edge": 1, "query": 2, "target": 3,
+           "corner": 4}
+
+_vit_supported_cache: dict = {}
+
+
+def viterbi_supported(model: Model) -> bool:
+    key = id(model)
+    if key not in _vit_supported_cache:
+        ok = supported(model)
+        if ok:
+            for c in model.calcs:
+                if c.qt_fn is not None or c.factored_fn is not None:
+                    continue
+                # 1-D / scalar grids only (checked at build per region)
+            _vit_supported_cache[key] = ok
+        else:
+            _vit_supported_cache[key] = False
+    return _vit_supported_cache[key]
+
+
+def run_viterbi(model: Model, region, data, mode: str = "score",
+                subopt=None):
+    """Dense native Viterbi (ref: Viterbi_interpreted).  Returns a
+    DPResult-compatible object or None when the model/grids are not
+    expressible natively."""
+    from .reference import DPResult
+    lib = get_lib()
+    if lib is None or not viterbi_supported(model):
+        return None
+    keep = _Keep()
+    k = keep
+    grids = {}
+    factored = {}
+    qt = {}
+    for c in model.calcs:
+        if c.qt_fn is not None:
+            qv, tv = c.qt_fn(region, data)
+            qt[id(c)] = (np.asarray(qv), np.asarray(tv))
+        elif c.factored_fn is not None:
+            f = c.factored_fn(region, data)
+            ov = f.get("q_override")
+            if ov is not None and not np.any(ov):
+                ov = None
+            factored[id(c)] = (np.asarray(f["table"]),
+                               np.asarray(f["q_idx"]),
+                               np.asarray(f["t_idx"]),
+                               np.asarray(ov) if ov is not None
+                               else None)
+        else:
+            g = np.asarray(c.materialize(region, data))
+            if g.ndim == 2 and g.shape[0] > 1 and g.shape[1] > 1:
+                return None  # full 2-D grid: fall back
+            grids[id(c)] = g
+    shadow_inputs = {id(c): c.shadow_inputs_fn(region, data)
+                     for c in model.calcs
+                     if c.shadow_inputs_fn is not None}
+    try:
+        tt = _TransTables(model, list(model.transitions), region, data,
+                          grids, factored, qt, shadow_inputs, k)
+    except (ValueError, KeyError):
+        return None
+    sc = tt.sc_arrays or {}
+    zero32 = np.zeros(1, dtype=np.int32)
+
+    def p32(a):
+        return a.ctypes.data_as(_i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(_i64p)
+
+    # subopt blocked CSR
+    if subopt is not None and subopt.by_row:
+        rows = sorted(subopt.by_row)
+        offs = [0]
+        qs: list = []
+        for r in rows:
+            qs.extend(sorted(subopt.by_row[r]))
+            offs.append(len(qs))
+        n_blk = len(rows)
+        blk_rows = np.asarray(rows, dtype=np.int64)
+        blk_off = np.asarray(offs, dtype=np.int64)
+        blk_q = (np.asarray(qs, dtype=np.int64) if qs
+                 else np.zeros(1, dtype=np.int64))
+    else:
+        n_blk = 0
+        blk_rows = blk_off = blk_q = np.zeros(1, dtype=np.int64)
+    params = np.zeros(25, dtype=np.int64)
+    params[0] = len(model.states)
+    params[1] = model.total_shadow_designations
+    params[2] = len(model.transitions)
+    params[7] = region.query_length
+    params[8] = region.target_length
+    params[9] = region.query_start
+    params[10] = region.target_start
+    params[13] = n_blk
+    params[20] = sc["q_nt4"].shape[0] if sc else 0
+    params[21] = sc["t_nt4"].shape[0] if sc else 0
+    params[22] = sc["q_sym"].shape[0] if sc else 0
+    params[23] = sc["t_sym"].shape[0] if sc else 0
+    params[24] = sc["psub"].shape[1] if sc else 0
+    mode_i = {"score": 0, "region": 1, "path": 2}[mode]
+    vparams = np.asarray([
+        mode_i, _SCOPES[model.start_state.scope.value],
+        _SCOPES[model.end_state.scope.value],
+        model.start_state.state.id, model.end_state.state.id,
+    ], dtype=np.int64)
+    res = np.zeros(5, dtype=np.int64)
+    cap = ((region.query_length + region.target_length + 2)
+           * (len(model.states) + 1)) if mode_i == 2 else 1
+    path_out = np.zeros(max(1, cap), dtype=np.int32)
+    got = lib.c4_viterbi(
+        p64(params), p32(tt.tmeta),
+        ctypes.cast(tt.t_qvec, _pp), ctypes.cast(tt.t_tvec, _pp),
+        ctypes.cast(tt.t_table, _pp), ctypes.cast(tt.t_qidx, _pp),
+        ctypes.cast(tt.t_tidx, _pp), ctypes.cast(tt.t_qover, _pp),
+        p32(tt.starts_des), p32(tt.starts_onq),
+        ctypes.cast(tt.starts_vec, _pp),
+        p32(sc["q_nt4"] if sc else zero32),
+        p32(sc["t_nt4"] if sc else zero32),
+        p32(sc["q_sym"] if sc else zero32),
+        p32(sc["t_sym"] if sc else zero32),
+        p32(sc["trans_idx"] if sc else zero32),
+        p32(sc["psub"] if sc else zero32),
+        p64(blk_rows), p64(blk_off), p64(blk_q),
+        p64(vparams), p64(res), p32(path_out), cap)
+    if got == -(2**63):  # INT64_MIN: no end state reached
+        raise AssertionError("no end state reached")
+    out = DPResult(score=int(res[0]), query_end=int(res[3]),
+                   target_end=int(res[4]), query_start=int(res[1]),
+                   target_start=int(res[2]))
+    if mode_i == 2:
+        trans = model.transitions
+        out.path = [trans[int(x)] for x in path_out[:got][::-1]]
+    return out

@@ -708,9 +708,376 @@ class Pass {
     }
 };
 
+// ---------------------------------------------------------------------
+// Dense Viterbi interpreter (ref: Viterbi_interpreted, viterbi.c:655-837;
+// spec: engine/reference.py:viterbi).  Same calc-descriptor vocabulary
+// as the scheduler; modes score/region/path; first-max tie-breaking,
+// scope masks, shadow lanes, subopt blocking, protect clamps.
+// ---------------------------------------------------------------------
+
+constexpr int32_t SCOPE_ANYWHERE = 0;
+constexpr int32_t SCOPE_EDGE = 1;
+constexpr int32_t SCOPE_QUERY = 2;
+constexpr int32_t SCOPE_TARGET = 3;
+constexpr int32_t SCOPE_CORNER = 4;
+
+inline bool scope_ok_start(int32_t scope, int64_t i, int64_t j) {
+    switch (scope) {
+        case SCOPE_ANYWHERE: return true;
+        case SCOPE_CORNER: return i == 0 && j == 0;
+        case SCOPE_EDGE: return i == 0 || j == 0;
+        case SCOPE_QUERY: return i == 0;
+        case SCOPE_TARGET: return j == 0;
+    }
+    return false;
+}
+
+inline bool scope_ok_end(int32_t scope, int64_t i, int64_t j,
+                         int64_t qlen, int64_t tlen) {
+    switch (scope) {
+        case SCOPE_ANYWHERE: return true;
+        case SCOPE_CORNER: return i == qlen && j == tlen;
+        case SCOPE_EDGE: return i == qlen || j == tlen;
+        case SCOPE_QUERY: return i == qlen;
+        case SCOPE_TARGET: return j == tlen;
+    }
+    return false;
+}
+
+struct ViterbiCtx {
+    const PassDesc* d;          // reuses calc/shadow/blocked plumbing
+    int32_t mode;               // 0 score, 1 region, 2 path
+    int32_t start_scope, end_scope;
+    int32_t start_id, end_id;
+};
+
+// calc score at source cell (ci, cj) with src lanes (may be null)
+inline int64_t viterbi_calc_score(const ViterbiCtx& vc,
+                                  const TransDesc& t,
+                                  const int64_t* src_lanes,
+                                  int64_t ci, int64_t cj) {
+    const PassDesc& d = *vc.d;
+    int64_t tscore;
+    switch (t.gmode) {
+        case G_NONE: return 0;
+        case G_CONST: tscore = t.gval; break;
+        case G_QVEC: tscore = t.qvec[ci]; break;
+        case G_TVEC: tscore = t.tvec[cj]; break;
+        case G_QTSUM:
+            tscore = (int64_t)t.qvec[ci] + t.tvec[cj];
+            break;
+        case G_FACTORED:
+            if (t.q_over && t.q_over[ci])
+                tscore = t.q_over[ci];
+            else
+                tscore = t.table[t.q_idx[ci] * t.dim + t.t_idx[cj]];
+            break;
+        default: tscore = 0;
+    }
+    auto lane = [&](int32_t l) -> int64_t {
+        return (src_lanes && l >= 0) ? src_lanes[l] : 0;
+    };
+    if (t.shadow_kind == SK_INTRON_WINDOW) {
+        int64_t abs_q = d.rqs + ci;
+        int64_t abs_t = d.rts + cj;
+        bool bad = false;
+        if (t.iw_use_q) {
+            int64_t len = abs_q - lane(t.iw_lane_q) + 2;
+            bad |= (len < t.iw_min) || (len > t.iw_max);
+        }
+        if (t.iw_use_t) {
+            int64_t len = abs_t - lane(t.iw_lane_t) + 2;
+            bad |= (len < t.iw_min) || (len > t.iw_max);
+        }
+        if (bad) tscore = kNeg;
+    } else if (t.shadow_kind == SK_SPLIT_CODON) {
+        // identical logic to Pass::split_codon_score, on raw lanes
+        bool valid = true;
+        int32_t phase = t.sc_phase;
+        int64_t qpos = d.rqs + ci, tpos = d.rts + cj;
+        if (t.sc_q_is_dna)
+            valid &= t.sc_on_q ? (lane(t.sc_lane_q) >= phase)
+                               : (qpos >= phase);
+        if (t.sc_t_is_dna)
+            valid &= t.sc_on_t ? (lane(t.sc_lane_t) >= phase)
+                               : (tpos >= phase);
+        auto codon_positions = [phase](int64_t pos, int64_t start,
+                                       bool has_intron, int64_t* p) {
+            if (phase == 1) {
+                p[0] = has_intron ? start - 1 : pos - 1;
+                p[1] = pos;
+                p[2] = pos + 1;
+            } else {
+                p[0] = has_intron ? start - 2 : pos - 2;
+                p[1] = has_intron ? start - 1 : pos - 1;
+                p[2] = pos;
+            }
+        };
+        auto codon_index = [](const int32_t* nt4, int64_t n,
+                              const int32_t* trans_idx,
+                              const int64_t* p) {
+            auto clip = [n](int64_t x) {
+                return x < 0 ? 0 : (x >= n ? n - 1 : x);
+            };
+            int32_t packed = nt4[clip(p[0])] | (nt4[clip(p[1])] << 4) |
+                             (nt4[clip(p[2])] << 8);
+            return trans_idx[packed];
+        };
+        int32_t qi, ti;
+        if (t.sc_q_is_dna) {
+            int64_t qstart = t.sc_on_q ? lane(t.sc_lane_q) : 0;
+            int64_t p[3];
+            codon_positions(qpos, qstart, t.sc_on_q, p);
+            qi = codon_index(d.q_nt4, d.q_nt4_len, d.trans_idx, p);
+        } else {
+            int64_t q = qpos < 0 ? 0
+                        : (qpos >= d.q_sym_len ? d.q_sym_len - 1
+                                               : qpos);
+            qi = d.q_sym[q];
+        }
+        if (t.sc_t_is_dna) {
+            int64_t tstart = t.sc_on_t ? lane(t.sc_lane_t) : 0;
+            int64_t p[3];
+            codon_positions(tpos, tstart, t.sc_on_t, p);
+            ti = codon_index(d.t_nt4, d.t_nt4_len, d.trans_idx, p);
+        } else {
+            int64_t tt = tpos < 0 ? 0
+                         : (tpos >= d.t_sym_len ? d.t_sym_len - 1
+                                                : tpos);
+            ti = d.t_sym[tt];
+        }
+        tscore = valid ? d.psub[qi * d.psub_dim + ti] : kNeg;
+    }
+    return tscore;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Dense Viterbi (ref: Viterbi_interpreted).  Reuses sdp_run_pass's
+// parameter/tmeta layout with transitions in MODEL order.
+// vparams: [mode, start_scope, end_scope, start_id, end_id]
+// Outputs: res[5] = {score, q_start, t_start, q_end, t_end};
+// path mode: path_out receives orig transition indices end->start
+// reversed to start->end by the caller; returns path length (or the
+// required capacity as a negative number if path_cap too small);
+// score/region modes return 0, "no end reached" returns INT64_MIN.
+int64_t c4_viterbi(
+    const int64_t* params, const int32_t* tmeta,
+    const int32_t* const* t_qvec, const int32_t* const* t_tvec,
+    const int32_t* const* t_table, const int32_t* const* t_qidx,
+    const int32_t* const* t_tidx, const int32_t* const* t_qover,
+    const int32_t* starts_des, const int32_t* starts_onq,
+    const int32_t* const* starts_vec,
+    const int32_t* q_nt4, const int32_t* t_nt4, const int32_t* q_sym,
+    const int32_t* t_sym, const int32_t* trans_idx, const int32_t* psub,
+    const int64_t* blk_rows, const int64_t* blk_off,
+    const int64_t* blk_q, const int64_t* vparams, int64_t* res,
+    int32_t* path_out, int64_t path_cap) {
+    PassDesc d;
+    std::memset(&d, 0, sizeof(d));
+    d.n_states = (int32_t)params[0];
+    d.n_shadow = (int32_t)params[1];
+    d.n_trans = (int32_t)params[2];
+    d.qlen = params[7];
+    d.tlen = params[8];
+    d.rqs = params[9];
+    d.rts = params[10];
+    d.n_blocked_rows = (int32_t)params[13];
+    d.q_nt4_len = params[20];
+    d.t_nt4_len = params[21];
+    d.q_sym_len = params[22];
+    d.t_sym_len = params[23];
+    d.psub_dim = (int32_t)params[24];
+    std::vector<TransDesc> trans(d.n_trans);
+    int64_t mta = 1;
+    for (int32_t i = 0; i < d.n_trans; i++) {
+        const int32_t* m = tmeta + (int64_t)i * 26;
+        TransDesc& t = trans[i];
+        t.aq = m[0]; t.at = m[1]; t.in_id = m[2]; t.out_id = m[3];
+        t.flags = m[4]; t.gmode = m[5]; t.gval = m[6]; t.dim = m[7];
+        t.shadow_kind = m[8];
+        t.iw_use_q = m[9]; t.iw_use_t = m[10];
+        t.iw_lane_q = m[11]; t.iw_lane_t = m[12];
+        t.iw_min = m[13]; t.iw_max = m[14];
+        t.sc_phase = m[15]; t.sc_q_is_dna = m[16];
+        t.sc_t_is_dna = m[17]; t.sc_on_q = m[18]; t.sc_on_t = m[19];
+        t.sc_lane_q = m[20]; t.sc_lane_t = m[21];
+        t.n_starts = m[22]; t.starts_off = m[23];
+        t.span_id = m[24]; t.orig_idx = m[25];
+        t.qvec = t_qvec[i]; t.tvec = t_tvec[i]; t.table = t_table[i];
+        t.q_idx = t_qidx[i]; t.t_idx = t_tidx[i]; t.q_over = t_qover[i];
+        if (t.at > mta) mta = t.at;
+    }
+    d.starts_des = starts_des;
+    d.starts_onq = starts_onq;
+    d.starts_vec = starts_vec;
+    d.q_nt4 = q_nt4; d.t_nt4 = t_nt4; d.q_sym = q_sym; d.t_sym = t_sym;
+    d.trans_idx = trans_idx; d.psub = psub;
+    d.blk_rows = blk_rows; d.blk_off = blk_off; d.blk_q = blk_q;
+
+    ViterbiCtx vc;
+    vc.d = &d;
+    vc.mode = (int32_t)vparams[0];
+    vc.start_scope = (int32_t)vparams[1];
+    vc.end_scope = (int32_t)vparams[2];
+    vc.start_id = (int32_t)vparams[3];
+    vc.end_id = (int32_t)vparams[4];
+    bool want_extra = vc.mode >= 1;
+    bool want_path = vc.mode == 2;
+    int32_t n_shadow = d.n_shadow;
+    int32_t n_extra = n_shadow + (want_extra ? 2 : 0);
+    int32_t rs_q = n_shadow, rs_t = n_shadow + 1;  // only if want_extra
+    int64_t cell_sz = 1 + n_extra;
+    int64_t qlen = d.qlen, tlen = d.tlen;
+    int64_t row_sz = (qlen + 1) * d.n_states * cell_sz;
+    std::vector<int64_t> rowbuf((mta + 1) * row_sz, kNeg);
+    std::vector<int64_t*> rows(mta + 1);
+    for (int64_t r = 0; r <= mta; r++) rows[r] = rowbuf.data() + r * row_sz;
+    std::vector<int16_t> tb;
+    if (want_path) tb.assign((qlen + 1) * (tlen + 1) * d.n_states, 0);
+    std::vector<uint8_t> state_is_set(d.n_states);
+    std::vector<int64_t> best_cell(cell_sz, kNeg);
+    int64_t best_score = kNeg, best_i = 0, best_j = 0;
+    bool end_is_set = false;
+
+    // subopt row lookup
+    auto blocked_row = [&](int64_t abs_t, const int64_t** lo,
+                           const int64_t** hi) {
+        *lo = *hi = nullptr;
+        if (!d.n_blocked_rows) return;
+        const int64_t* rlo = d.blk_rows;
+        const int64_t* rhi = d.blk_rows + d.n_blocked_rows;
+        const int64_t* p = std::lower_bound(rlo, rhi, abs_t);
+        if (p == rhi || *p != abs_t) return;
+        int64_t k = p - rlo;
+        *lo = d.blk_q + d.blk_off[k];
+        *hi = d.blk_q + d.blk_off[k + 1];
+    };
+
+    for (int64_t j = 0; j <= tlen; j++) {
+        int64_t* row0 = rows[0];
+        std::fill(row0, row0 + row_sz, kNeg);
+        const int64_t *blo, *bhi;
+        blocked_row(d.rts + j, &blo, &bhi);
+        for (int64_t i = 0; i <= qlen; i++) {
+            std::fill(state_is_set.begin(), state_is_set.end(), 0);
+            int64_t* cell = row0 + i * d.n_states * cell_sz;
+            for (int64_t c = 0; c < d.n_states * cell_sz; c++)
+                cell[c] = kNeg;
+            for (int32_t k = 0; k < d.n_trans; k++) {
+                const TransDesc& t = trans[k];
+                int64_t si = i - t.aq, sj = j - t.at;
+                if (si < 0 || sj < 0) continue;
+                if (t.flags & F_FROM_START) {
+                    if (!scope_ok_start(vc.start_scope, si, sj))
+                        continue;
+                }
+                if (t.flags & F_TO_END) {
+                    if (!scope_ok_end(vc.end_scope, i, j, qlen, tlen))
+                        continue;
+                }
+                if ((t.flags & F_MATCH) && blo != nullptr) {
+                    const int64_t* p =
+                        std::lower_bound(blo, bhi, d.rqs + i);
+                    if (p != bhi && *p == d.rqs + i) continue;
+                }
+                const int64_t* src = nullptr;
+                int64_t base = 0;
+                if (t.flags & F_FROM_START) {
+                    base = 0;
+                } else {
+                    src = rows[t.at] + si * d.n_states * cell_sz +
+                          t.in_id * cell_sz;
+                    base = src[0];
+                }
+                int64_t tscore = viterbi_calc_score(
+                    vc, t, src ? src + 1 : nullptr, si, sj);
+                int64_t val = base + tscore;
+                if ((t.flags & F_P_UNDER) && val < kNeg) val = kNeg;
+                if ((t.flags & F_P_OVER) && val > -kNeg) val = -kNeg;
+                int64_t* dst = cell + t.out_id * cell_sz;
+                if (state_is_set[t.out_id] && dst[0] >= val) continue;
+                state_is_set[t.out_id] = 1;
+                dst[0] = val;
+                if (n_extra) {
+                    if (src != nullptr) {
+                        for (int32_t l = 1; l < cell_sz; l++)
+                            dst[l] = src[l];
+                    } else {
+                        for (int32_t l = 1; l < cell_sz; l++)
+                            dst[l] = 0;
+                    }
+                    if ((t.flags & F_FROM_START) && want_extra) {
+                        dst[1 + rs_q] = si;
+                        dst[1 + rs_t] = sj;
+                    }
+                    for (int32_t s2 = 0; s2 < t.n_starts; s2++) {
+                        int32_t off = t.starts_off + s2;
+                        int32_t des = d.starts_des[off];
+                        const int32_t* vec = d.starts_vec[off];
+                        if (vec != nullptr)
+                            dst[1 + des] =
+                                vec[d.starts_onq[off] ? si : sj];
+                        else
+                            dst[1 + des] = d.starts_onq[off]
+                                               ? d.rqs + si
+                                               : d.rts + sj;
+                    }
+                }
+                if (want_path)
+                    tb[(i * (tlen + 1) + j) * d.n_states + t.out_id] =
+                        (int16_t)(t.orig_idx + 1);
+            }
+            if (state_is_set[vc.end_id]) {
+                int64_t tval = cell[vc.end_id * cell_sz];
+                if (!end_is_set || best_score < tval) {
+                    best_score = tval;
+                    best_i = i;
+                    best_j = j;
+                    std::memcpy(best_cell.data(),
+                                cell + vc.end_id * cell_sz,
+                                sizeof(int64_t) * cell_sz);
+                    end_is_set = true;
+                }
+            }
+        }
+        // rotate rows backwards
+        int64_t* last = rows[mta];
+        for (int64_t r = mta; r > 0; r--) rows[r] = rows[r - 1];
+        rows[0] = last;
+    }
+    if (!end_is_set) return INT64_MIN;
+    res[0] = best_score;
+    res[3] = best_i;
+    res[4] = best_j;
+    res[1] = 0;
+    res[2] = 0;
+    if (want_extra) {
+        res[1] = best_cell[1 + rs_q];
+        res[2] = best_cell[1 + rs_t];
+    }
+    if (!want_path) return 0;
+    // walk traceback (end -> start order; caller reverses)
+    int64_t i = best_i, j = best_j, n_ops = 0;
+    int16_t tid = tb[(i * (tlen + 1) + j) * d.n_states + vc.end_id];
+    if (!tid) return INT64_MIN;
+    // transitions indexed by orig idx == model order here
+    while (true) {
+        const TransDesc& t = trans[tid - 1];
+        if (n_ops >= path_cap) return -(n_ops + 1);
+        path_out[n_ops++] = tid - 1;
+        i -= t.aq;
+        j -= t.at;
+        if (t.flags & F_FROM_START) break;
+        tid = tb[(i * (tlen + 1) + j) * d.n_states + t.in_id];
+        if (!tid) break;
+    }
+    res[1] = i;
+    res[2] = j;
+    return n_ops;
+}
 
 // Opaque result handle so Python can copy out variable-size arrays.
 struct SdpResult {
