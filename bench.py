@@ -48,7 +48,7 @@ def main():
     # over a batch of pairs — the same engine optimal.find_path uses for
     # its reduced-space pre-scan on TPU.
     from exonerate_tpu.engine import pallas_wavefront
-    B, reps = 32, 6
+    B, reps = 64, 6
     jobs = [(region, data)] * B
     pallas_wavefront.find_batched(model, jobs, "region")  # warm compile
     times = []

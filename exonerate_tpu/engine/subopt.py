@@ -44,6 +44,16 @@ class SubOpt:
                         x += q_move
                         y += t_move
                     cq, ct = q_limit, t_limit
+                # block lead-in positions before the run (codon models:
+                # the partial diagonal steps entering the first cell;
+                # ref: SubOpt_add_AlignmentOperation, subopt.c:100-122)
+                x = qp - t.advance_query + q_move
+                y = tp - t.advance_target + t_move
+                while x < qp:
+                    if x >= 0 and y >= 0:
+                        self._add(x, y)
+                    x += q_move
+                    y += t_move
             qp += t.advance_query * op.length
             tp += t.advance_target * op.length
         self.path_count += 1
