@@ -106,9 +106,19 @@ class Analysis:
         self.translate_both = registry.translate_both(self.gas.model_type)
         self.gam = GAM(self.model, self.gas, self._make_data, out=out)
         self.gam.geneseed_threshold = self.hsp_args.geneseed_threshold
+        self._pool = None
+        self._pending = None
         if self.aas.cores > 1:
             import jax
             self.gam.devices = jax.devices()[:self.aas.cores]
+            # thread pool over comparisons: the native DP engines
+            # release the GIL, so -c N parallelizes per-pair work (the
+            # reference's JobQueue role, without its data races —
+            # results are submitted strictly in comparison order)
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self.aas.cores)
+            self._pending = deque()
 
     # -- data -------------------------------------------------------------
 
@@ -180,6 +190,10 @@ class Analysis:
             self._process_bigseq()
         else:
             self._process_seeded()
+        if self._pending:
+            self._drain(block=True)
+            while self._pending:
+                self.gam.submit(self._pending.popleft().result())
         self.gam.report()
 
     def _process_bigseq(self):
@@ -309,11 +323,25 @@ class Analysis:
                 and comparison.target.strand != "-"
                 and not self.translate_both):
             self._comparison_revcomp(comparison)
-        if registry.is_gapped(self.gas.model_type):
-            results = self.gam.result_heuristic(comparison)
+        fn = (self.gam.result_heuristic
+              if registry.is_gapped(self.gas.model_type)
+              else self.gam.result_ungapped)
+        if self._pool is not None:
+            self._pending.append(self._pool.submit(fn, comparison))
+            self._drain(block=len(self._pending)
+                        >= self.aas.cores * 4)
         else:
-            results = self.gam.result_ungapped(comparison)
-        self.gam.submit(results)
+            self.gam.submit(fn(comparison))
+
+    def _drain(self, block: bool = False):
+        """Submit finished comparison results in order."""
+        while self._pending:
+            f = self._pending[0]
+            if not block and not f.done():
+                break
+            self._pending.popleft()
+            self.gam.submit(f.result())
+            block = False
 
     @staticmethod
     def _comparison_revcomp(comparison):

@@ -326,6 +326,13 @@ class GAM:
         """Per-model Heuristic (derived sub-models + bound matrices),
         built once like the reference's GAM-owned Heuristic
         (ref: gam.c:392-456)."""
+        import threading
+        if getattr(self, "_heuristic_lock", None) is None:
+            self._heuristic_lock = threading.Lock()
+        with self._heuristic_lock:
+            return self._get_heuristic_locked(data)
+
+    def _get_heuristic_locked(self, data: AlignData):
         if getattr(self, "_heuristic", None) is None:
             from .bsdp import Heuristic, HeuristicArgs
             has = HeuristicArgs(
