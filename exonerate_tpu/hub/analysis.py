@@ -287,29 +287,50 @@ class Analysis:
             # swapping roles back in the report callback
             # (ref: analysis.c:1352-1359 seeder db swap)
             params = {k: p.swap() for k, p in params.items()}
-            seeder = Seeder(params, report, self.seeder_args,
-                            self._wordhoods(params),
-                            self.aas.saturate_threshold)
-            for target in self.target_db:
-                target = self._load_seq(target, self.target_type)
-                for tv in self._expand_strands(target, revcomp_target):
-                    seeder.add_query(tv)
-            for query in self.query_db:
-                query = self._load_seq(query, self.query_type)
-                for qv in self._expand_strands(query, revcomp_query):
-                    seeder.add_target(qv)
-            return
-        seeder = Seeder(params, report, self.seeder_args,
-                        self._wordhoods(params),
-                        self.aas.saturate_threshold)
-        for query in self.query_db:
-            query = self._load_seq(query, self.query_type)
-            for qv in self._expand_strands(query, revcomp_query):
-                seeder.add_query(qv)
-        for target in self.target_db:
-            target = self._load_seq(target, self.target_type)
-            for tv in self._expand_strands(target, revcomp_target):
-                seeder.add_target(tv)
+
+            def batch_views():
+                for target in self.target_db:
+                    target = self._load_seq(target, self.target_type)
+                    yield from self._expand_strands(target,
+                                                    revcomp_target)
+
+            def stream_views():
+                for query in self.query_db:
+                    query = self._load_seq(query, self.query_type)
+                    yield from self._expand_strands(query,
+                                                    revcomp_query)
+        else:
+            def batch_views():
+                for query in self.query_db:
+                    query = self._load_seq(query, self.query_type)
+                    yield from self._expand_strands(query,
+                                                    revcomp_query)
+
+            def stream_views():
+                for target in self.target_db:
+                    target = self._load_seq(target, self.target_type)
+                    yield from self._expand_strands(target,
+                                                    revcomp_target)
+
+        # --fsmmemory bounds each word-table batch; when a batch fills,
+        # the stream side re-runs against the next batch (ref: the
+        # FastaPipe query-batch protocol, fastapipe.h:31-72 — batches
+        # load until the Seeder reports the FSM memory limit reached)
+        limit = max(1, self.seeder_args.fsm_memory_limit) << 20
+        seeder = None
+        for view in batch_views():
+            if seeder is not None and seeder.memory_estimate() > limit:
+                for sv in stream_views():
+                    seeder.add_target(sv)
+                seeder = None
+            if seeder is None:
+                seeder = Seeder(params, report, self.seeder_args,
+                                self._wordhoods(params),
+                                self.aas.saturate_threshold)
+            seeder.add_query(view)
+        if seeder is not None and seeder.queries:
+            for sv in stream_views():
+                seeder.add_target(sv)
 
     def _report_comparison(self, comparison):
         if getattr(self, "_scan_query", False):

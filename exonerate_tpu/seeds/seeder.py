@@ -276,6 +276,19 @@ class Seeder:
         return int((length - w + 1) / (loader.nsym ** w)
                    + self.saturate_threshold)
 
+    def memory_estimate(self) -> int:
+        """Approximate word-table footprint in bytes, the role of the
+        reference's FSM/VFSM memory accounting behind --fsmmemory
+        (ref: Seeder_memory_info, seeder.h:189-190; the dict-of-lists
+        table replaces both FSM layouts, so normal-vs-compact
+        --forcefsm is a no-op here beyond this budget)."""
+        total = 0
+        for loader in self.loaders.values():
+            n_words = len(loader.words) + len(loader.neighbours)
+            n_refs = sum(len(v) for v in loader.words.values())
+            total += n_words * 120 + n_refs * 64
+        return total
+
     def add_query(self, query: Sequence):
         qidx = len(self.queries)
         self.queries.append(query)
