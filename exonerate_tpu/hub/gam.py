@@ -222,6 +222,18 @@ class GAM:
                 break
         return out
 
+    def _scan_mesh(self):
+        """A 1-D data-parallel mesh over the local devices when more
+        than one is attached (the pod-scale locus scheduler); None on a
+        single chip."""
+        import jax
+        devs = jax.devices()
+        if len(devs) < 2:
+            return None
+        from jax.sharding import Mesh
+        import numpy as _np
+        return Mesh(_np.asarray(devs), ("dp",))
+
     def _result_heuristic_locus(self, comparison: Comparison,
                                 data: AlignData
                                 ) -> list[tuple[Alignment, AlignData]]:
@@ -254,9 +266,18 @@ class GAM:
         first_paths: dict[int, tuple[Region, object]] = {}
         if len(regions) > 1 and optimal._use_pallas_prescan():
             from ..engine import pallas_wavefront
-            scans = pallas_wavefront.find_batched(
-                self.model, [(r, data) for r in regions], "region",
-                interpret=optimal._PRESCAN_INTERPRET)
+            jobs = [(r, data) for r in regions]
+            mesh = self._scan_mesh()
+            if mesh is not None and len(jobs) >= len(mesh.devices):
+                # pod-scale pair scheduler: locus scans data-parallel
+                # over every chip before any path DP
+                scans = pallas_wavefront.find_batched_sharded(
+                    self.model, jobs, mesh, "region",
+                    interpret=optimal._PRESCAN_INTERPRET)
+            else:
+                scans = pallas_wavefront.find_batched(
+                    self.model, jobs, "region",
+                    interpret=optimal._PRESCAN_INTERPRET)
             # filter only: the full locus region must survive for the
             # Waterman-Eggert subopt re-runs; find_path shrinks each
             # iteration itself (mask-aware)

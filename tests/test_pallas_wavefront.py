@@ -232,3 +232,50 @@ def test_sharded_wavefront_parity():
     got = pallas_wavefront.find_batched_sharded(model, jobs, mesh,
                                                 "region", interpret=True)
     assert got == ref
+
+
+def test_locus_scan_mesh_scheduler(monkeypatch, tmp_path):
+    """The GAM locus path routes its batch prescan through the mesh
+    scheduler when multiple devices are attached; output must match
+    the default (native SDP) path."""
+    import io
+    import jax
+    import numpy as np
+    from exonerate_tpu.cli.exonerate import main
+    from exonerate_tpu.engine import optimal
+    rng = np.random.default_rng(13)
+    base = "".join(rng.choice(list("ACGT"), 4000))
+    query = base[100:400]
+    # nine gene loci so the batch reaches the 8-device mesh scheduler
+    parts = []
+    for i in range(9):
+        parts.append(base[400 + i * 400:400 + i * 400 + 350])
+        parts.append(query)
+    target = "".join(parts) + base[:400]
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text(">q\n" + query + "\n")
+    tf.write_text(">t\n" + target + "\n")
+    args = ["-m", "affine:local", "--showvulgar", "yes",
+            "--showalignment", "no", str(qf), str(tf)]
+
+    def run():
+        buf = io.StringIO()
+        main(list(args), out=buf)
+        return buf.getvalue()
+
+    want = run()
+    assert len([ln for ln in want.splitlines()
+                if ln.startswith("vulgar:")]) >= 2
+    assert len(jax.devices()) >= 2  # conftest forces the 8-dev mesh
+    monkeypatch.setenv("EXONERATE_TPU_HEURISTIC", "locus")
+    monkeypatch.setattr(optimal, "_FORCE_PRESCAN", True)
+    monkeypatch.setattr(optimal, "_PRESCAN_INTERPRET", True)
+    got = run()
+
+    def scores(text):
+        return sorted((int(ln.split()[9]) for ln in text.splitlines()
+                       if ln.startswith("vulgar:")), reverse=True)
+
+    # the locus kernel path enumerates suboptimals differently from the
+    # byte-parity SDP, but every locus' top alignment must agree
+    assert scores(got)[:9] == scores(want)[:9]
