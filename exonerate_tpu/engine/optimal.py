@@ -29,8 +29,14 @@ DP_MEMORY_LIMIT = 32 << 20
 
 
 # native dense-DP traceback plane budget (bytes); beyond it the
-# checkpointed / device engines take over
+# checkpointed / device engines take over.  --dpmemory raises it when
+# set higher; the 256 MB floor reflects host (not DP-era) memory — the
+# checkpointed recompute path still honours --dpmemory itself.
 NATIVE_TB_BUDGET = 256 << 20
+
+
+def _native_tb_budget() -> int:
+    return max(NATIVE_TB_BUDGET, DP_MEMORY_LIMIT)
 
 
 def _native_res(model: Model, region: Region, data, mode, subopt):
@@ -88,7 +94,7 @@ def find_path(model: Model, region: Region, data, subopt=None,
         tb_bytes = ((region.query_length + 1)
                     * (region.target_length + 1)
                     * len(model.states) * 2)
-        if tb_bytes <= NATIVE_TB_BUDGET:
+        if tb_bytes <= _native_tb_budget():
             res = _native_res(model, region, data, "path", subopt)
             if res is not None:
                 if threshold is not None and res.score < threshold:
@@ -132,7 +138,7 @@ def find_path(model: Model, region: Region, data, subopt=None,
             return _to_alignment(model, region, res)
     tb_bytes = ((region.query_length + 1) * (region.target_length + 1)
                 * len(model.states) * 2)
-    if tb_bytes <= NATIVE_TB_BUDGET:
+    if tb_bytes <= _native_tb_budget():
         res = _native_res(model, region, data, "path", subopt)
         if res is not None:
             if threshold is not None and res.score < threshold:
