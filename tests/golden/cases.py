@@ -209,6 +209,54 @@ CASES = [
      ["-m", "ungapped", "--bestn", "2", _cdna_mut, _calm_dna]
      + _VULG + _NOAL),
 
+    # refinement / filters / extra options
+    ("refine_region", "exonerate",
+     ["-m", "est2genome", "--refine", "region", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("refine_full", "exonerate",
+     ["-m", "affine:local", "--refine", "full", _cdna_mut, _calm_dna]
+     + _VULG + _NOAL),
+    ("hspfilter", "exonerate",
+     ["-m", "affine:local", "--hspfilter", "16", _cdna_mut, _calm_dna]
+     + _VULG + _NOAL),
+    ("wordjump", "exonerate",
+     ["-m", "affine:local", "--wordjump", "3", _cdna_mut, _calm_dna]
+     + _VULG + _NOAL),
+    ("softmask_target", "exonerate",
+     ["-m", "affine:local", "--softmasktarget", "yes", _cdna_mut,
+      _calm_soft] + _VULG + _NOAL),
+    ("subopt_no", "exonerate",
+     ["-m", "est2genome", "-S", "no", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("bestn_ties", "exonerate",
+     ["-m", "ungapped", "--bestn", "5", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("ryo_sections", "exonerate",
+     ["-m", "est2genome", _cdna_mut, _genome, "--ryo",
+      "A %qi %ti %s G %g V %V {%Pqs %Pts %Pl }END\n"] + _NOAL),
+    ("gff_both", "exonerate",
+     ["-m", "protein2genome", _calm_prot, _genome,
+      "--showquerygff", "yes", "--showtargetgff", "yes"] + _NOAL),
+    ("intron_penalty_opts", "exonerate",
+     ["-m", "est2genome", "--intronpenalty", "-50", "--minintron", "60",
+      "--maxintron", "1000", _cdna_mut, _genome] + _VULG + _NOAL),
+    ("gap_params", "exonerate",
+     ["-m", "affine:local", "--gapopen", "-8", "--gapextend", "-2",
+      _cdna_mut, _calm_dna] + _VULG + _NOAL),
+    ("frameshift_cost", "exonerate",
+     ["-m", "protein2dna", "--frameshift", "-10", _calm_prot,
+      _calm_dna] + _VULG + _NOAL),
+    ("forcegtag", "exonerate",
+     ["-m", "est2genome", "--forcegtag", "yes", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("geneseed", "exonerate",
+     ["-m", "est2genome", "--geneseed", "100", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("alignment_width", "exonerate",
+     ["-m", "affine:local", "--alignmentwidth", "50",
+      "--showalignment", "yes", "--showvulgar", "no",
+      _calm_prot, _calm_prot]),
+
     # ipcress
     ("ipcress_simple", "ipcress", [_ipcress, _calm_dna]),
 
@@ -227,7 +275,7 @@ CASES = [
     ("util_fastanrdb", "fastanrdb", [_calm_dna]),
 ]
 
-_CMDLINE_RE = re.compile(r"^Command line: \[.*\]$", re.M)
+_CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
 _HOSTNAME_RE = re.compile(r"^Hostname: \[.*\]$", re.M)
 
 
