@@ -32,6 +32,9 @@ _INT_PARAMS = {
     "codonwordlimit": "codon_word_limit",
     "geneseedthreshold": "geneseed_threshold",
     "geneseedrepeat": "geneseed_repeat",
+    "dnahspdropoff": "dna_hsp_dropoff",
+    "proteinhspdropoff": "protein_hsp_dropoff",
+    "codonhspdropoff": "codon_hsp_dropoff",
 }
 
 
@@ -82,10 +85,14 @@ class Connection:
                 if self.query is None:
                     return "error: no query set\n"
                 self.query = self.query.revcomp()
-                return "ok: query strand revcomp\n"
+                self.revcomp_query = not getattr(self, "revcomp_query",
+                                                 False)
+                return "ok: query strand %s\n" % (
+                    "revcomp" if self.revcomp_query else "forward")
             if words[1] == "target":
                 self.revcomp_target = not self.revcomp_target
-                return "ok: target strand revcomp\n"
+                return "ok: target strand %s\n" % (
+                    "revcomp" if self.revcomp_target else "forward")
         return f"error: unknown command [{line}]\n"
 
     def _handle_get(self, what, rest) -> str:
@@ -122,24 +129,27 @@ class Connection:
             qt = guess_type(seq.encode())
             self.query = Sequence("query", None, seq, Alphabet(qt), "+")
             self.query_type = qt
-            return f"ok: {len(seq)}\n"
+            self.revcomp_query = False
+            # (ref: exonerate-server.c:779-781: "ok: <len> <checksum>")
+            return "ok: %d %d\n" % (len(seq),
+                                     self.query.gcg_checksum())
         if what == "param" and len(rest) == 2:
             name, value = rest[0].lower(), rest[1]
             if name == "querytype":
                 self.query_type = (AlphabetType.DNA if value == "dna"
                                    else AlphabetType.PROTEIN)
-                return "ok: querytype set\n"
+                return "ok: set\n"
             if name == "maxqueryspan":
                 self.max_query_span = int(value)
-                return "ok: maxqueryspan set\n"
+                return "ok: set\n"
             if name == "maxtargetspan":
                 self.max_target_span = int(value)
-                return "ok: maxtargetspan set\n"
+                return "ok: set\n"
             attr = _INT_PARAMS.get(name)
             if attr:
                 setattr(self.hsp_args, attr, int(value))
-                return f"ok: {name} set\n"
-            return f"error: unknown param [{name}]\n"
+                return "ok: set\n"
+            return f"warning: set param {name} ignored by server\n"
         return "error: bad set command\n"
 
     def _get_hsps(self) -> str:

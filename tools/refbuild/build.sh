@@ -119,7 +119,13 @@ elif [ "$MODE" = "fast" ]; then
   echo "built: $BIN/exonerate-fast"
 else
   link_bin "$BIN/exonerate"        "$REF/program/exonerate.c"
-  link_bin "$BIN/exonerate-server" "$REF/program/exonerate-server.c"
+  # upstream off-by-one: the hsp_total loop reads pdata[len]
+  # (exonerate-server.c:348 "i <= index_hsp_set_list->len"), which
+  # segfaults under the shim's exact-size GPtrArray; patch a copy
+  mkdir -p "$OUT/patched"
+  sed 's/for(i = 0; i <= index_hsp_set_list->len; i++)/for(i = 0; i < index_hsp_set_list->len; i++)/' \
+      "$REF/program/exonerate-server.c" > "$OUT/patched/exonerate-server.c"
+  link_bin "$BIN/exonerate-server" "$OUT/patched/exonerate-server.c"
   link_bin "$BIN/ipcress"          "$REF/program/ipcress.c"
   for src in "$REF/util"/*.c; do
     link_bin "$BIN/$(basename "$src" .c)" "$src"
