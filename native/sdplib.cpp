@@ -206,12 +206,14 @@ struct SpanSeed {
     std::vector<int64_t> shadow;
 };
 
-// A sparse row: O(1) cell lookup plus a min-heap of pending keys used
-// while the row is being processed (ascending-pq order with same-row
-// insertions, matching the Python pending-merge / the reference's
-// Lookahead ring semantics).
+// A sparse row: direct-mapped cell slots (index = pq - pq_min, the
+// reference's Lookahead-ring role) plus a min-heap of pending keys
+// used while the row is being processed (ascending-pq order with
+// same-row insertions, matching the Python pending-merge).  Slot
+// arrays are pooled and sparsely cleared via the `used` key list.
 struct Row {
-    std::unordered_map<int64_t, Cell*> cells;
+    std::vector<Cell*>* slots = nullptr;
+    std::vector<int64_t> used;
     std::vector<int64_t> pending;
     bool processing = false;
 };
@@ -220,6 +222,7 @@ class Pass {
   public:
     Pass(const PassDesc& d, Outputs& out) : d_(d), out_(out),
         pool_(d.n_states, d.n_shadow) {
+        pq_min_ = d.is_forward ? 0 : -d.qlen;
         for (int i = 0; i < d_.n_spans; i++)
             span_by_state_[d_.spans[i].state_id] = i;
         span_curr_.assign(d_.n_spans, -1);
@@ -255,9 +258,10 @@ class Pass {
             if (it != rows_.end()) {
                 process_row(pt0, *it->second);
                 retire_row(pt0, *it->second);
-                for (auto& kv : it->second->cells)
-                    pool_.release(kv.second);
-                delete it->second;
+                Row* r = it->second;
+                for (int64_t key : r->used)
+                    pool_.release((*r->slots)[key - pq_min_]);
+                recycle_row(r);
                 rows_.erase(it);
             }
         }
@@ -268,6 +272,9 @@ class Pass {
     Outputs& out_;
     CellPool pool_;
     std::map<int64_t, Row*> rows_;
+    std::vector<std::vector<Cell*>*> slot_pool_;
+    std::vector<Row*> row_pool_;
+    int64_t pq_min_ = 0;
     std::unordered_map<int32_t, int32_t> span_by_state_;
     // span freeze cache: key = span_id * 2^40 + (q + 2^38)
     std::unordered_map<int64_t, SpanSeed> span_cache_;
@@ -277,19 +284,43 @@ class Pass {
     Row* get_row(int64_t pt) {
         auto it = rows_.find(pt);
         if (it != rows_.end()) return it->second;
-        Row* r = new Row();
+        Row* r;
+        if (!row_pool_.empty()) {
+            r = row_pool_.back();
+            row_pool_.pop_back();
+        } else {
+            r = new Row();
+        }
+        if (slot_pool_.empty()) {
+            r->slots = new std::vector<Cell*>(d_.qlen + 1, nullptr);
+        } else {
+            r->slots = slot_pool_.back();
+            slot_pool_.pop_back();
+        }
         rows_[pt] = r;
         return r;
     }
 
+    void recycle_row(Row* r) {
+        for (int64_t key : r->used)
+            (*r->slots)[key - pq_min_] = nullptr;
+        r->used.clear();
+        r->pending.clear();
+        r->processing = false;
+        slot_pool_.push_back(r->slots);
+        r->slots = nullptr;
+        row_pool_.push_back(r);
+    }
+
     Cell* get_cell(Row& row, int64_t pq, bool thaw, bool* created) {
-        auto it = row.cells.find(pq);
-        if (it != row.cells.end()) {
+        Cell*& slot = (*row.slots)[pq - pq_min_];
+        if (slot != nullptr) {
             *created = false;
-            return it->second;
+            return slot;
         }
         Cell* c = pool_.alloc(thaw);
-        row.cells.emplace(pq, c);
+        slot = c;
+        row.used.push_back(pq);
         if (row.processing) {
             row.pending.push_back(pq);
             std::push_heap(row.pending.begin(), row.pending.end(),
@@ -326,13 +357,11 @@ class Pass {
     void retire_row(int64_t pt, Row& row) {
         // (ref: boundary extraction, scheduler.c:965-1000)
         if (d_.is_forward || !d_.use_boundary) return;
-        std::vector<int64_t> keys;
-        keys.reserve(row.cells.size());
-        for (auto& kv : row.cells) keys.push_back(kv.first);
+        std::vector<int64_t> keys(row.used);
         std::sort(keys.begin(), keys.end());
         std::vector<int64_t> pts;  // (q, seed) pairs, later reversed
         for (int64_t key : keys) {  // ascending pq
-            Cell* cell = row.cells[key];
+            Cell* cell = (*row.slots)[key - pq_min_];
             if (cell->score[d_.start_state_id] >= 0) {
                 pts.push_back(-key);
                 pts.push_back(cell->seed[d_.start_state_id]);
@@ -384,9 +413,7 @@ class Pass {
         // during processing are pushed and visited in order (matches
         // the Python pending-merge)
         row.processing = true;
-        row.pending.clear();
-        row.pending.reserve(row.cells.size());
-        for (auto& kv : row.cells) row.pending.push_back(kv.first);
+        row.pending = row.used;
         std::make_heap(row.pending.begin(), row.pending.end(),
                        std::greater<int64_t>());
         while (!row.pending.empty()) {
@@ -394,7 +421,7 @@ class Pass {
                           std::greater<int64_t>());
             int64_t pq = row.pending.back();
             row.pending.pop_back();
-            process_cell(pq, pt, row.cells[pq], row);
+            process_cell(pq, pt, (*row.slots)[pq - pq_min_], row);
         }
         row.processing = false;
     }
