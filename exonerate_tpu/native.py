@@ -33,6 +33,14 @@ class _Hsp(ctypes.Structure):
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     try:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-o", _SO, _SRC],
+                check=True, capture_output=True, timeout=180)
+            return True
+        except subprocess.SubprocessError:
+            pass  # retry without -march=native below
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
              "-o", _SO, _SRC],
