@@ -348,6 +348,12 @@ def fastaremove_main(argv, out):
                 A.parse_string, "remove")]).parse(argv)
     remove = set()
     spec = v["remove"]
+    pos = list(v.get("_positional", []))
+    if spec is None and pos:
+        # positional shorthand: <fasta> <removal-list>
+        spec = pos.pop()
+        v = dict(v)
+        v["_positional"] = pos
     if spec:
         if os.path.exists(spec):
             with open(spec) as fh:
@@ -518,7 +524,6 @@ def fastaoverlap_main(argv, out):
         while pos < len(seq):
             ln = min(v["chunk"], len(seq) - pos)
             sub = seq.subseq(pos, ln)
-            sub.id = f"{seq.id}:subseq({pos},{ln})"
             write_fasta(sub, out)
             if pos + ln >= len(seq):
                 break
@@ -597,9 +602,11 @@ def fastaannotatecdna_main(argv, out):
                     total += 1
                     start = tr.find(pep, start + 1)
 
-        find(cdna, {"+": "+", "-": "-"}.get(cdna.strand, "."))
+        # FastaDB sequences are forward-strand in the reference
+        # (Sequence_get_strand_as_char prints '+'/'-')
+        find(cdna, "+")
         rc = cdna.revcomp()
-        find(rc, {"+": "+", "-": "-"}.get(rc.strand, "."))
+        find(rc, "-")
         if total != 1:
             out.write(f"ERROR: fastaannoatecdna: Found {total} "
                       f"locations for protein [{prot.id}] in "

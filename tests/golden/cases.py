@@ -96,6 +96,10 @@ def make_fixtures(dirpath: str = FIXDIR) -> None:
     with open(os.path.join(dirpath, "test.ipcress"), "w") as f:
         f.write("test_primer CGCGGACGCGCG GTATTTTATTGG 2000 2500\n")
 
+    # id list for fastaremove
+    with open(os.path.join(dirpath, "remove.ids"), "w") as f:
+        f.write("EMBL:K03199\n")
+
     # softmasked copy of the calm cDNA (lowercase middle third)
     third = len(calm) // 3
     soft = calm[:third] + calm[third:2 * third].lower() + calm[2 * third:]
@@ -273,6 +277,14 @@ CASES = [
     ("util_fastasubseq", "fastasubseq", [_calm_dna, "100", "240"]),
     ("util_fastaclip", "fastaclip", [_calm_soft]),
     ("util_fastanrdb", "fastanrdb", [_calm_dna]),
+    ("util_fastaremove", "fastaremove",
+     [_p53_dna, os.path.join(FIXDIR, "remove.ids")]),
+    ("util_fastaoverlap", "fastaoverlap", [_calm_dna]),
+    ("util_fastadiff", "fastadiff",
+     ["-c", "FALSE", _calm_dna, _calm_dna]),
+    ("util_fastavalidcds", "fastavalidcds", [_calm_dna]),
+    ("util_fastaannotatecdna", "fastaannotatecdna",
+     [_calm_dna, _calm_prot]),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
