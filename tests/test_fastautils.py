@@ -102,9 +102,9 @@ def test_fastavalidcds(tmp_path):
 
 def test_fastaannotatecdna():
     text = run(["fastaannotatecdna", CDNA, PROTEIN])
-    # CDS at 104 (1-based), 147 aa = 441 bases + stop
-    # positional pairing, strand '.', 1-based start 104, 447 bases
-    assert text.splitlines()[0] == "annotation: EMBL:J04046 . 104 447"
+    # CDS at 104 (1-based), 147 aa = 441 bases + stop; forward strand
+    # (the golden suite asserts the byte-exact reference line)
+    assert text.splitlines()[0] == "annotation: EMBL:J04046 + 104 447"
 
 
 def test_esd_esi_roundtrip(tmp_path):
