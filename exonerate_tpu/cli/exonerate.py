@@ -43,7 +43,7 @@ def build_parser() -> A.ArgumentParser:
             A.parse_int)
     seq.add(None, "targetchunktotal", "total", "Total target chunks", "0",
             A.parse_int)
-    seq.add("V", "verbose", "level", "Show search progress", "0",
+    seq.add("V", "verbose", "level", "Show search progress", "1",
             A.parse_int, "verbose")
     seq.add(None, "fastasuffix", "suffix",
             "Fasta file suffix filter (in subdirectories)", ".fa",

@@ -216,11 +216,44 @@ class Analysis:
                     target = self._load_seq(target, self.target_type)
                     for tv in self._expand_strands(target,
                                                    revcomp_target):
+                        if self.verbosity > 0:
+                            kind, param = next(iter(params.items()))
+                            self._bigseq_progress(
+                                qv, tv, param.wordlen)
                         seeder = Seeder(params,
                                         self._report_comparison,
                                         self.seeder_args, {})
                         seeder.add_query(qv)
                         seeder.add_target(tv)
+
+    def _bigseq_progress(self, qv, tv, wordlen: int):
+        """The DejaVu level-progress line (ref: DejaVu_traverse,
+        dejavu.c:160-191 prints one dot per word-length level while
+        repeats remain, up to the seeding word length)."""
+        import numpy as np
+        from ..alphabet import TO_UPPER
+        concat = np.concatenate([TO_UPPER[qv.data],
+                                 np.frombuffer(b"-", dtype=np.uint8),
+                                 TO_UPPER[tv.data]])
+
+        def has_repeat(L):
+            n = len(concat)
+            if n < L:
+                return False
+            win = np.lib.stride_tricks.sliding_window_view(concat, L)
+            u = np.unique(win, axis=0)
+            return len(u) < len(win)
+
+        if has_repeat(wordlen):
+            dots = wordlen
+        else:
+            dots = 0
+            for L in range(1, wordlen):
+                if not has_repeat(L):
+                    break
+                dots = L
+        self.gam.out.write("Message: Processing ["
+                           + "." * dots + "]\n")
 
     def _process_exhaustive(self):
         """(ref: analysis.c pair-loop path, Analysis_Pair_compare)."""

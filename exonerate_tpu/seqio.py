@@ -242,21 +242,59 @@ class FastaDB:
         self.chunk_total = chunk_total
         self.extmem = extmem            # None = auto by file size
 
-    def __iter__(self) -> Iterator[Sequence]:
-        """Iterate sequences, honoring chunk limits at sequence granularity
-        (ref: FastaDB_open_list_with_limit, exonerate.1:177-204)."""
-        n = 0
-        total = self.count() if self.chunk_total else 0
+    def _header_offsets(self) -> list[int]:
+        """Byte offset of every record header in the concatenated file
+        stream (the reference CompoundFile position space)."""
+        offs = []
+        base = 0
         for path in self.paths:
-            for seq in self._iter_file(path):
-                if self.chunk_total:
-                    # sequence k (0-based) belongs to chunk
-                    # floor(k * chunk_total / total) + 1
-                    chunk = (n * self.chunk_total) // max(total, 1) + 1
-                    n += 1
-                    if chunk != self.chunk_id:
-                        continue
-                yield seq
+            with open(path, "rb") as fh:
+                pos = 0
+                for line in fh:
+                    if line.startswith(b">"):
+                        offs.append(base + pos)
+                    pos += len(line)
+            base += os.path.getsize(path)
+        return offs
+
+    def _chunk_range(self) -> tuple[int, int]:
+        """Byte-granular chunk window snapped to record starts
+        (ref: FastaDB_open_list_with_limit, fastadb.c:146-174: chunk
+        boundaries are total_bytes/chunk_total, advanced to the next
+        "\n>" record start; the final chunk runs to EOF)."""
+        total = sum(os.path.getsize(p) for p in self.paths)
+        chunk_size = total // self.chunk_total
+        offs = self._header_offsets()
+
+        def next_start(pos):
+            for o in offs:
+                if o >= pos:
+                    return o
+            return total  # no further record start
+
+        start = next_start((self.chunk_id - 1) * chunk_size)
+        if self.chunk_id == self.chunk_total:
+            stop = total
+        else:
+            stop = next_start(self.chunk_id * chunk_size)
+        return start, stop
+
+    def __iter__(self) -> Iterator[Sequence]:
+        """Iterate sequences, honoring the reference's byte-granular
+        chunk limits (ref: exonerate.1:177-204)."""
+        if self.chunk_total:
+            start, stop = self._chunk_range()
+            offs = self._header_offsets()
+            k = 0
+            for path in self.paths:
+                for seq in self._iter_file(path):
+                    pos = offs[k]
+                    k += 1
+                    if start <= pos < stop:
+                        yield seq
+            return
+        for path in self.paths:
+            yield from self._iter_file(path)
 
     def _iter_file(self, path: str) -> Iterator[Sequence]:
         use_extmem = self.extmem

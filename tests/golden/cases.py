@@ -91,10 +91,33 @@ def make_fixtures(dirpath: str = FIXDIR) -> None:
     # annotation file for cdna2genome: CDS from 61, length 900 (+ strand)
     with open(os.path.join(dirpath, "annot.txt"), "w") as f:
         f.write("qmut + 61 900\n")
+    with open(os.path.join(dirpath, "annot_minus.txt"), "w") as f:
+        f.write("qmut - 61 900\n")
+
+    # small spliced target for exhaustive est2genome (one intron)
+    small = (bg2 := "".join(rng.choice(list("acgt"), 300).tolist())) \
+        + cdna[:150] \
+        + "gt" + "".join(rng.choice(list("acgt"), 96).tolist()) + "ag" \
+        + cdna[150:300] + bg2
+    _write_fasta(os.path.join(dirpath, "genome_small.fa"),
+                 [("gsmall", small)])
 
     # ipcress experiment file (reference's own simple test case)
     with open(os.path.join(dirpath, "test.ipcress"), "w") as f:
         f.write("test_primer CGCGGACGCGCG GTATTTTATTGG 2000 2500\n")
+
+    # 4-sequence single file for byte-granular chunk cases
+    import shutil
+    with open(os.path.join(dirpath, "all4.fa"), "wb") as outf:
+        for nm in sorted(os.listdir(CDNA)):
+            if nm.endswith(".fasta"):
+                with open(os.path.join(CDNA, nm), "rb") as inf:
+                    shutil.copyfileobj(inf, outf)
+
+    # FOSN: file-of-sequence-names listing two query files
+    with open(os.path.join(dirpath, "queries.fosn"), "w") as f:
+        f.write(os.path.join(dirpath, "cdna_mut.fa") + "\n")
+        f.write(os.path.join(CDNA, "calm.human.dna.fasta") + "\n")
 
     # id list for fastaremove
     with open(os.path.join(dirpath, "remove.ids"), "w") as f:
@@ -261,6 +284,30 @@ CASES = [
       "--showalignment", "yes", "--showvulgar", "no",
       _calm_prot, _calm_prot]),
 
+    # strategies: bigseq / chunking / FOSN / exhaustive spliced
+    ("bigseq", "exonerate",
+     ["-m", "affine:local", "--bigseq", "yes", _cdna_mut, _genome]
+     + _VULG + _NOAL),
+    ("chunk_queries_1", "exonerate",
+     ["-m", "ungapped", "--bestn", "1", "--querychunkid", "1",
+      "--querychunktotal", "2", os.path.join(FIXDIR, "all4.fa"),
+      _genome] + _VULG + _NOAL),
+    ("chunk_queries_2", "exonerate",
+     ["-m", "ungapped", "--bestn", "1", "--querychunkid", "2",
+      "--querychunktotal", "2", os.path.join(FIXDIR, "all4.fa"),
+      _genome] + _VULG + _NOAL),
+    ("fosn_queries", "exonerate",
+     ["-m", "ungapped", "--bestn", "1",
+      os.path.join(FIXDIR, "queries.fosn"), _genome] + _VULG + _NOAL),
+    ("exhaustive_est2genome", "exonerate",
+     ["-m", "est2genome", "-E", "yes", "-S", "no", "--bestn", "1",
+      _cdna_mut, os.path.join(FIXDIR, "genome_small.fa")]
+     + _VULG + _NOAL),
+    ("annotation_minus", "exonerate",
+     ["-m", "cdna2genome", "--annotation",
+      os.path.join(FIXDIR, "annot_minus.txt"), _cdna_mut, _genome]
+     + _VULG + _NOAL),
+
     # ipcress
     ("ipcress_simple", "ipcress", [_ipcress, _calm_dna]),
 
@@ -289,10 +336,12 @@ CASES = [
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
 _HOSTNAME_RE = re.compile(r"^Hostname: \[.*\]$", re.M)
+_GFFDATE_RE = re.compile(r"^##date \d{4}-\d{2}-\d{2}$", re.M)
 
 
 def normalize(text: str) -> str:
     """Mask run-environment lines; everything else must match exactly."""
     text = _CMDLINE_RE.sub("Command line: [NORMALIZED]", text)
     text = _HOSTNAME_RE.sub("Hostname: [NORMALIZED]", text)
+    text = _GFFDATE_RE.sub("##date [NORMALIZED]", text)
     return text
