@@ -38,6 +38,34 @@ def _convert_coord(alignment, query, target, qpos, tpos, on_query,
     return pos
 
 
+def _coding(alignment: Alignment, src: Sequence, on_query: bool):
+    """(ref: Alignment_Coding_create, alignment.c:2330-2392): returns
+    (begin, end, coding_bytes); begin/end are the first/last codon
+    cell's source position."""
+    begin = end = 0
+    parts = bytearray()
+    qp = alignment.region.query_start
+    tp = alignment.region.target_start
+    data = src.data
+    for op in alignment.ops:
+        t = op.transition
+        for _ in range(op.length):
+            advance = t.advance_query if on_query else t.advance_target
+            pos = qp if on_query else tp
+            if t.label == Label.MATCH and advance == 3:
+                if not parts:
+                    begin = pos
+                parts.extend(data[pos:pos + 3].tobytes())
+                end = pos
+            elif t.label == Label.SPLIT_CODON and advance:
+                parts.extend(data[pos:pos + advance].tobytes())
+            elif t.label == Label.GAP and advance == 3:
+                parts.extend(data[pos:pos + 3].tobytes())
+            qp += t.advance_query
+            tp += t.advance_target
+    return begin, end, bytes(parts)
+
+
 class _Position:
     """Per-unit-step walker for {...} sections
     (ref: Alignment_Position, alignment.c:2228-2320)."""
@@ -163,6 +191,23 @@ def display_ryo(alignment: Alignment, query: Sequence, target: Sequence,
                 lo = r.query_start if on_q else r.target_start
                 ln = r.query_length if on_q else r.target_length
                 out.append(_fasta_block(seq.data[lo:lo + ln].tobytes()))
+            i += 4
+        elif t2 in "qt" and t3 == "c" and t4 in "bels":
+            # coding tokens (ref: Alignment_Coding_create,
+            # alignment.c:2330-2392): codon-advance MATCH cells (+ split
+            # codons, + codon gaps on the source side) concatenated
+            on_q = t2 == "q"
+            begin, end, coding = _coding(alignment, seq_for(on_q), on_q)
+            if t4 == "b":
+                out.append(str(_convert_coord(alignment, query, target,
+                                              begin, begin, on_q, a)))
+            elif t4 == "e":
+                out.append(str(_convert_coord(alignment, query, target,
+                                              end, end, on_q, a)))
+            elif t4 == "l":
+                out.append(str(len(coding)))
+            else:
+                out.append(_fasta_block(coding))
             i += 4
         elif t2 == "s":
             out.append(str(alignment.score))

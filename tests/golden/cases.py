@@ -258,6 +258,10 @@ CASES = [
     ("bestn_ties", "exonerate",
      ["-m", "ungapped", "--bestn", "5", _cdna_mut, _genome]
      + _VULG + _NOAL),
+    ("ryo_coding", "exonerate",
+     ["-m", "coding2genome", _cdna_mut, _genome, "--ryo",
+      "C %qi %qcb %qce %qcl %tcb %tce %tcl %qab %qae\\n%qcs%tcs"]
+     + _NOAL),
     ("ryo_sections", "exonerate",
      ["-m", "est2genome", _cdna_mut, _genome, "--ryo",
       "A %qi %ti %s G %g V %V {%Pqs %Pts %Pl }END\n"] + _NOAL),
