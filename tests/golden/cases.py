@@ -314,6 +314,12 @@ CASES = [
 
     # ipcress
     ("ipcress_simple", "ipcress", [_ipcress, _calm_dna]),
+    ("ipcress_mismatch", "ipcress",
+     ["--mismatch", "2", _ipcress, _calm_dna]),
+    ("ipcress_products", "ipcress",
+     ["--products", "TRUE", "--pretty", "FALSE", _ipcress, _calm_dna]),
+    ("ipcress_seed", "ipcress",
+     ["--seed", "6", _ipcress, _calm_dna]),
 
     # fasta utilities (each of the 24 that makes sense on these files)
     ("util_fastalength", "fastalength", [_calm_dna]),
