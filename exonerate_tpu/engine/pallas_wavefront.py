@@ -36,6 +36,8 @@ Layout notes (the TPU-first part):
 """
 from __future__ import annotations
 
+import os
+
 import functools
 
 import jax
@@ -358,7 +360,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     PB = P * B
     PB8 = ((PB + 7) // 8) * 8           # int32 sublane tile multiple
 
-    G = 1                               # diagonals per grid step
+    # diagonals per grid step: amortizes per-step overhead at the cost
+    # of kernel body size (compile time scales with G).  Path mode and
+    # blocked-plane pipelining assume one diagonal per grid step, so G
+    # applies only to plain score/region scans.
+    G = int(os.environ.get("EXONERATE_TPU_KERNEL_G", "1"))
+    if mode == "path" or has_blocked or G < 1:
+        G = 1
     n_steps = (D + G - 1) // G
     # names carrying a VLEN axis (reversed target vectors): streamed
     # from HBM when stream=True
