@@ -114,6 +114,13 @@ def make_fixtures(dirpath: str = FIXDIR) -> None:
                 with open(os.path.join(CDNA, nm), "rb") as inf:
                     shutil.copyfileobj(inf, outf)
 
+    # FOSN lists over the full reference test corpus
+    for fos, d in (("proteins.fosn", PROT), ("cdnas.fosn", CDNA)):
+        with open(os.path.join(dirpath, fos), "w") as f:
+            for nm in sorted(os.listdir(d)):
+                if nm.endswith(".fasta"):
+                    f.write(os.path.join(d, nm) + "\n")
+
     # FOSN: file-of-sequence-names listing two query files
     with open(os.path.join(dirpath, "queries.fosn"), "w") as f:
         f.write(os.path.join(dirpath, "cdna_mut.fa") + "\n")
@@ -311,6 +318,14 @@ CASES = [
      ["-m", "cdna2genome", "--annotation",
       os.path.join(FIXDIR, "annot_minus.txt"), _cdna_mut, _genome]
      + _VULG + _NOAL),
+
+    # default invocation (ungapped, human-readable display)
+    ("default_display", "exonerate", [_cdna_mut, _calm_dna]),
+    # all-vs-all over FOSN lists (4 proteins x 4 cDNAs)
+    ("all_vs_all_p2d", "exonerate",
+     ["-m", "protein2dna", "--bestn", "1",
+      os.path.join(FIXDIR, "proteins.fosn"),
+      os.path.join(FIXDIR, "cdnas.fosn")] + _VULG + _NOAL),
 
     # ipcress
     ("ipcress_simple", "ipcress", [_ipcress, _calm_dna]),
