@@ -106,3 +106,25 @@ def test_wordhood_native_matches_python():
 
         dfs(0, 0, 0)
         assert nat == out
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_native_fuzz_random_pairs(seed, tmp_path):
+    """Randomized pairs (mutations, insertions, shuffled blocks) must
+    give identical output from the native scheduler and the oracle."""
+    rng = np.random.default_rng(seed)
+    base = "".join(rng.choice(list("ACGT"), 3000))
+    q = list(base[200:800])
+    # mutate, delete a block, insert noise
+    for _ in range(40):
+        q[int(rng.integers(0, len(q)))] = str(rng.choice(list("ACGT")))
+    del q[100:130]
+    q[300:300] = list("".join(rng.choice(list("ACGT"), 25)))
+    qf = tmp_path / "q.fa"
+    tf = tmp_path / "t.fa"
+    qf.write_text(">q\n" + "".join(q) + "\n")
+    tf.write_text(">t\n" + base + "\n")
+    for model in ("affine:local", "est2genome"):
+        args = ["-m", model, str(qf), str(tf)] + NOAL
+        py, nat = _both(args)
+        assert py == nat, f"seed {seed} model {model}"
