@@ -10,13 +10,17 @@ full Alignment.  Spans (introns/NERs) cross unbounded gaps through a
 src->span / span->dst DP pair communicating via integration matrices
 (ref: Heuristic_Span, heuristic.c:445-676).
 
-The small sub-DPs run on the NumPy oracle (engine/reference.py); graph
+The small sub-DPs run on the native dense Viterbi (native/sdplib.cpp,
+differential-tested vs the NumPy oracle) when the derived model's calcs
+are expressible natively, falling back to the oracle otherwise (and for
+the span integration DPs, which need per-cell start/end hooks); graph
 search order, pairing-heap tie-breaking, mailboxes and SubOpt clash
 re-confirmation reproduce the reference exactly so that byte-golden
-outputs match.
+outputs match.  EXONERATE_TPU_BSDP=python forces the oracle.
 """
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -31,6 +35,19 @@ from ..model.ir import (IMPOSSIBLY_LOW_SCORE, DerivedModel, Label, Model,
 from ..seeds.hsp import HSP, HspSet
 
 NEG = IMPOSSIBLY_LOW_SCORE
+
+
+def _viterbi(model: Model, region: Region, data, mode: str,
+             subopt=None) -> "ref_engine.DPResult":
+    """Hook-free sub-DP dispatcher: native dense Viterbi when the model
+    is expressible, NumPy oracle otherwise (bit-identical engines; see
+    tests/test_sdp_native.py)."""
+    if os.environ.get("EXONERATE_TPU_BSDP") != "python":
+        from ..engine import sdp_native
+        res = sdp_native.run_viterbi(model, region, data, mode, subopt)
+        if res is not None:
+            return res
+    return ref_engine.viterbi(model, region, data, mode, subopt=subopt)
 
 
 @dataclass
@@ -697,9 +714,8 @@ class SarTerminal:
     def find_score(self, terminal: HeuristicTerminal, hpair: "HPair"
                    ) -> int:
         try:
-            res = ref_engine.viterbi(terminal.dm.derived, self.region,
-                                     hpair.data, "score",
-                                     subopt=hpair.subopt)
+            res = _viterbi(terminal.dm.derived, self.region,
+                           hpair.data, "score", subopt=hpair.subopt)
         except AssertionError:
             return NEG
         return res.score - self.component
@@ -869,9 +885,8 @@ class SarJoin:
 
     def find_score(self, hpair: "HPair") -> int:
         try:
-            res = ref_engine.viterbi(self.pair.join.dm.derived,
-                                     self.region, hpair.data, "score",
-                                     subopt=hpair.subopt)
+            res = _viterbi(self.pair.join.dm.derived, self.region,
+                           hpair.data, "score", subopt=hpair.subopt)
         except AssertionError:
             return NEG
         return res.score - (self.src_component + self.dst_component)
@@ -1670,10 +1685,10 @@ class _SarAlignment:
                  sar_end: SarTerminal, start_match: HeuristicMatch,
                  end_match: HeuristicMatch, score: int):
         self.hpair = hpair
-        start_res = ref_engine.viterbi(
+        start_res = _viterbi(
             start_match.start_terminal.dm.derived, sar_start.region,
             hpair.data, "path", subopt=hpair.subopt)
-        self.end_res = ref_engine.viterbi(
+        self.end_res = _viterbi(
             end_match.end_terminal.dm.derived, sar_end.region,
             hpair.data, "path", subopt=hpair.subopt)
         self.end_region = sar_end.region
@@ -1706,9 +1721,9 @@ class _SarAlignment:
         self.last_region = dst_region
 
     def add_join(self, sar_join: SarJoin):
-        res = ref_engine.viterbi(sar_join.pair.join.dm.derived,
-                                 sar_join.region, self.hpair.data,
-                                 "path", subopt=self.hpair.subopt)
+        res = _viterbi(sar_join.pair.join.dm.derived, sar_join.region,
+                       self.hpair.data, "path",
+                       subopt=self.hpair.subopt)
         self._add_region(sar_join.region, sar_join.region)
         _import_derived(self.alignment, res.path, sar_join.pair.join.dm)
 
@@ -1734,9 +1749,8 @@ class _SarAlignment:
             sar_span.src_region.target_start,
             int(sq) - sar_span.src_region.query_start,
             int(st) - sar_span.src_region.target_start)
-        src_res = ref_engine.viterbi(hspan.src_tb_dm.derived,
-                                     src_align_region, hpair.data,
-                                     "path", subopt=hpair.subopt)
+        src_res = _viterbi(hspan.src_tb_dm.derived, src_align_region,
+                           hpair.data, "path", subopt=hpair.subopt)
         self._add_region(sar_span.src_region, sar_span.dst_region)
         _import_derived(self.alignment, src_res.path, hspan.src_tb_dm)
         # the span loop transitions cross the gap

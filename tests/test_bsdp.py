@@ -2,6 +2,7 @@
 import io
 
 import numpy as np
+import pytest
 
 from exonerate_tpu.alphabet import Alphabet, AlphabetType
 from exonerate_tpu.seqio import Sequence
@@ -114,3 +115,34 @@ def test_bsdp_cli_gappedextension_no():
                  if ln.startswith("vulgar:")]
         assert lines, out.getvalue()
         assert " 600 " in lines[0]  # 120 bases * 5
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_bsdp_native_vs_oracle_fuzz(seed, tmp_path, monkeypatch):
+    """Full --gappedextension no runs must be byte-identical whether the
+    hook-free sub-DPs use the native dense Viterbi or the NumPy oracle
+    (spliced model: exercises terminals, joins, span crossings and the
+    path-mode assembly)."""
+    from exonerate_tpu.cli.exonerate import main
+    r = np.random.default_rng(seed)
+    base = "".join(r.choice(list("ACGT"), 900))
+    exon1, exon2 = base[100:220], base[300:430]
+    intron = "GT" + base[500:570] + "AG"
+    qp, tp = tmp_path / "q.fa", tmp_path / "t.fa"
+    qp.write_text(">q\n" + exon1 + exon2 + "\n")
+    tp.write_text(">t\n" + base[:60] + exon1 + intron + exon2
+                  + base[700:] + "\n")
+    args = ["-m", "est2genome", "--gappedextension", "no",
+            "--showvulgar", "yes", "--showcigar", "yes",
+            "--score", "80", str(qp), str(tp)]
+
+    def run():
+        out = io.StringIO()
+        main(list(args), out=out)
+        return out.getvalue()
+
+    native = run()
+    monkeypatch.setenv("EXONERATE_TPU_BSDP", "python")
+    oracle = run()
+    assert native == oracle
+    assert "vulgar:" in native
