@@ -43,6 +43,11 @@ def build_parser() -> A.ArgumentParser:
             A.parse_int)
     seq.add(None, "targetchunktotal", "total", "Total target chunks", "0",
             A.parse_int)
+    seq.add(None, "multihost", "axis",
+            "Multi-process sharding axis (none|query|target): each JAX "
+            "process takes one chunk on this axis and results merge "
+            "over DCN (the reference's external chunk concat, "
+            "first-class)", "none", A.parse_string)
     seq.add("V", "verbose", "level", "Show search progress", "1",
             A.parse_int, "verbose")
     seq.add(None, "fastasuffix", "suffix",
@@ -397,8 +402,12 @@ def main(argv=None, out=None):
     import socket
     out.write("Command line: [exonerate " + " ".join(argv) + "]\n")
     out.write("Hostname: [%s]\n" % socket.gethostname())
-    analysis = make_analysis(v, out=out)
-    analysis.process()
+    if v["multihost"] not in ("none", "false", "no"):
+        from ..parallel.multihost import run_multihost
+        run_multihost(v, v["multihost"], out)
+    else:
+        analysis = make_analysis(v, out=out)
+        analysis.process()
     out.write("-- completed exonerate analysis\n")
     return 0
 

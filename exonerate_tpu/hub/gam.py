@@ -88,6 +88,9 @@ class GAM:
         # query_id -> list of stored results (bestn mode)
         self.bestn_store: dict[str, list[_Stored]] = {}
         self._order = 0
+        # multi-host driver: suppress the local bestn replay so stores
+        # can merge across processes first (parallel/multihost.py)
+        self.defer_report = False
         self.geneseed_threshold = 0
         # multi-device pair dispatch (--cores N): comparisons round-robin
         # across local devices — the functional replacement for the
@@ -466,7 +469,7 @@ class GAM:
     def report(self):
         """Final bestn replay (ref: GAM_report, gam.c:550-556): per query
         in id-sorted order, descending score, ranks 1..N."""
-        if not self.gas.best_n:
+        if not self.gas.best_n or self.defer_report:
             return
         for qid in sorted(self.bestn_store):
             store = self.bestn_store[qid]
