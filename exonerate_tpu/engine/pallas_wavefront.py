@@ -113,18 +113,36 @@ def _qv(Qp: int) -> int:
 # batched input packing
 # ---------------------------------------------------------------------------
 
+def _narrow(a: np.ndarray):
+    """Pick the narrowest wire encoding for an int32 array: ('i8'/'i16'/
+    'i32', None) plain casts, or ('flag', K) when every value is 0 or a
+    single out-of-range constant K (the CDS-veto IMPOSSIBLY_LOW planes,
+    ref: match.c:276-281) — shipped as an int8 0/1 mask."""
+    lo, hi = (int(a.min()), int(a.max())) if a.size else (0, 0)
+    if -128 <= lo and hi <= 127:
+        return a.astype(np.int8), ("i8", None)
+    if -32768 <= lo and hi <= 32767:
+        return a.astype(np.int16), ("i16", None)
+    nz = a[a != 0]
+    if nz.size and bool((nz == nz.flat[0]).all()):
+        return (a != 0).astype(np.int8), ("flag", int(nz.flat[0]))
+    return a.astype(np.int32), ("i32", None)
+
+
 def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
                         Qp: int, Tp: int):
     """Stack per-pair prepare_inputs() dicts (already padded to Qp/Tp)
-    into the kernel's reversed/padded batched layout.  Returns
-    (arrays: dict, meta: dict) — meta is static (part of the trace key).
+    into a COMPACT batched wire format; the kernel wrapper expands it on
+    device (flip + front/back pad to the reversed VLEN layout, widen to
+    int32) — the per-call host->device link cost dominates dispatch
+    through a TPU tunnel, so the wire ships minimum bytes.  Returns
+    (arrays: dict, meta: dict) — meta is static (part of the trace key);
+    meta["wire"] records each array's encoding + layout.
     """
     B = len(per_pair)
     QV = _qv(Qp)
-    PADF = QV + 128                  # front pad (incl. one tile of
-                                     # slack for unroll-padded steps)
-    VLEN = PADF + Tp + 1 + QV + 264  # padded length (roll + DMA slack)
     arrays: dict = {}
+    wire: dict = {}
     meta: dict = {"B": B}
 
     def pad_i(v, fill=0):
@@ -132,10 +150,10 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
         return np.pad(v, [(0, QV - v.shape[0])] + [(0, 0)] * (v.ndim - 1),
                       constant_values=fill)
 
-    def pad_rev(v, fill=0):
-        r = np.asarray(v)[::-1]
-        return np.pad(r, (PADF, VLEN - PADF - r.shape[0]),
-                      constant_values=fill)
+    def add(name, a, rev: bool):
+        a, enc = _narrow(np.ascontiguousarray(a))
+        arrays[name] = a
+        wire[name] = (enc, rev)
 
     for key, kind in kinds:
         if kind == "blocked":
@@ -159,19 +177,18 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
                 [pad_i(p[key]["table"][p[key]["q_idx_s"]][:, union])
                  for p in per_pair]).astype(np.int32)      # (B, QV, C)
             for c in range(len(union)):
-                arrays[key + f":P{c}"] = np.ascontiguousarray(P[:, :, c])
-            arrays[key + ":tj"] = np.stack(
-                [pad_rev(remap[p[key]["t_idx"]])
-                 for p in per_pair]).astype(np.int32)      # (B, VLEN)
-            arrays[key + ":ov"] = np.stack(
-                [pad_i(p[key]["q_override_s"])
-                 for p in per_pair]).astype(np.int32)      # (B, QV)
+                add(key + f":P{c}", P[:, :, c], rev=False)
+            add(key + ":tj",
+                np.stack([remap[p[key]["t_idx"]] for p in per_pair]),
+                rev=True)                                  # (B, Tp+1)
+            add(key + ":ov",
+                np.stack([pad_i(p[key]["q_override_s"])
+                          for p in per_pair]), rev=False)  # (B, QV)
         elif kind == "tvec":
-            arrays[key] = np.stack(
-                [pad_rev(p[key]) for p in per_pair]).astype(np.int32)
+            add(key, np.stack([p[key] for p in per_pair]), rev=True)
         elif kind == "qvec":
-            arrays[key] = np.stack(
-                [pad_i(p[key]) for p in per_pair]).astype(np.int32)
+            add(key, np.stack([pad_i(p[key]) for p in per_pair]),
+                rev=False)
         elif kind == "scalar":
             arrays[key] = np.asarray(
                 [p[key] for p in per_pair], np.int32).reshape(B, 1)
@@ -187,6 +204,7 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
         elif k.startswith("_") and k != "_blocked":
             arrays[k] = np.asarray(
                 [p[k] for p in per_pair], np.int32).reshape(B, 1)
+    meta["wire"] = tuple(sorted(wire.items()))
     return arrays, meta
 
 
@@ -224,20 +242,20 @@ def _build_plan(model: Model) -> list:
     return plan
 
 
-def _storage_plan(model: Model, plan: list, want_region: bool):
+def _storage_plan(model: Model, plan: list, region_lanes: tuple):
     """VMEM carry-ring storage layout: which states need ring rows and
-    which (state, lane) slots are live (see build_pallas_wavefront)."""
+    which (state, lane) slots are live (see build_pallas_wavefront).
+    ``region_lanes`` are the extra lane ids carrying the region start
+    (one packed lane, or a (qs, ts) pair, or none for score mode)."""
     start_state = model.start_state.state
     end_state = model.end_state.state
-    n_shadow = model.total_shadow_designations
-    rs_q, rs_t = n_shadow, n_shadow + 1
     ring_states = sorted({p["t"].input.id for p in plan
                           if p["t"].advance_query
                           + p["t"].advance_target > 0
                           and p["t"].input is not start_state})
     live = {s.id: set() for s in model.states}
-    if want_region:
-        live[end_state.id] = {rs_q, rs_t}
+    if region_lanes:
+        live[end_state.id] = set(region_lanes)
     changed = True
     while changed:
         changed = False
@@ -264,12 +282,14 @@ RING_VMEM_BYTES = 48 << 20
 def max_batch(model: Model, Qp: int, mode: str) -> int:
     """Largest per-kernel batch whose carry ring fits the VMEM budget."""
     plan = _build_plan(model)
-    ring_states, lane_slots, _ = _storage_plan(model, plan,
-                                               mode == "region")
+    n_shadow = model.total_shadow_designations
+    region_lanes = (n_shadow,) if mode == "region" else ()
+    ring_states, lane_slots, _ = _storage_plan(model, plan, region_lanes)
     K = max(max((t.advance_query + t.advance_target
                  for t in model.transitions), default=1), 1)
-    per_pair = (max(len(ring_states), 1) + max(len(lane_slots), 1)) \
-        * (K + 1) * _qv(Qp) * 4
+    per_pair = ((max(len(ring_states), 1) + max(len(lane_slots), 1))
+                * (K + 1) + (3 if mode == "region" else 2)) \
+        * _qv(Qp) * 4
     return max(1, RING_VMEM_BYTES // per_pair)
 
 
@@ -308,12 +328,21 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     assert _supported(kinds)
     if interpret is None:
         interpret = _INTERPRET
+    # timing-ablation knobs (tools/kexp.py): produce WRONG results while
+    # keeping the kernel's dataflow shape — never set in production
+    ablate = frozenset(
+        os.environ.get("EXONERATE_TPU_KERNEL_ABLATE", "").split(","))
     want_region = mode == "region"
     want_path = mode == "path"
     S = len(model.states)
     n_shadow = model.total_shadow_designations
-    L = n_shadow + (2 if want_region else 0)
-    rs_q, rs_t = n_shadow, n_shadow + 1
+    # region-start carry: one packed (qs << 16 | ts) lane when both
+    # bucket-relative coords fit 15 bits (halves the dominant lane-plane
+    # VMEM traffic: the region lanes propagate through EVERY state of a
+    # local model), else a (qs, ts) lane pair
+    pack_rs = want_region and Qp < (1 << 15) and Tp < (1 << 15)
+    L = n_shadow + (1 if pack_rs else 2 if want_region else 0)
+    rs_q, rs_t = n_shadow, n_shadow + (0 if pack_rs else 1)
     start_state = model.start_state.state
     end_state = model.end_state.state
     B = meta["B"]
@@ -345,8 +374,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     # iff a fixpoint over the transition graph shows the lane can still
     # be consumed (shadow read, region-start pick at END) before being
     # re-set (shadow start, START-exit region lanes) --
+    region_lanes = (((rs_q,) if pack_rs else (rs_q, rs_t))
+                    if want_region else ())
     ring_states, lane_slots, live = _storage_plan(model, plan,
-                                                  want_region)
+                                                  region_lanes)
+    if "nolanes" in ablate:
+        lane_slots = []
+        live = {s.id: set() for s in model.states}
     ring_row = {s: r for r, s in enumerate(ring_states)}
     NR = max(len(ring_states), 1)
     lane_row = {sl: r for r, sl in enumerate(lane_slots)}
@@ -377,6 +411,10 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 and kind_map.get(n[:-3]) == "factored"))) if stream else ()
     W = QV + 256                        # streamed VMEM window width
 
+    # per-lane best planes: score, j, and the region start (packed into
+    # one plane when pack_rs)
+    NBP = (3 if pack_rs else 4) if want_region else 2
+
     def kernel(*refs):
         in_refs = dict(zip(names, refs[:len(names)]))
         n_best = 5 if want_region else 3
@@ -384,7 +422,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         out_refs = refs[len(names):len(names) + n_out]
         tb_ref = out_refs[n_best] if want_path else None
         scratch = refs[len(names) + n_out:]
-        ring, best = scratch[0], scratch[1]
+        ring, bestp = scratch[0], scratch[1]
         nx = 2
         lanes_ring = None
         if lane_slots:
@@ -400,8 +438,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         @pl.when(pid == 0)
         def _init():
             ring[...] = jnp.full(ring.shape, NEG, jnp.int32)
-            best[...] = jnp.zeros(best.shape, jnp.int32)
-            best[0, :] = jnp.full((B,), NEG, jnp.int32)
+            bestp[...] = jnp.zeros(bestp.shape, jnp.int32)
+            bestp[0] = jnp.full((B, QV), NEG, jnp.int32)
             if lane_slots:
                 lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
 
@@ -421,15 +459,38 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                     cps.append(cp)
                 for cp in cps:
                     cp.wait()
-            _one_diagonal(d, in_refs, windows, ring, best, lanes_ring,
+            _one_diagonal(d, in_refs, windows, ring, bestp, lanes_ring,
                           tb_ref)
 
         @pl.when(pid == n_steps - 1)
         def _emit():
-            for r in range(n_best):
-                out_refs[r][...] = best[r, :]
+            # lexicographic winner over lanes: max score, then min j,
+            # then min i (= the reference's end-cell preference)
+            BIG = jnp.int32(1 << 30)
+            sc = bestp[0]
+            m = jnp.max(sc, axis=1)                        # (B,)
+            tie = sc == m[:, None]
+            jb = bestp[1]
+            jmin = jnp.min(jnp.where(tie, jb, BIG), axis=1)
+            tie2 = tie & (jb == jmin[:, None])
+            ii = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
+            imin = jnp.min(jnp.where(tie2, ii, BIG), axis=1)
+            found = m > NEG
+            out_refs[0][...] = m
+            out_refs[1][...] = jnp.where(found, imin, 0)
+            out_refs[2][...] = jnp.where(found, jmin, 0)
+            if want_region:
+                bsel = tie2 & (ii == imin[:, None])
+                if pack_rs:
+                    w = jnp.sum(jnp.where(bsel, bestp[2], 0), axis=1)
+                    qs, ts = w >> 16, w & 0xffff
+                else:
+                    qs = jnp.sum(jnp.where(bsel, bestp[2], 0), axis=1)
+                    ts = jnp.sum(jnp.where(bsel, bestp[3], 0), axis=1)
+                out_refs[3][...] = jnp.where(found, qs, 0)
+                out_refs[4][...] = jnp.where(found, ts, 0)
 
-    def _one_diagonal(d, in_refs, windows, ring, best, lanes_ring,
+    def _one_diagonal(d, in_refs, windows, ring, bestp, lanes_ring,
                       tb_ref=None):
         i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
         j = d - i
@@ -463,17 +524,21 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             if name in windows:
                 st0 = ((Tp - d + PADF) // 128) * 128
                 off = st - st0               # in [0, 131)
+                if "noroll" in ablate:
+                    return windows[name][...][:, :QV]
                 return pltpu.roll(windows[name][...], W - off,
                                   axis=1)[:, :QV]
             st0 = (st // 128) * 128
             off = st - st0
             w = in_refs[name][:, pl.ds(st0, QV + 128)]
+            if "noroll" in ablate:
+                return w[:, :QV]
             return pltpu.roll(w, (QV + 128) - off, axis=1)[:, :QV]
 
         scores = [None] * S
         lanes_c = [[None] * L for _ in range(S)]
-        is_set = [None] * S
         tb_c = [None] * S
+        ring_memo: dict = {}    # transitions share (input, adv, aq) reads
         calc_memo: dict = {}    # stereo twins share calc+advances
 
         for plan_id, p in enumerate(plan):
@@ -492,26 +557,32 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 if adv == 0:
                     if scores[inp.id] is None:
                         continue
-                    base = jnp.where(is_set[inp.id], scores[inp.id], NEG)
+                    # unset cells hold NEG by construction (planes start
+                    # at neg_plane; writes are gated), so no is_set mask
+                    base = scores[inp.id]
                     src_l = [v if v is not None else zero_plane
                              for v in lanes_c[inp.id]]
+                elif (inp.id, adv, aq) in ring_memo:
+                    base, src_l = ring_memo[(inp.id, adv, aq)]
                 else:
                     slot = jnp.remainder(d - adv, R)
-                    base = ring[slot, ring_row[inp.id]]
+                    base = (neg_plane if "noring" in ablate
+                            else ring[slot, ring_row[inp.id]])
                     if L:
                         src_l = [
                             (lanes_ring[slot, lane_row[(inp.id, ln)]]
                              if (inp.id, ln) in lane_row else zero_plane)
                             for ln in range(L)]
-                if aq > 0:
-                    base = shift_q(base, aq, NEG)
-                    src_l = [shift_q(v, aq, 0) for v in src_l]
+                    if aq > 0:
+                        base = shift_q(base, aq, NEG)
+                        src_l = [shift_q(v, aq, 0) for v in src_l]
+                    ring_memo[(inp.id, adv, aq)] = (base, src_l)
             if out is end_state:
                 src_ok = src_ok & _scope_mask_end(
                     model.end_state.scope, i, j, qlen, tlen)
             if p["is_match"] and blk is not None:
                 src_ok = src_ok & ~blk
-            if p["key"] is None:
+            if p["key"] is None or "nocalc" in ablate:
                 calc = jnp.zeros((), jnp.int32)
             elif p["key"] in calc_memo:
                 calc = calc_memo[p["key"]]
@@ -533,7 +604,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 else:                                     # scalar
                     calc = in_refs[p["key"]][...]         # (B, 1)
                 calc_memo[p["key"]] = calc
-            if p["pallas_ci"] is not None:
+            if "nocalc" in ablate:
+                pass
+            elif p["pallas_ci"] is not None:
                 svals = {name: src_l[desig]
                          for name, desig in p["dst_shadows"]}
                 ci = p["pallas_ci"]
@@ -579,11 +652,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 val = jnp.where(src_ok & (base > NEG), val, NEG)
             cur = scores[out.id] if scores[out.id] is not None \
                 else neg_plane
-            cur_set = (is_set[out.id] if is_set[out.id] is not None
-                       else jnp.zeros((B, QV), bool))
-            take = (val > jnp.where(cur_set, cur, NEG)) & src_ok
+            take = (val > cur) & src_ok
             scores[out.id] = jnp.where(take, val, cur)
-            is_set[out.id] = cur_set | take
             if want_path:
                 old_tb = (tb_c[out.id] if tb_c[out.id] is not None
                           else zero_plane)
@@ -597,8 +667,11 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                         new_l[desig] = (si + qstart if kind == "query_pos"
                                         else sj + tstart)
                 if inp is start_state and want_region:
-                    new_l[rs_q] = si
-                    new_l[rs_t] = sj
+                    if pack_rs:
+                        new_l[rs_q] = (si << 16) | (sj & 0xffff)
+                    else:
+                        new_l[rs_q] = si
+                        new_l[rs_t] = sj
                 for ln in sorted(live[out.id]):   # dead lanes stay None
                     old = (lanes_c[out.id][ln]
                            if lanes_c[out.id][ln] is not None
@@ -617,60 +690,43 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 tb_ref[0, pi * B:(pi + 1) * B, :] = \
                     word if word is not None else zero_plane
 
-        # end-cell registration: (score desc, j asc, i asc)
-        if scores[end_state.id] is not None:
-            end_scores = jnp.where(is_set[end_state.id] & cell_ok,
-                                   scores[end_state.id], NEG)
-        else:
-            end_scores = neg_plane
-        m = jnp.max(end_scores, axis=1)                   # (B,)
-        sel = jnp.where(end_scores == m[:, None], i, -1)
-        # sel holds i at qualifying cells, so its max IS the argmax index
-        # (Mosaic has no integer argmax)
-        ix = jnp.max(sel, axis=1).astype(jnp.int32)       # (B,)
-        bsel = i == ix[:, None]
-
-        def pick(plane):
-            return jnp.sum(jnp.where(bsel, plane, 0), axis=1)
-
-        c_score, c_i = m, ix
-        c_j = d - c_i
-        if want_region and lanes_c[end_state.id][rs_q] is not None:
-            c_qs = pick(lanes_c[end_state.id][rs_q])
-            c_ts = pick(lanes_c[end_state.id][rs_t])
-        else:
-            c_qs = jnp.zeros((B,), jnp.int32)
-            c_ts = jnp.zeros((B,), jnp.int32)
-        b_score, b_i, b_j = best[0, :], best[1, :], best[2, :]
-        better = (c_score > b_score) | \
-            ((c_score == b_score) &
-             ((c_j < b_j) | ((c_j == b_j) & (c_i < b_i))))
-        best[0, :] = jnp.where(better, c_score, b_score)
-        best[1, :] = jnp.where(better, c_i, b_i)
-        best[2, :] = jnp.where(better, c_j, b_j)
-        if want_region:
-            best[3, :] = jnp.where(better, c_qs, best[3, :])
-            best[4, :] = jnp.where(better, c_ts, best[4, :])
+        # end-cell registration: per-LANE running best (score, j[, qs,
+        # ts]) planes — replacing the per-diagonal cross-lane argmax with
+        # one compare+select; the lexicographic (score desc, j asc,
+        # i asc) winner is reduced once in _emit.  Per lane (fixed i) j
+        # grows with d, so replace-on-strictly-greater keeps the
+        # smallest-j candidate, matching the reference's first-max rule
+        # (ref: viterbi.c:778-791).
+        if "noend" not in ablate and scores[end_state.id] is not None:
+            es = scores[end_state.id]       # NEG where unset/invalid
+            cur = bestp[0]
+            take_e = es > cur
+            bestp[0] = jnp.where(take_e, es, cur)
+            bestp[1] = jnp.where(take_e, j, bestp[1])
+            if want_region and lanes_c[end_state.id][rs_q] is not None:
+                bestp[2] = jnp.where(take_e,
+                                     lanes_c[end_state.id][rs_q],
+                                     bestp[2])
+                if not pack_rs:
+                    bestp[3] = jnp.where(take_e,
+                                         lanes_c[end_state.id][rs_t],
+                                         bestp[3])
 
         # write the new diagonal into the ring (live slots only)
+        if "nostore" in ablate:
+            return
         slot = jnp.remainder(d, R)
         for s in ring_states:
-            if scores[s] is None:
-                ring[slot, ring_row[s]] = neg_plane
-            else:
-                ring[slot, ring_row[s]] = jnp.where(is_set[s],
-                                                    scores[s], NEG)
+            ring[slot, ring_row[s]] = (neg_plane if scores[s] is None
+                                       else scores[s])
         for (s, ln) in lane_slots:
             v = lanes_c[s][ln] if scores[s] is not None else None
-            if v is None:
-                lanes_ring[slot, lane_row[(s, ln)]] = zero_plane
-            else:
-                lanes_ring[slot, lane_row[(s, ln)]] = jnp.where(
-                    is_set[s], v, 0)
+            lanes_ring[slot, lane_row[(s, ln)]] = \
+                zero_plane if v is None else v
 
     n_best = 5 if want_region else 3
     scratch_shapes = [pltpu.VMEM((R, NR, B, QV), jnp.int32),
-                      pltpu.VMEM((8, B), jnp.int32)]
+                      pltpu.VMEM((NBP, B, QV), jnp.int32)]
     if lane_slots:
         scratch_shapes.append(pltpu.VMEM((R, NL, B, QV), jnp.int32))
     for _n in stream_names:
@@ -702,7 +758,30 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         out_shape.append(
             jax.ShapeDtypeStruct((n_steps, PB8, QV), jnp.int32))
 
+    VLEN = PADF + Tp + 1 + QV + 264     # reversed-vector padded length
+    wire = dict(meta.get("wire", ()))
+
+    def _expand(name, x):
+        """Wire format -> kernel layout: widen to int32 (flag arrays
+        rebuild their single constant) and flip+pad 'rev' arrays to the
+        reversed VLEN layout — on device, so the host link ships the
+        compact form."""
+        spec = wire.get(name)
+        if spec is None:
+            return x
+        (enc, const), rev = spec
+        if enc == "flag":
+            x = jnp.where(x != 0, jnp.int32(const), jnp.int32(0))
+        else:
+            x = x.astype(jnp.int32)
+        if rev:
+            x = jnp.flip(x, axis=1)
+            x = jnp.pad(x, ((0, 0), (PADF, VLEN - PADF - x.shape[1])))
+        return x
+
     def core(*flat_arrays):
+        flat_arrays = tuple(_expand(n, a)
+                            for n, a in zip(names, flat_arrays))
         if has_blocked:
             bi = names.index("_blocked")
             flat_arrays = (flat_arrays[:bi]
@@ -770,6 +849,41 @@ def _flatten(arrays: dict):
 
 _CACHE: dict = {}
 
+# per-array device-input cache: the pipeline re-dispatches the same pair
+# repeatedly (region scan -> path, Waterman-Eggert subopt re-runs with a
+# grown _blocked plane, bestn rescans), and through a TPU tunnel the
+# host->device re-transfer dominates; content-addressed caching re-ships
+# only arrays whose bytes changed
+_DEV_CACHE: "dict[tuple, object]" = {}
+_DEV_CACHE_BYTES = [0]
+DEV_CACHE_LIMIT = 1 << 30
+
+
+def _put_cached(flat: list) -> tuple:
+    import hashlib
+    out = []
+    miss_np, miss_keys = [], []
+    for a in flat:
+        a = np.ascontiguousarray(a)
+        key = (a.shape, str(a.dtype),
+               hashlib.blake2b(a.tobytes(), digest_size=16).digest())
+        hit = _DEV_CACHE.get(key)
+        if hit is None:
+            miss_np.append(a)
+            miss_keys.append(key)
+        out.append((key, hit))
+    if miss_np:
+        while _DEV_CACHE and _DEV_CACHE_BYTES[0] > DEV_CACHE_LIMIT:
+            k, v = next(iter(_DEV_CACHE.items()))
+            _DEV_CACHE_BYTES[0] -= v.nbytes
+            del _DEV_CACHE[k]
+        put = wf._put(tuple(jnp.asarray(a) for a in miss_np))
+        for k, v in zip(miss_keys, put):
+            if k not in _DEV_CACHE:
+                _DEV_CACHE[k] = v
+                _DEV_CACHE_BYTES[0] += v.nbytes
+    return tuple(_DEV_CACHE[k] if v is None else v for k, v in out)
+
 
 # above this many bytes of reversed target vectors per call, stream
 # them from HBM instead of holding them in VMEM
@@ -811,8 +925,11 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                                                Qp, Tp)
             flat, names = _flatten(arrays)
             if stream is None:
-                vbytes = sum(a.nbytes for a in flat if a.ndim == 2
-                             and a.shape[1] > Qp + 1)
+                # expanded (reversed+padded, int32) footprint in VMEM
+                n_rev = sum(1 for _n, (_enc, rev) in meta["wire"]
+                            if rev)
+                vlen = 2 * _qv(Qp) + 128 + Tp + 1 + 264
+                vbytes = n_rev * len(per_pair) * vlen * 4
                 use_stream = vbytes > STREAM_VMEM_BYTES
             else:
                 use_stream = stream
@@ -824,7 +941,7 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, mode, kinds, meta, names,
                     interpret=interpret, stream=use_stream)
-            res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
+            res = fn(_put_cached(flat))
             res = {k: np.asarray(v) for k, v in res.items()}
             zeros = np.zeros(len(per_pair), np.int32)
             for b, (n, _) in enumerate(chunk):
@@ -1009,7 +1126,7 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, "path", kinds, meta, names,
                     interpret=interpret, stream=False)
-            res = fn(wf._put(tuple(jnp.asarray(a) for a in flat)))
+            res = fn(_put_cached(flat))
             cap = n_steps + 256
             wkey = (id(model), B, cap, "walk")
             walk = _CACHE.get(wkey)
