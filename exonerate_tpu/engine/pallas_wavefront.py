@@ -294,9 +294,16 @@ def max_batch(model: Model, Qp: int, mode: str) -> int:
 
 
 def _chunk_pow2(items: list, cap: int):
-    """Split items into chunks of at most cap, each padded (by repeating
-    the final element) to a power of two — bounding both VMEM and the
-    number of distinct traces per (model, bucket)."""
+    """Split items into chunks, each padded (by repeating the final
+    element) to a power of two — bounding both VMEM and the number of
+    distinct traces per (model, bucket).  The chunk size is clamped to a
+    power of two <= cap so the PADDED batch never exceeds the VMEM
+    budget (a 65..127-job chunk must not become a 128-pair kernel)."""
+    if cap >= 2:
+        p = 1
+        while p * 2 <= cap:
+            p *= 2
+        cap = p
     chunks = []
     i = 0
     while i < len(items):
@@ -415,6 +422,38 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     # one plane when pack_rs)
     NBP = (3 if pack_rs else 4) if want_region else 2
 
+    # -- windowed diagonal ladder: diagonal d only holds valid cells at
+    # i in [max(0, d-Tp), min(d, Qp)], so a square pair wastes ~half the
+    # full-width lanes in the opening/closing triangles.  Each grid step
+    # picks the smallest static width from a x2 ladder that covers its
+    # diagonal window (plus a 128-lane front-pad frame so q-shifts read
+    # across the aligned window start); every i-axis plane and scratch
+    # row gets the 128-lane front pad (logical i lives at mem i + FO).
+    # Out-of-rectangle lanes need no extra masking: logical i < lo has
+    # j > Tp >= tlen, i > hi has j < 0 or i > qlen — cell_ok already
+    # rejects them (plus an i >= 0 guard for the i_base=0 phase).
+    # measured on v5e: score mode gains ~20% (1.37 -> 1.10 ms/pair at
+    # 2175^2), but region mode REGRESSES (1.61 -> 2.85) — the dynamic-
+    # start window accesses on its ~26 lane-plane loads/stores per
+    # diagonal cost more than the skipped triangle lanes — so the
+    # ladder is score-only
+    windowed = (mode == "score" and not has_blocked
+                and not stream and QV >= 512
+                and os.environ.get("EXONERATE_TPU_KERNEL_LADDER",
+                                   "1") != "0")
+    FO = 128 if windowed else 0
+    LDIM = QV + FO
+    if windowed:
+        wlast = min(-(-(min(Qp, Tp + G - 1) + 257) // 128) * 128, LDIM)
+        WS = []
+        w_ = 512
+        while w_ < wlast:
+            WS.append(w_)
+            w_ *= 2
+        WS.append(wlast)
+    else:
+        WS = [QV]
+
     def kernel(*refs):
         in_refs = dict(zip(names, refs[:len(names)]))
         n_best = 5 if want_region else 3
@@ -439,28 +478,57 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         def _init():
             ring[...] = jnp.full(ring.shape, NEG, jnp.int32)
             bestp[...] = jnp.zeros(bestp.shape, jnp.int32)
-            bestp[0] = jnp.full((B, QV), NEG, jnp.int32)
+            bestp[0] = jnp.full((B, LDIM), NEG, jnp.int32)
             if lane_slots:
                 lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
 
-        for _g in range(G):
-            d = pid * G + _g
-            if stream_names:
-                # base window start for at=0; covers at in [0, 3] and
-                # the roll residue (W - QV = 256 lanes of slack)
-                st_base = Tp - d + PADF
-                st0 = (st_base // 128) * 128
-                cps = []
-                for k, n in enumerate(stream_names):
-                    cp = pltpu.make_async_copy(
-                        in_refs[n].at[:, pl.ds(st0, W)],
-                        windows[n], sems.at[k])
-                    cp.start()
-                    cps.append(cp)
-                for cp in cps:
-                    cp.wait()
-            _one_diagonal(d, in_refs, windows, ring, bestp, lanes_ring,
-                          tb_ref)
+        def _step(wl, i_base):
+            for _g in range(G):
+                d = pid * G + _g
+                if stream_names:
+                    # base window start for at=0; covers at in [0, 3]
+                    # and the roll residue (W - QV = 256 lanes of slack)
+                    st_base = Tp - d + PADF
+                    st0 = (st_base // 128) * 128
+                    cps = []
+                    for k, n in enumerate(stream_names):
+                        cp = pltpu.make_async_copy(
+                            in_refs[n].at[:, pl.ds(st0, W)],
+                            windows[n], sems.at[k])
+                        cp.start()
+                        cps.append(cp)
+                    for cp in cps:
+                        cp.wait()
+                _one_diagonal(d, in_refs, windows, ring, bestp,
+                              lanes_ring, tb_ref, wl, i_base)
+
+        if not windowed:
+            _step(QV, 0)
+        else:
+            d0 = pid * G
+            hi_u = jnp.minimum(d0 + (G - 1), Qp)
+            lo_u = jnp.maximum(d0 - Tp, 0)
+            i_blk = lo_u // 128
+            needed = hi_u - i_blk * 128 + FO + 1
+            prev_w = 0
+            for wlad in WS:
+                cond = (needed > prev_w) if wlad == WS[-1] \
+                    else (needed > prev_w) & (needed <= wlad)
+                prev_w = wlad
+
+                @pl.when(cond)
+                def _run(wlad=wlad):
+                    if wlad == LDIM:
+                        # widest branch: static full-width slices (the
+                        # dynamic-start window costs more than it saves
+                        # once the window is nearly full)
+                        _step(LDIM, 0)
+                    else:
+                        # the trailing *128 keeps the start provably
+                        # 128-aligned for Mosaic's dynamic lane slices
+                        _step(wlad,
+                              jnp.minimum(i_blk,
+                                          (LDIM - wlad) // 128) * 128)
 
         @pl.when(pid == n_steps - 1)
         def _emit():
@@ -473,7 +541,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             jb = bestp[1]
             jmin = jnp.min(jnp.where(tie, jb, BIG), axis=1)
             tie2 = tie & (jb == jmin[:, None])
-            ii = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (B, LDIM), 1) - FO
             imin = jnp.min(jnp.where(tie2, ii, BIG), axis=1)
             found = m > NEG
             out_refs[0][...] = m
@@ -491,22 +559,50 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 out_refs[4][...] = jnp.where(found, ts, 0)
 
     def _one_diagonal(d, in_refs, windows, ring, bestp, lanes_ring,
-                      tb_ref=None):
-        i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
+                      tb_ref, wl, i_base):
+        # wl/i_base: static ladder width + traced 128-aligned window
+        # start picked per grid step (full width when not windowed).
+        # Logical i lives at mem index i + FO; the FO front-pad lanes
+        # let q-shifts read across the aligned window start.  All
+        # out-of-window/garbage lanes are rejected by cell_ok: logical
+        # i < max(0, d-Tp) implies j > Tp >= tlen, i > min(d, Qp)
+        # implies j < 0 or i > qlen.
+        i = i_base + jax.lax.broadcasted_iota(jnp.int32, (B, wl), 1) - FO
         j = d - i
         qlen = in_refs["_qlen"][...]                      # (B, 1)
         tlen = in_refs["_tlen"][...]
         qstart = in_refs["_qstart"][...]
         tstart = in_refs["_tstart"][...]
         cell_ok = (j >= 0) & (j <= tlen) & (i <= qlen)
+        if windowed:
+            cell_ok = cell_ok & (i >= 0)
         # SubOpt mask at the DESTINATION cell (ref: viterbi.c:701-704);
         # the skewed plane block for this diagonal arrives pipelined
         blk = (in_refs["_blocked"][0] != 0) if has_blocked else None
 
-        neg_plane = jnp.full((B, QV), NEG, jnp.int32)
-        zero_plane = jnp.zeros((B, QV), jnp.int32)
+        neg_plane = jnp.full((B, wl), NEG, jnp.int32)
+        zero_plane = jnp.zeros((B, wl), jnp.int32)
+
+        def iload(ref):
+            """Window of an i-axis (B, LDIM) input plane."""
+            if windowed:
+                return ref[:, pl.ds(i_base, wl)]
+            return ref[...]
+
+        def rload(ref, slot, row):
+            if windowed:
+                return ref[slot, row, :, pl.ds(i_base, wl)]
+            return ref[slot, row]
+
+        def rstore(ref, slot, row, v):
+            if windowed:
+                ref[slot, row, :, pl.ds(i_base, wl)] = v
+            else:
+                ref[slot, row] = v
 
         def shift_q(a, aq, fill):
+            # valid in the window frame too: consumers sit at mem lanes
+            # k >= FO > aq, so the filled front lanes are never read
             if aq == 0:
                 return a
             return jnp.concatenate(
@@ -520,7 +616,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             # be non-negative: a negative shift wraps as unsigned modulo
             # the width — rotate right by width-off instead of left by
             # off.
-            st = Tp - d + at + PADF
+            st = Tp - d + at + PADF + i_base - FO
             if name in windows:
                 st0 = ((Tp - d + PADF) // 128) * 128
                 off = st - st0               # in [0, 131)
@@ -530,10 +626,10 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                                   axis=1)[:, :QV]
             st0 = (st // 128) * 128
             off = st - st0
-            w = in_refs[name][:, pl.ds(st0, QV + 128)]
+            w = in_refs[name][:, pl.ds(st0, wl + 128)]
             if "noroll" in ablate:
-                return w[:, :QV]
-            return pltpu.roll(w, (QV + 128) - off, axis=1)[:, :QV]
+                return w[:, :wl]
+            return pltpu.roll(w, (wl + 128) - off, axis=1)[:, :wl]
 
         scores = [None] * S
         lanes_c = [[None] * L for _ in range(S)]
@@ -567,10 +663,11 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 else:
                     slot = jnp.remainder(d - adv, R)
                     base = (neg_plane if "noring" in ablate
-                            else ring[slot, ring_row[inp.id]])
+                            else rload(ring, slot, ring_row[inp.id]))
                     if L:
                         src_l = [
-                            (lanes_ring[slot, lane_row[(inp.id, ln)]]
+                            (rload(lanes_ring, slot,
+                                   lane_row[(inp.id, ln)])
                              if (inp.id, ln) in lane_row else zero_plane)
                             for ln in range(L)]
                     if aq > 0:
@@ -591,16 +688,17 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 if kind == "factored":
                     C = meta[p["key"]]
                     tj = tslice(p["key"] + ":tj", at)
-                    g = jnp.zeros((B, QV), jnp.int32)
+                    g = jnp.zeros((B, wl), jnp.int32)
                     for c in range(C):
                         g = jnp.where(tj == c,
-                                      in_refs[p["key"] + f":P{c}"][...], g)
-                    ov = in_refs[p["key"] + ":ov"][...]
+                                      iload(in_refs[p["key"] + f":P{c}"]),
+                                      g)
+                    ov = iload(in_refs[p["key"] + ":ov"])
                     calc = jnp.where(ov != 0, ov, g)
                 elif kind == "tvec":
                     calc = tslice(p["key"], at)
                 elif kind == "qvec":
-                    calc = in_refs[p["key"]][...]         # pre-shifted
+                    calc = iload(in_refs[p["key"]])       # pre-shifted
                 else:                                     # scalar
                     calc = in_refs[p["key"]][...]         # (B, 1)
                 calc_memo[p["key"]] = calc
@@ -628,7 +726,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
                     @staticmethod
                     def qvec(nm, _ci=ci):
-                        return in_refs[f"kc{_ci}:{nm}"][...]
+                        return iload(in_refs[f"kc{_ci}:{nm}"])
 
                 calc = t.calc.pallas_fn(_Ctx)
             elif p["shkey"] is not None:
@@ -699,36 +797,46 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         # (ref: viterbi.c:778-791).
         if "noend" not in ablate and scores[end_state.id] is not None:
             es = scores[end_state.id]       # NEG where unset/invalid
-            cur = bestp[0]
+
+            def bwin(k):
+                return (bestp[k, :, pl.ds(i_base, wl)] if windowed
+                        else bestp[k])
+
+            def bput(k, v):
+                if windowed:
+                    bestp[k, :, pl.ds(i_base, wl)] = v
+                else:
+                    bestp[k] = v
+
+            cur = bwin(0)
             take_e = es > cur
-            bestp[0] = jnp.where(take_e, es, cur)
-            bestp[1] = jnp.where(take_e, j, bestp[1])
+            bput(0, jnp.where(take_e, es, cur))
+            bput(1, jnp.where(take_e, j, bwin(1)))
             if want_region and lanes_c[end_state.id][rs_q] is not None:
-                bestp[2] = jnp.where(take_e,
-                                     lanes_c[end_state.id][rs_q],
-                                     bestp[2])
+                bput(2, jnp.where(take_e,
+                                  lanes_c[end_state.id][rs_q], bwin(2)))
                 if not pack_rs:
-                    bestp[3] = jnp.where(take_e,
-                                         lanes_c[end_state.id][rs_t],
-                                         bestp[3])
+                    bput(3, jnp.where(take_e,
+                                      lanes_c[end_state.id][rs_t],
+                                      bwin(3)))
 
         # write the new diagonal into the ring (live slots only)
         if "nostore" in ablate:
             return
         slot = jnp.remainder(d, R)
         for s in ring_states:
-            ring[slot, ring_row[s]] = (neg_plane if scores[s] is None
-                                       else scores[s])
+            rstore(ring, slot, ring_row[s],
+                   neg_plane if scores[s] is None else scores[s])
         for (s, ln) in lane_slots:
             v = lanes_c[s][ln] if scores[s] is not None else None
-            lanes_ring[slot, lane_row[(s, ln)]] = \
-                zero_plane if v is None else v
+            rstore(lanes_ring, slot, lane_row[(s, ln)],
+                   zero_plane if v is None else v)
 
     n_best = 5 if want_region else 3
-    scratch_shapes = [pltpu.VMEM((R, NR, B, QV), jnp.int32),
-                      pltpu.VMEM((NBP, B, QV), jnp.int32)]
+    scratch_shapes = [pltpu.VMEM((R, NR, B, LDIM), jnp.int32),
+                      pltpu.VMEM((NBP, B, LDIM), jnp.int32)]
     if lane_slots:
-        scratch_shapes.append(pltpu.VMEM((R, NL, B, QV), jnp.int32))
+        scratch_shapes.append(pltpu.VMEM((R, NL, B, LDIM), jnp.int32))
     for _n in stream_names:
         scratch_shapes.append(pltpu.VMEM((B, W), jnp.int32))
     if stream_names:
@@ -777,6 +885,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         if rev:
             x = jnp.flip(x, axis=1)
             x = jnp.pad(x, ((0, 0), (PADF, VLEN - PADF - x.shape[1])))
+        elif FO and x.ndim == 2:
+            # windowed frame: logical i lives at mem index i + FO
+            x = jnp.pad(x, ((0, 0), (FO, 0)))
         return x
 
     def core(*flat_arrays):
@@ -808,7 +919,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=int(os.environ.get(
+                    "EXONERATE_TPU_KERNEL_VMEM_MB", "100")) << 20),
             interpret=interpret,
         )(*flat_arrays)
 

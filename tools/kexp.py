@@ -51,12 +51,12 @@ def main():
     dev = wf._put(tuple(jnp.asarray(a) for a in flat))
     cells = region.query_length * region.target_length
 
-    def run(tag, ablate="", g=None, reps=4, m=None):
+    def run(tag, ablate="", g=None, reps=4, m=None, stream=False):
         os.environ["EXONERATE_TPU_KERNEL_ABLATE"] = ablate
         if g is not None:
             os.environ["EXONERATE_TPU_KERNEL_G"] = str(g)
         fn = pw.build_pallas_wavefront(model, Qp, Tp, m or mode, kinds,
-                                       meta, names)
+                                       meta, names, stream=stream)
         t0 = time.perf_counter()
         r = fn(dev)
         s = np.asarray(r["score"])
@@ -83,6 +83,8 @@ def main():
         g = int(gs[1:]) if gs.startswith("g") else None
         if ab == "base":
             run(v, "", g=g)
+        elif ab == "stream":
+            run(v, "", g=g, stream=True)
         elif ab == "score":
             run(v, "", g=g, m="score")
         else:
