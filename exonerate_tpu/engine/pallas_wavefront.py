@@ -205,7 +205,33 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             arrays[k] = np.asarray(
                 [p[k] for p in per_pair], np.int32).reshape(B, 1)
     meta["wire"] = tuple(sorted(wire.items()))
+    # largest positive per-step CALC value (calc arrays only — the g*/
+    # shv*/kc* names registered in kinds; not lengths/offsets/shadow
+    # metadata): bounds the max score gain of any path suffix (callers
+    # pop this before building the trace key — it gates the int16 carry
+    # ring, see _ring16_ok)
+    calc_names = {k for k, kind in kinds if kind != "blocked"}
+    meta["maxpos"] = max(
+        (int(a.max()) for n, a in arrays.items()
+         if a.size and (n in calc_names
+                        or n.split(":")[0] in calc_names)),
+        default=0)
     return arrays, meta
+
+
+def _ring16_ok(model: Model, Qp: int, Tp: int, maxpos: int) -> bool:
+    """True when the carry ring can be stored as int16 without changing
+    any reportable result: the model is local (a 1-step alignment always
+    exists, so the best score is > -16000), calcs are plain (no
+    shadow_fn/pallas_fn whose outputs the array bound can't see), and
+    the max possible score gain of a path suffix is < 16000.  Then every
+    cell on a reported best path has exact value > -16000 (stored
+    unclamped), any cell clamped/saturated at the int16 floor lies only
+    on paths that end below the best, and no score can reach 32767."""
+    if not model.is_local or maxpos * (min(Qp, Tp) + 2) >= 16000:
+        return False
+    return not any(c.shadow_fn is not None or c.pallas_fn is not None
+                   for c in model.calcs)
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +348,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                            kinds: tuple, meta: dict, names: tuple,
                            interpret: bool | None = None,
                            stream: bool = False,
-                           shard_mesh=None):
+                           shard_mesh=None,
+                           ring16: bool = False):
     """Build fn(flat_arrays) -> {"score": (B,), ...} running the whole
     wavefront in one Pallas kernel.  ``names`` is the sorted flat key
     order of the packed arrays.
@@ -476,7 +503,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
         @pl.when(pid == 0)
         def _init():
-            ring[...] = jnp.full(ring.shape, NEG, jnp.int32)
+            ring[...] = jnp.full(ring.shape,
+                                 -32768 if ring16 else NEG, ring.dtype)
             bestp[...] = jnp.zeros(bestp.shape, jnp.int32)
             bestp[0] = jnp.full((B, LDIM), NEG, jnp.int32)
             if lane_slots:
@@ -590,11 +618,18 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             return ref[...]
 
         def rload(ref, slot, row):
-            if windowed:
-                return ref[slot, row, :, pl.ds(i_base, wl)]
-            return ref[slot, row]
+            x = (ref[slot, row, :, pl.ds(i_base, wl)] if windowed
+                 else ref[slot, row])
+            if ring16 and ref is ring:
+                # int16 carry ring: the saturated floor is the dead
+                # sentinel (see _ring16_ok for the dominance argument)
+                return jnp.where(x == jnp.int16(-32768), NEG,
+                                 x.astype(jnp.int32))
+            return x
 
         def rstore(ref, slot, row, v):
+            if ring16 and ref is ring:
+                v = jnp.clip(v, -32768, 32767).astype(jnp.int16)
             if windowed:
                 ref[slot, row, :, pl.ds(i_base, wl)] = v
             else:
@@ -833,7 +868,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                    zero_plane if v is None else v)
 
     n_best = 5 if want_region else 3
-    scratch_shapes = [pltpu.VMEM((R, NR, B, LDIM), jnp.int32),
+    scratch_shapes = [pltpu.VMEM((R, NR, B, LDIM),
+                                 jnp.int16 if ring16 else jnp.int32),
                       pltpu.VMEM((NBP, B, LDIM), jnp.int32)]
     if lane_slots:
         scratch_shapes.append(pltpu.VMEM((R, NL, B, LDIM), jnp.int32))
@@ -1045,14 +1081,16 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                 use_stream = vbytes > STREAM_VMEM_BYTES
             else:
                 use_stream = stream
+            ring16 = _ring16_ok(model, Qp, Tp, meta.pop("maxpos", 0))
             meta_key = tuple(sorted(meta.items()))
             key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-                   bool(interpret), use_stream)
+                   bool(interpret), use_stream, ring16)
             fn = _CACHE.get(key)
             if fn is None:
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, mode, kinds, meta, names,
-                    interpret=interpret, stream=use_stream)
+                    interpret=interpret, stream=use_stream,
+                    ring16=ring16)
             res = fn(_put_cached(flat))
             res = {k: np.asarray(v) for k, v in res.items()}
             zeros = np.zeros(len(per_pair), np.int32)
@@ -1101,14 +1139,16 @@ def find_batched_sharded(model: Model, jobs: list, mesh,
             arrays, meta = pack_batched_inputs(model, per_pair, kinds,
                                                Qp, Tp)
             flat, names = _flatten(arrays)
+            ring16 = _ring16_ok(model, Qp, Tp, meta.pop("maxpos", 0))
             meta_key = tuple(sorted(meta.items()))
             key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-                   bool(interpret), "mesh", id(mesh))
+                   bool(interpret), "mesh", id(mesh), ring16)
             fn = _CACHE.get(key)
             if fn is None:
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, mode, kinds, meta, names,
-                    interpret=interpret, stream=False, shard_mesh=mesh)
+                    interpret=interpret, stream=False, shard_mesh=mesh,
+                    ring16=ring16)
             res = fn(tuple(jnp.asarray(a) for a in flat))
             res = {k: np.asarray(v) for k, v in res.items()}
             zeros = np.zeros(len(per_pair), np.int32)
@@ -1230,14 +1270,15 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
             arrays, meta = pack_batched_inputs(model, per_pair, kinds,
                                                Qp, Tp)
             flat, names = _flatten(arrays)
+            ring16 = _ring16_ok(model, Qp, Tp, meta.pop("maxpos", 0))
             meta_key = tuple(sorted(meta.items()))
             key = (id(model), Qp, Tp, "path", kinds, meta_key, names,
-                   bool(interpret), False)
+                   bool(interpret), False, ring16)
             fn = _CACHE.get(key)
             if fn is None:
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, "path", kinds, meta, names,
-                    interpret=interpret, stream=False)
+                    interpret=interpret, stream=False, ring16=ring16)
             res = fn(_put_cached(flat))
             cap = n_steps + 256
             wkey = (id(model), B, cap, "walk")

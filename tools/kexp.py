@@ -51,12 +51,18 @@ def main():
     dev = wf._put(tuple(jnp.asarray(a) for a in flat))
     cells = region.query_length * region.target_length
 
-    def run(tag, ablate="", g=None, reps=4, m=None, stream=False):
+    ring16 = pw._ring16_ok(model, Qp, Tp, meta.get("maxpos", 0))
+    print(f"ring16 gate: {ring16}")
+
+    def run(tag, ablate="", g=None, reps=4, m=None, stream=False,
+            r16=None):
         os.environ["EXONERATE_TPU_KERNEL_ABLATE"] = ablate
         if g is not None:
             os.environ["EXONERATE_TPU_KERNEL_G"] = str(g)
         fn = pw.build_pallas_wavefront(model, Qp, Tp, m or mode, kinds,
-                                       meta, names, stream=stream)
+                                       meta, names, stream=stream,
+                                       ring16=ring16 if r16 is None
+                                       else r16)
         t0 = time.perf_counter()
         r = fn(dev)
         s = np.asarray(r["score"])
@@ -87,6 +93,8 @@ def main():
             run(v, "", g=g, stream=True)
         elif ab == "score":
             run(v, "", g=g, m="score")
+        elif ab == "ring32":
+            run(v, "", g=g, r16=False)
         else:
             run(v, ab, g=g)
 
