@@ -37,6 +37,10 @@ def enable_compilation_cache():
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # locus workloads generate many ~2-5 s traces (bucket shapes x
+        # batch sizes x masked variants); a 5 s floor excluded nearly
+        # all of them from the cache, recompiling every run
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.2)
     except Exception:
         pass

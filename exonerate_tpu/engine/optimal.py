@@ -54,18 +54,34 @@ def _native_res(model: Model, region: Region, data, mode, subopt):
 
 
 # up to this many cells the native dense DP beats device dispatch
-# (per-call tunnel latency + compile amortize only at larger sizes)
+# when no accelerator is attached
 NATIVE_DIRECT_CELLS = int(os.environ.get(
     "EXONERATE_TPU_NATIVE_CELLS", 16_000_000))
 
+# with a TPU attached, the native engine (~3 MCUPS dense) only beats the
+# fused kernel (+~150 ms dispatch latency) below ~1M cells
+NATIVE_TPU_CELLS = int(os.environ.get(
+    "EXONERATE_TPU_NATIVE_CELLS_TPU", 1_000_000))
 
-def _prefer_native(region: Region) -> bool:
-    return ((region.query_length + 1) * (region.target_length + 1)
-            <= NATIVE_DIRECT_CELLS)
+
+def _prefer_native(region: Region, masked: bool = False) -> bool:
+    cells = ((region.query_length + 1) * (region.target_length + 1))
+    if cells <= NATIVE_TPU_CELLS:
+        return True
+    if _use_pallas_prescan() and not masked:
+        # a TPU is attached and the job is mask-free: the fused kernel
+        # (+~150 ms dispatch) beats the ~3 MCUPS native dense DP above
+        # ~1M cells.  Masked Waterman-Eggert re-runs stay native: each
+        # arrives as a lone call whose skewed-mask kernel variant would
+        # compile per bucket shape (batching them is future work).
+        return False
+    return cells <= NATIVE_DIRECT_CELLS
 
 
 def find_score(model: Model, region: Region, data, subopt=None) -> int:
-    if _prefer_native(region) or not _use_pallas_prescan():
+    masked = subopt is not None and bool(subopt.points)
+    if _prefer_native(region, masked=masked) \
+            or not _use_pallas_prescan():
         res = _native_res(model, region, data, "score", subopt)
         if res is not None:
             return res.score
@@ -90,7 +106,8 @@ def find_path(model: Model, region: Region, data, subopt=None,
               threshold: Optional[int] = None,
               device=None) -> Optional[Alignment]:
     """(ref: Optimal_find_path, optimal.c): region scan then path DP."""
-    if _prefer_native(region):
+    masked = subopt is not None and bool(subopt.points)
+    if _prefer_native(region, masked=masked):
         tb_bytes = ((region.query_length + 1)
                     * (region.target_length + 1)
                     * len(model.states) * 2)

@@ -59,8 +59,11 @@ def _supported(kinds: tuple) -> bool:
 
 
 # HBM budget for the device-built skewed SubOpt mask plane; masked jobs
-# over this fall back to the XLA engine
-BLOCKED_SKEW_BYTES = 512 << 20
+# over this fall back to the XLA engine.  The plane is transient (built,
+# streamed one diagonal block per grid step, freed) and HBM is 16 GB on
+# v5e — the old 512 MB cap pushed whole locus batches onto the ~25 s/call
+# XLA detour
+BLOCKED_SKEW_BYTES = 4 << 30
 
 
 def _shadows_supported(model, inputs: dict) -> bool:
@@ -170,7 +173,18 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             remap = np.zeros(ncls, np.int32)
             for newc, c in enumerate(union):
                 remap[c] = newc
-            meta[key] = len(union)
+            # bucket the class count so batches with/without e.g. N
+            # share one trace (each distinct C retraces the kernel's
+            # C-way select chain); padded classes select nothing
+            C = len(union)
+            for rung in (5, 8, 12, 16, 20, 25):
+                if C <= rung:
+                    C = rung
+                    break
+            C = min(C, ncls)
+            while len(union) < C:
+                union.append(union[-1] if union else 0)
+            meta[key] = C
             # one (B, QV) plane per class: a lane-minor (B, QV, C)
             # array would force a relayout on every in-kernel slice
             P = np.stack(
@@ -964,6 +978,16 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             + (["query_start", "target_start"] if want_region else [])
             + (["tb"] if want_path else []))
 
+    # stack the per-pair outputs into ONE (n_best, B) array inside the
+    # jit: through a TPU tunnel every fetched array costs a full
+    # round-trip (~0.2 s), so per-call results must cross as one value
+    # (the tb cube stays device-resident for the on-device walk-back)
+    def _stacked(vals):
+        d = dict(zip(keys, vals))
+        stats = jnp.stack([d[k] for k in keys if k != "tb"])
+        return ({"out": stats, "tb": d["tb"]} if want_path
+                else {"out": stats})
+
     if shard_mesh is not None:
         from jax.sharding import PartitionSpec as P
         axes = tuple(shard_mesh.shape.keys())
@@ -977,12 +1001,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
         @jax.jit
         def fn(flat_arrays):
-            return dict(zip(keys, smapped(*flat_arrays)))
+            return _stacked(smapped(*flat_arrays))
     else:
         @jax.jit
         def fn(flat_arrays):
-            return dict(zip(keys, core(*flat_arrays)))
+            return _stacked(core(*flat_arrays))
 
+    fn.out_keys = [k for k in keys if k != "tb"]
     return fn
 
 
@@ -1044,15 +1069,21 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
     """Pallas-fused batched wavefront over (region, data) jobs.  Returns
     a list of DPResult.  SubOpt masks run in-kernel (device-built skewed
     plane); falls back to the XLA engine when a job needs unsupported
-    input kinds (2-D grids) or the mask plane is over budget."""
+    input kinds (2-D grids) or the mask plane is over budget.  ``subopt``
+    may be a single mask or a per-job list (the pooled locus scheduler
+    batches jobs from different comparisons, each with its own mask)."""
     from .wavefront import DPResult, find_region_batched
     out = [None] * len(jobs)
+
+    def _sub(n):
+        return subopt[n] if isinstance(subopt, (list, tuple)) else subopt
+
     buckets: dict = {}
     for n, (region, data) in enumerate(jobs):
         Qp = wf._bucket(region.query_length)
         Tp = wf._bucket(region.target_length)
         inputs, kinds = wf.prepare_inputs(model, region, data,
-                                          subopt=subopt,
+                                          subopt=_sub(n),
                                           pad_to=(Qp, Tp),
                                           for_pallas=True)
         buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
@@ -1062,10 +1093,14 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
         if not _supported(kinds) \
                 or not _shadows_supported(model, items[0][1]) \
                 or skew_bytes > BLOCKED_SKEW_BYTES:
-            res = find_region_batched(model, [jobs[n] for n, _ in items],
-                                      subopt=subopt)
-            for (n, _), r in zip(items, res):
-                out[n] = r
+            groups: dict = {}
+            for n, _ in items:
+                groups.setdefault(id(_sub(n)), []).append(n)
+            for ns in groups.values():
+                res = find_region_batched(model, [jobs[n] for n in ns],
+                                          subopt=_sub(ns[0]))
+                for n, r in zip(ns, res):
+                    out[n] = r
             continue
         cap = max_batch(model, Qp, mode)
         for chunk, per_pair in _chunk_pow2(items, cap):
@@ -1091,8 +1126,8 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                     model, Qp, Tp, mode, kinds, meta, names,
                     interpret=interpret, stream=use_stream,
                     ring16=ring16)
-            res = fn(_put_cached(flat))
-            res = {k: np.asarray(v) for k, v in res.items()}
+            stats = np.asarray(fn(_put_cached(flat))["out"])
+            res = dict(zip(fn.out_keys, stats))   # one fetch per call
             zeros = np.zeros(len(per_pair), np.int32)
             for b, (n, _) in enumerate(chunk):
                 out[n] = DPResult(
@@ -1149,8 +1184,9 @@ def find_batched_sharded(model: Model, jobs: list, mesh,
                     model, Qp, Tp, mode, kinds, meta, names,
                     interpret=interpret, stream=False, shard_mesh=mesh,
                     ring16=ring16)
-            res = fn(tuple(jnp.asarray(a) for a in flat))
-            res = {k: np.asarray(v) for k, v in res.items()}
+            stats = np.asarray(
+                fn(tuple(jnp.asarray(a) for a in flat))["out"])
+            res = dict(zip(fn.out_keys, stats))
             zeros = np.zeros(len(per_pair), np.int32)
             for b, (n, _) in enumerate(chunk):
                 out[n] = DPResult(
@@ -1221,8 +1257,12 @@ def _build_walkback(model: Model, B: int, cap: int):
 
     @jax.jit
     def walk(tb, qe, te):
-        return jax.vmap(walk_one, in_axes=(None, 0, 0, 0))(
+        ops, k, i, j = jax.vmap(walk_one, in_axes=(None, 0, 0, 0))(
             tb, qe, te, jnp.arange(B, dtype=jnp.int32))
+        # one packed (B, cap+3) array so the host fetch is one
+        # tunnel round-trip
+        return jnp.concatenate(
+            [ops, k[:, None], i[:, None], j[:, None]], axis=1)
 
     return walk
 
@@ -1238,10 +1278,11 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
     out = [None] * len(jobs)
     buckets: dict = {}
     for n, (region, data) in enumerate(jobs):
+        sub = subopt[n] if isinstance(subopt, (list, tuple)) else subopt
         Qp = wf._bucket(region.query_length)
         Tp = wf._bucket(region.target_length)
         inputs, kinds = wf.prepare_inputs(model, region, data,
-                                          subopt=subopt,
+                                          subopt=sub,
                                           pad_to=(Qp, Tp),
                                           for_pallas=True)
         buckets.setdefault((Qp, Tp, kinds), []).append((n, inputs))
@@ -1280,19 +1321,21 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
                     model, Qp, Tp, "path", kinds, meta, names,
                     interpret=interpret, stream=False, ring16=ring16)
             res = fn(_put_cached(flat))
+            stats_dev = res["out"]       # (3, B): score, qe, te
             cap = n_steps + 256
             wkey = (id(model), B, cap, "walk")
             walk = _CACHE.get(wkey)
             if walk is None:
                 walk = _CACHE[wkey] = _build_walkback(model, B, cap)
-            ops, n_ops, qs, ts = walk(res["tb"], res["query_end"],
-                                      res["target_end"])
-            ops = np.asarray(ops)
-            n_ops = np.asarray(n_ops)
-            qs, ts = np.asarray(qs), np.asarray(ts)
-            score = np.asarray(res["score"])
-            qe = np.asarray(res["query_end"])
-            te = np.asarray(res["target_end"])
+            # two fetches per call total: the packed walk result and
+            # the stacked stats (each fetch is a tunnel round-trip)
+            packed = np.asarray(walk(res["tb"], stats_dev[1],
+                                     stats_dev[2]))
+            ops = packed[:, :cap]
+            n_ops, qs, ts = packed[:, cap], packed[:, cap + 1], \
+                packed[:, cap + 2]
+            stats = np.asarray(stats_dev)
+            score, qe, te = stats[0], stats[1], stats[2]
             for b, (n, _) in enumerate(chunk):
                 k = int(n_ops[b])
                 if k >= cap:    # walk cap hit: caller falls back

@@ -108,6 +108,7 @@ class Analysis:
         self.gam.geneseed_threshold = self.hsp_args.geneseed_threshold
         self._pool = None
         self._pending = None
+        self._locus_pending: list = []
         if self.aas.cores > 1:
             import jax
             self.gam.devices = jax.devices()[:self.aas.cores]
@@ -194,6 +195,7 @@ class Analysis:
             self._drain(block=True)
             while self._pending:
                 self.gam.submit(self._pending.popleft().result())
+        self._flush_locus_pool()
         self.gam.report()
 
     def _process_bigseq(self):
@@ -377,8 +379,20 @@ class Analysis:
                 and comparison.target.strand != "-"
                 and not self.translate_both):
             self._comparison_revcomp(comparison)
-        fn = (self.gam.result_heuristic
-              if registry.is_gapped(self.gas.model_type)
+        import os
+        gapped = registry.is_gapped(self.gas.model_type)
+        if gapped and self._pool is None \
+                and self.gas.use_gapped_extension \
+                and os.environ.get("EXONERATE_TPU_HEURISTIC") == "locus":
+            from ..engine import optimal
+            if optimal._use_pallas_prescan():
+                # pooled locus mode: defer so every comparison's loci
+                # share each generation's kernel batches; flushed by
+                # _flush_locus_pool at the end of the scan (same
+                # comparison completion order -> same output bytes)
+                self._locus_pending.append(comparison)
+                return
+        fn = (self.gam.result_heuristic if gapped
               else self.gam.result_ungapped)
         if self._pool is not None:
             self._pending.append(self._pool.submit(fn, comparison))
@@ -386,6 +400,13 @@ class Analysis:
                         >= self.aas.cores * 4)
         else:
             self.gam.submit(fn(comparison))
+
+    def _flush_locus_pool(self):
+        if not self._locus_pending:
+            return
+        pending, self._locus_pending = self._locus_pending, []
+        for results in self.gam.result_heuristic_pooled(pending):
+            self.gam.submit(results)
 
     def _drain(self, block: bool = False):
         """Submit finished comparison results in order."""

@@ -262,6 +262,14 @@ class GAM:
         if self.model.is_local:
             threshold = max(threshold, 1)
         subopt = SubOpt() if self.gas.use_subopt else None
+        # on TPU (and without --cores device round-robin), run the
+        # generation-based batched Waterman-Eggert: every live locus's
+        # masked scan + path DP per generation in single kernel batches
+        if regions and optimal._use_pallas_prescan() \
+                and not self.devices:
+            return self._locus_pool_run([dict(data=data, query=query,
+                                              regions=regions,
+                                              subopt=subopt)])[0]
         # on TPU, pre-scan ALL cluster regions in one fused-kernel batch
         # and drop sub-threshold loci before any path DP (the batched
         # analogue of the reference's per-job SDP start/end scheduling,
@@ -335,6 +343,133 @@ class GAM:
                     break
         out.sort(key=lambda ad: -ad[0].score)
         return out
+
+    def _locus_group(self, comparison: Comparison) -> Optional[dict]:
+        """Locus jobs for one comparison: clustered + geneseed-filtered
+        cluster regions, a fresh per-comparison SubOpt, and the data
+        bundle (the prologue of the locus heuristic)."""
+        from ..engine.subopt import SubOpt
+        from .heuristic import cluster_hsps, cluster_regions
+        if not comparison.has_hsps:
+            return None
+        query, target = comparison.query, comparison.target
+        data = self.make_data(query, target)
+        genomic = has_genomic_target(self.gas.model_type)
+        t_join = (data.intron.max_intron if genomic
+                  else max(data.ner.max_ner, 10000))
+        clusters = cluster_hsps(comparison, t_join, 10000)
+        if self.geneseed_threshold:
+            clusters = [c for c in clusters
+                        if c.score >= self.geneseed_threshold]
+        regions = cluster_regions(comparison, clusters,
+                                  target_margin=1000, query_margin=1000)
+        if not regions:
+            return None
+        return dict(data=data, query=query, regions=regions,
+                    subopt=SubOpt() if self.gas.use_subopt else None)
+
+    def result_heuristic_pooled(self, comparisons: list
+                                ) -> list[list]:
+        """Locus heuristic over MANY comparisons at once: all loci of
+        all pending comparisons share each generation's kernel batches
+        (the analysis layer defers locus-mode comparisons and flushes
+        them through here so batch sizes reflect the whole scan, not
+        one query)."""
+        outs_all: list[list] = [[] for _ in comparisons]
+        groups, idx = [], []
+        for ci, comparison in enumerate(comparisons):
+            grp = self._locus_group(comparison)
+            if grp is not None:
+                groups.append(grp)
+                idx.append(ci)
+        if groups:
+            for ci, o in zip(idx, self._locus_pool_run(groups)):
+                outs_all[ci] = o
+        return outs_all
+
+    def _locus_pool_run(self, groups: list) -> list[list]:
+        """Generation-based batched Waterman-Eggert over every locus of
+        every group: each generation runs ONE masked region-scan batch
+        and ONE masked path-DP batch.  Masks are per-pair DATA (packed
+        bit planes skewed on device), so a single compiled kernel per
+        bucket shape serves all loci, comparisons, and generations —
+        per-locus sequential subopt loops paid a kernel variant (or a
+        ~25 s XLA detour) per lone call instead.  Each comparison keeps
+        its own SubOpt; a comparison stops (reference stop rule, ref:
+        GAM_Result_is_full, gam.c:779-793) when bestn is reached and
+        the score strictly dropped."""
+        from ..engine import optimal, pallas_wavefront
+        outs: list[list] = [[] for _ in groups]
+
+        def full(g: int) -> bool:
+            o = outs[g]
+            return bool(self.gas.best_n and len(o) >= self.gas.best_n
+                        and len(o) > 1
+                        and o[-2][0].score != o[-1][0].score)
+
+        def thr(g: int) -> int:
+            t = self.query_threshold(groups[g]["query"],
+                                     groups[g]["data"])
+            return max(t, 1) if self.model.is_local else t
+
+        live = [(g, r) for g, grp in enumerate(groups)
+                for r in grp["regions"]]
+        gen = 0
+        while live and gen < 256:       # runaway guard
+            jobs = [(r, groups[g]["data"]) for g, r in live]
+            subs = [groups[g]["subopt"] for g, _r in live]
+            mesh = self._scan_mesh()
+            if gen == 0 and mesh is not None \
+                    and len(jobs) >= len(mesh.devices):
+                # pod-scale pair scheduler for the mask-free first scan
+                scans = pallas_wavefront.find_batched_sharded(
+                    self.model, jobs, mesh, "region",
+                    interpret=optimal._PRESCAN_INTERPRET)
+            else:
+                scans = pallas_wavefront.find_batched(
+                    self.model, jobs, "region", subopt=subs,
+                    interpret=optimal._PRESCAN_INTERPRET)
+            kept, boxes = [], []
+            for (g, r), scan in zip(live, scans):
+                if full(g) or scan.score < thr(g):
+                    continue
+                kept.append((g, r))
+                boxes.append(Region(r.query_start + scan.query_start,
+                                    r.target_start + scan.target_start,
+                                    scan.query_end - scan.query_start,
+                                    scan.target_end - scan.target_start))
+            if not kept:
+                break
+            paths = pallas_wavefront.find_path_batched(
+                self.model,
+                [(b, groups[g]["data"]) for (g, _r), b in zip(kept,
+                                                              boxes)],
+                subopt=[groups[g]["subopt"] for g, _r in kept],
+                interpret=optimal._PRESCAN_INTERPRET)
+            live = []
+            for (g, r), box, res in zip(kept, boxes, paths):
+                if full(g):
+                    continue
+                grp = groups[g]
+                if res is not None:
+                    alignment = optimal._to_alignment(self.model, box,
+                                                      res)
+                else:   # kernel couldn't serve the job: lone fallback
+                    alignment = optimal.find_path(self.model, r,
+                                                  grp["data"],
+                                                  subopt=grp["subopt"])
+                if alignment is None or alignment.score < thr(g):
+                    continue
+                outs[g].append((alignment, grp["data"]))
+                if grp["subopt"] is None or not self.model.is_local:
+                    continue
+                grp["subopt"].add_alignment(alignment)
+                if not full(g):
+                    live.append((g, r))
+            gen += 1
+        for o in outs:
+            o.sort(key=lambda ad: -ad[0].score)
+        return outs
 
     def _find_portal(self, hspset):
         """First portal whose advances match the HSP class
