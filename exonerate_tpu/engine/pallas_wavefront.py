@@ -467,24 +467,34 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     # i in [max(0, d-Tp), min(d, Qp)], so a square pair wastes ~half the
     # full-width lanes in the opening/closing triangles.  Each grid step
     # picks the smallest static width from a x2 ladder that covers its
-    # diagonal window (plus a 128-lane front-pad frame so q-shifts read
-    # across the aligned window start); every i-axis plane and scratch
-    # row gets the 128-lane front pad (logical i lives at mem i + FO).
-    # Out-of-rectangle lanes need no extra masking: logical i < lo has
-    # j > Tp >= tlen, i > hi has j < 0 or i > qlen — cell_ok already
-    # rejects them (plus an i >= 0 guard for the i_base=0 phase).
-    # measured on v5e: score mode gains ~20% (1.37 -> 1.10 ms/pair at
-    # 2175^2), but region mode REGRESSES (1.61 -> 2.85) — the dynamic-
-    # start window accesses on its ~26 lane-plane loads/stores per
-    # diagonal cost more than the skipped triangle lanes — so the
-    # ladder is score-only
-    windowed = (mode == "score" and not has_blocked
-                and not stream and QV >= 512
-                and os.environ.get("EXONERATE_TPU_KERNEL_LADDER",
-                                   "1") != "0")
-    FO = 128 if windowed else 0
+    # diagonal window.  Out-of-rectangle lanes need no extra masking:
+    # logical i < lo has j > Tp >= tlen, i > hi has j < 0 or i > qlen —
+    # cell_ok already rejects them (stale ring lanes beyond an earlier
+    # diagonal's narrower window are likewise always masked: such a
+    # source si exceeds min(d-adv, Qp), which forces sj < 0).
+    # Two flavours, measured on v5e at 2175^2:
+    # - "dyn" (score mode): windows anywhere via a 128-aligned dynamic
+    #   start + 128-lane front-pad frame (logical i at mem i + FO, an
+    #   i >= 0 guard for the i_base=0 phase); gains ~20% (1.37 -> 1.10
+    #   ms/pair).  With the region lanes' ~26 plane loads/stores per
+    #   diagonal the dynamic starts cost more than the skipped triangle
+    #   lanes (1.61 -> 2.85) — so dyn is score-only.
+    # - "static" (region/path modes): narrow windows only while the
+    #   window START is provably 0 (the whole opening phase d <= Tp —
+    #   half the diagonals of a square pair); those steps slice every
+    #   plane with STATIC starts, so the lane savings come free.  The
+    #   closing triangle runs full width.
+    env_ladder = os.environ.get("EXONERATE_TPU_KERNEL_LADDER", "1")
+    ladder = None
+    if not has_blocked and not stream and QV >= 512 and env_ladder != "0":
+        if mode == "score":
+            ladder = "dyn"
+        elif env_ladder != "dyn-only":
+            ladder = "static"
+    windowed = ladder is not None
+    FO = 128 if ladder == "dyn" else 0
     LDIM = QV + FO
-    if windowed:
+    if ladder == "dyn":
         wlast = min(-(-(min(Qp, Tp + G - 1) + 257) // 128) * 128, LDIM)
         WS = []
         w_ = 512
@@ -492,6 +502,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             WS.append(w_)
             w_ *= 2
         WS.append(wlast)
+    elif ladder == "static":
+        WS = []
+        w_ = 512
+        while w_ < LDIM:
+            WS.append(w_)
+            w_ *= 2
+        WS.append(LDIM)
     else:
         WS = [QV]
 
@@ -546,6 +563,22 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
 
         if not windowed:
             _step(QV, 0)
+        elif ladder == "static":
+            d0 = pid * G
+            hi_u = jnp.minimum(d0 + (G - 1), Qp)
+            opening = d0 <= Tp          # window start provably 0
+            needed = hi_u + 1
+            prev_w = 0
+            for wlad in WS:
+                if wlad == LDIM:
+                    cond = ~opening | (needed > prev_w)
+                else:
+                    cond = opening & (needed > prev_w) & (needed <= wlad)
+                prev_w = wlad
+
+                @pl.when(cond)
+                def _run(wlad=wlad):
+                    _step(wlad, 0)
         else:
             d0 = pid * G
             hi_u = jnp.minimum(d0 + (G - 1), Qp)
@@ -616,7 +649,7 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         qstart = in_refs["_qstart"][...]
         tstart = in_refs["_tstart"][...]
         cell_ok = (j >= 0) & (j <= tlen) & (i <= qlen)
-        if windowed:
+        if FO:       # dyn ladder only: logical i < 0 in the front pad
             cell_ok = cell_ok & (i >= 0)
         # SubOpt mask at the DESTINATION cell (ref: viterbi.c:701-704);
         # the skewed plane block for this diagonal arrives pipelined
@@ -834,8 +867,15 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                         continue
                     part = tb_c[s] if k4 == 0 else (tb_c[s] << (8 * k4))
                     word = part if word is None else (word | part)
-                tb_ref[0, pi * B:(pi + 1) * B, :] = \
-                    word if word is not None else zero_plane
+                word = word if word is not None else zero_plane
+                if windowed:
+                    # unwritten lanes beyond the window hold stale HBM
+                    # bytes; the walk-back only visits valid cells,
+                    # which the window always covers
+                    tb_ref[0, pi * B:(pi + 1) * B, pl.ds(i_base, wl)] = \
+                        word
+                else:
+                    tb_ref[0, pi * B:(pi + 1) * B, :] = word
 
         # end-cell registration: per-LANE running best (score, j[, qs,
         # ts]) planes — replacing the per-diagonal cross-lane argmax with

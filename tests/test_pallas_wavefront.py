@@ -279,3 +279,29 @@ def test_locus_scan_mesh_scheduler(monkeypatch, tmp_path):
     # the locus kernel path enumerates suboptimals differently from the
     # byte-parity SDP, but every locus' top alignment must agree
     assert scores(got)[:9] == scores(want)[:9]
+
+
+def test_static_ladder_region_and_path_parity():
+    """Qp bucket 512 -> QV 640 turns the static opening ladder ON for
+    region/path modes: opening-phase diagonals run in narrow static
+    windows (w=512), the closing triangle full-width.  Parity vs the
+    XLA engine across both branch kinds, including the windowed tb
+    stores in path mode."""
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    region = Region(0, 0, 400, 520)
+    ref = wavefront.find_region_batched(model, [(region, data)])
+    got = pallas_wavefront.find_batched(model, [(region, data)],
+                                        "region", interpret=True)
+    assert ref == got
+    g = pallas_wavefront.find_path_batched(model, [(region, data)],
+                                           interpret=True)[0]
+    refp = wavefront.find_path(model, region, data)
+    assert g is not None
+    assert (g.score, g.query_start, g.target_start,
+            g.query_end, g.target_end) == \
+        (refp.score, refp.query_start, refp.target_start,
+         refp.query_end, refp.target_end)
+    assert [t.name for t in g.path] == [t.name for t in refp.path]
