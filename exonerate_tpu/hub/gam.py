@@ -592,9 +592,12 @@ class GAM:
         if better >= n:
             return
         self._order += 1
+        # bestn tmpfile path renders with result_id=0 (ref: gam.c:178-181:
+        # GAM_display_alignment(..., 0, -1, ...)), so GFF gene_id /
+        # alignment_id are 0 under --bestn
         store.append(_Stored(alignment.score,
                              self._render(alignment, data, rank=None,
-                                          result_id=result_id),
+                                          result_id=0),
                              self._order))
         # evict: keep only entries with fewer than n strictly better
         scores = sorted((s.score for s in store), reverse=True)

@@ -39,7 +39,8 @@ class Sequence:
     """
 
     __slots__ = ("id", "definition", "_data", "_loader", "_length",
-                 "alphabet", "strand", "annotation", "head_id")
+                 "alphabet", "strand", "annotation", "head_id",
+                 "_revcomp_of")
 
     def __init__(self, sid: str, definition: Optional[str],
                  data: np.ndarray | str | bytes,
@@ -59,6 +60,7 @@ class Sequence:
         self.strand = strand  # '+', '-', '.'
         self.annotation = annotation
         self.head_id = sid  # original id before view transforms
+        self._revcomp_of = None
 
     @classmethod
     def create_lazy(cls, sid: str, definition: Optional[str], length: int,
@@ -79,6 +81,7 @@ class Sequence:
         self.strand = strand
         self.annotation = None
         self.head_id = sid
+        self._revcomp_of = None
         return self
 
     @property
@@ -120,12 +123,23 @@ class Sequence:
         s.head_id = self.head_id
         return s
 
+    def _revcomp_definition(self) -> str:
+        """Reference appends ':[revcomp]' to the definition (or creates a
+        bare '[revcomp]' when there is none)
+        (ref: src/sequence/sequence.c:397-409 Sequence_revcomp)."""
+        if self.definition:
+            return f"{self.definition}:[revcomp]"
+        return "[revcomp]"
+
     def revcomp_lazy(self) -> "Sequence":
         """Reverse-complement view of an EXTMEM sequence: windows are
         complemented on read, nothing is materialized (the reference
         layers Sequence_revcomp over extmem the same way)."""
         if self._data is not None:
             return self.revcomp()
+        if self._revcomp_of is not None:
+            # revcomp(revcomp(s)) unwraps (ref: sequence.c:399-401)
+            return self._revcomp_of
         n = self._length
         loader = self._loader
 
@@ -134,21 +148,28 @@ class Sequence:
             return COMPLEMENT[np.asarray(raw, dtype=np.uint8)[::-1]]
 
         strand = {"+": "-", "-": "+"}.get(self.strand, "-")
-        s = Sequence.create_lazy(self.id, self.definition, n, rc_loader,
-                                 self.alphabet, strand)
+        s = Sequence.create_lazy(self.id, self._revcomp_definition(), n,
+                                 rc_loader, self.alphabet, strand)
         s.head_id = self.head_id
+        s._revcomp_of = self
         return s
 
     def revcomp(self) -> "Sequence":
         assert self.alphabet.type != AlphabetType.PROTEIN
+        if self._revcomp_of is not None:
+            # revcomp(revcomp(s)) returns the shared original
+            # (ref: sequence.c:399-401)
+            return self._revcomp_of
         strand = {"+": "-", "-": "+"}.get(self.strand, "-")
         ann = self.annotation
         if ann is not None:
             ann = Annotation(len(self.data) - ann.cds_start - ann.cds_length,
                              ann.cds_length, "-" if ann.strand == "+" else "+")
-        s = Sequence(self.id, self.definition, COMPLEMENT[self.data[::-1]],
+        s = Sequence(self.id, self._revcomp_definition(),
+                     COMPLEMENT[self.data[::-1]],
                      self.alphabet, strand, ann)
         s.head_id = self.head_id
+        s._revcomp_of = self
         return s
 
     def upper(self) -> "Sequence":

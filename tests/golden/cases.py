@@ -357,6 +357,16 @@ CASES = [
     ("util_fastavalidcds", "fastavalidcds", [_calm_dna]),
     ("util_fastaannotatecdna", "fastaannotatecdna",
      [_calm_dna, _calm_prot]),
+    # round-2 parity locks (VERDICT weak #1/#2): exhaustive display with a
+    # revcomp'd (minus-strand) block must show the `:[revcomp]` definition
+    # suffix (ref: sequence.c:407-409), and bestn GFF must carry
+    # gene_id/alignment_id 0 from the tmpfile render (ref: gam.c:178-181)
+    ("c2c_exhaustive_revcomp_display", "exonerate",
+     ["-m", "coding2coding", "-E", "yes", "--bestn", "2", _short1, _short2,
+      "--showalignment", "yes"] + _VULG),
+    ("e2g_gff_bestn_refine", "exonerate",
+     ["-m", "est2genome", "--showtargetgff", "yes", "--refine", "region",
+      "--bestn", "1", _cdna_mut, _genome] + _VULG + _NOAL),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
