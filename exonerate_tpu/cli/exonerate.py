@@ -394,10 +394,13 @@ def make_analysis(v: dict, out=None) -> Analysis:
 
 def main(argv=None, out=None):
     from .. import enable_compilation_cache
+    from .. import observe
     enable_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     parser = build_parser()
     v = parser.parse(argv)
+    observe.set_verbosity(v["verbose"])
+    observe.reset()
     out = out or sys.stdout
     import socket
     out.write("Command line: [exonerate " + " ".join(argv) + "]\n")
@@ -409,6 +412,7 @@ def main(argv=None, out=None):
         analysis = make_analysis(v, out=out)
         analysis.process()
     out.write("-- completed exonerate analysis\n")
+    observe.report()
     return 0
 
 

@@ -692,5 +692,16 @@ def main(argv=None, out=None):
     return 0
 
 
+def entry():
+    """Console-script entry: the installed script's own name selects the
+    tool (the reference installs each fasta* utility as its own binary,
+    ref: src/util/Makefile.am)."""
+    import os
+    tool = os.path.basename(sys.argv[0])
+    if tool not in TOOLS:
+        return main()
+    return main([tool] + sys.argv[1:])
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -45,11 +45,17 @@ def _native_res(model: Model, region: Region, data, mode, subopt):
     if os.environ.get("EXONERATE_TPU_SDP") == "python":
         return None
     from . import sdp_native
+    from .. import observe
     try:
-        return sdp_native.run_viterbi(model, region, data, mode, subopt)
+        res = sdp_native.run_viterbi(model, region, data, mode, subopt)
+        if res is not None:
+            observe.count_engine("native")
+        return res
     except AssertionError:
         raise
-    except Exception:
+    except Exception as exc:
+        observe.count_fallback(
+            f"native->device: {type(exc).__name__} in dense Viterbi")
         return None
 
 
@@ -118,6 +124,8 @@ def find_path(model: Model, region: Region, data, subopt=None,
                     return None
                 return _to_alignment(model, region, res)
     if _is_small(region):
+        from .. import observe
+        observe.count_engine("oracle")
         res = reference.viterbi(model, region, data, "path", subopt)
         return _to_alignment(model, region, res)
     if _use_pallas_prescan():
@@ -163,7 +171,11 @@ def find_path(model: Model, region: Region, data, subopt=None,
             return _to_alignment(model, region, res)
     D = region.query_length + region.target_length + 1
     cube = D * (region.query_length + 1) * len(model.states)
+    from .. import observe
+    observe.count_engine("xla")
     if cube > DP_MEMORY_LIMIT:
+        observe.note(2, f"path DP checkpointed: tb cube {cube >> 20} MB "
+                        f"over --dpmemory {DP_MEMORY_LIMIT >> 20} MB")
         res = wavefront.find_path_checkpointed(
             model, region, data, subopt, budget_bytes=DP_MEMORY_LIMIT)
     else:

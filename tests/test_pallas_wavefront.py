@@ -182,6 +182,7 @@ def test_pallas_path_mode_affine():
     assert [t.name for t in got[0].path] == [t.name for t in ref.path]
 
 
+@pytest.mark.slow
 def test_pallas_blocked_mask_parity():
     """In-kernel SubOpt mask (device-built skewed plane) must match the
     XLA engine for both region and path modes across Waterman-Eggert
@@ -234,6 +235,7 @@ def test_sharded_wavefront_parity():
     assert got == ref
 
 
+@pytest.mark.slow
 def test_locus_scan_mesh_scheduler(monkeypatch, tmp_path):
     """The GAM locus path routes its batch prescan through the mesh
     scheduler when multiple devices are attached; output must match

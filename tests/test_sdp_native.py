@@ -63,11 +63,12 @@ NOAL = ["--showalignment", "no", "--showvulgar", "yes"]
                         f"{FIX}/genome.fa"]),
     ("coding2genome", ["-m", "coding2genome", f"{FIX}/cdna_mut.fa",
                        f"{FIX}/genome.fa"]),
-    ("cdna2genome", ["-m", "cdna2genome", "--annotation",
-                     f"{FIX}/annot.txt", f"{FIX}/cdna_mut.fa",
-                     f"{FIX}/genome.fa"]),
-    ("genome2genome", ["-m", "genome2genome", f"{FIX}/cdna_mut.fa",
-                       f"{FIX}/genome.fa"]),
+    pytest.param("cdna2genome", ["-m", "cdna2genome", "--annotation",
+                 f"{FIX}/annot.txt", f"{FIX}/cdna_mut.fa",
+                 f"{FIX}/genome.fa"], marks=pytest.mark.slow),
+    pytest.param("genome2genome", ["-m", "genome2genome",
+                 f"{FIX}/cdna_mut.fa", f"{FIX}/genome.fa"],
+                 marks=pytest.mark.slow),
     ("ner", ["-m", "ner", f"{FIX}/ner1.fa", f"{FIX}/ner2.fa"]),
 ])
 def test_native_matches_python(name, args):
@@ -75,6 +76,7 @@ def test_native_matches_python(name, args):
     assert py == nat, f"{name}: native SDP diverges from oracle"
 
 
+@pytest.mark.slow
 def test_wordhood_native_matches_python():
     from exonerate_tpu import native
     rng = np.random.default_rng(7)
