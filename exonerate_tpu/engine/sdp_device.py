@@ -285,7 +285,7 @@ def _unpack_bits(words, n):
 
 def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                use_boundary: bool, n_seed_pad: int, n_seg_pad: int,
-               dropoff: int):
+               dropoff: int, debug_planes: bool = False):
     """Trace the fused reverse+forward band scan.  Returns
     run(inputs) -> {'band_end': [n_seg_pad], 'live': bool scalar,
     'start_scores': [n_seed_pad] (non-boundary only)}."""
@@ -593,6 +593,8 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     jnp.where(ev_score > NEG, seg, n_seg_pad - 1)
                 ].max(ev_score)
                 ys = jnp.zeros((), jnp.uint32)
+                if debug_planes:
+                    ys = (ys, jnp.stack(sc))
             else:
                 if track_sid:
                     acc = dict(acc)
@@ -605,6 +607,8 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     flag |= sc[sp["state"]] > 0
                 flag &= cell_ok
                 ys = _pack_bits(flag, n_words)
+                if debug_planes:
+                    ys = (ys, jnp.stack(sc))
 
             diag = (tuple(sc), tuple(pm),
                     tuple(sd) if has_sid else (),
@@ -652,6 +656,8 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                   jnp.zeros((), bool), jnp.zeros((), bool))
         (prev, _sp, acc, live_r, _xb), ys = lax.scan(
             rev_step, carry0, (d_seq, dummy_inj), reverse=True)
+        if debug_planes:
+            ys, rev_planes = ys
 
         def fwd_step(carry, xs):
             d, inj = xs
@@ -660,11 +666,15 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
         inj_xs = ys if use_boundary else dummy_inj
         carry1 = (init_prev(False, n_sh > 0), init_span(n_sh > 0), acc,
                   jnp.zeros((), bool), jnp.zeros((), bool))
-        (prev, _sp, acc, live_f, xband), _ = lax.scan(
+        (prev, _sp, acc, live_f, xband), fys = lax.scan(
             fwd_step, carry1, (d_seq, inj_xs))
 
         out = {"band_end": acc["band_end"], "live": live_r | live_f,
                "xband": xband}
+        if debug_planes:
+            out["rev_planes"] = rev_planes
+            out["fwd_planes"] = fys[1]
+            out["boundary_bits"] = ys
         if track_sid:
             out["start_scores"] = acc["rev_start"]
         return out

@@ -71,13 +71,19 @@ def _run(mtname, q, t, hsp_list, qadv=1, tadv=1, margin=64, qt=DD):
             for s in pair.seeds[lc.seed_lo:lc.seed_hi]:
                 exp[lx] = max(exp[lx], s.max_end.score)
         got = out["band_end"][:len(plan.loci)]
-        assert np.array_equal(got, exp), (got, exp)
-        if not pair.use_boundary:
-            exp_start = np.array([s.max_start.score
-                                  for s in pair.seeds])
-            got_start = out["start_scores"][:len(pair.seeds)]
-            assert np.array_equal(got_start, exp_start), \
-                (got_start, exp_start)
+        if out["live"]:
+            # extension escaped the band margin: the production path
+            # falls back to the host engine; the device must still
+            # never OVERcount
+            assert np.all(got <= exp), (got, exp)
+        else:
+            assert np.array_equal(got, exp), (got, exp)
+            if not pair.use_boundary:
+                exp_start = np.array([s.max_start.score
+                                      for s in pair.seeds])
+                got_start = out["start_scores"][:len(pair.seeds)]
+                assert np.array_equal(got_start, exp_start), \
+                    (got_start, exp_start)
         return out
     finally:
         os.environ.pop("EXONERATE_TPU_SDP", None)
