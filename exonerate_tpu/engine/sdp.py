@@ -110,9 +110,10 @@ class _Terminal:
 
 class _Seed:
     __slots__ = ("seed_id", "hsp", "q_cobs", "t_cobs", "hsp_score",
-                 "max_start", "max_end")
+                 "max_start", "max_end", "t_extent")
 
-    def __init__(self, seed_id, hsp, q_cobs, t_cobs, hsp_score):
+    def __init__(self, seed_id, hsp, q_cobs, t_cobs, hsp_score,
+                 t_extent=None):
         self.seed_id = seed_id
         self.hsp = hsp
         self.q_cobs = q_cobs
@@ -120,6 +121,8 @@ class _Seed:
         self.hsp_score = hsp_score
         self.max_start = _Terminal()
         self.max_end = _Terminal()
+        # absolute target extent of the source HSP (band planning)
+        self.t_extent = t_extent
 
 
 def model_uses_boundary(model: Model) -> bool:
@@ -545,15 +548,24 @@ class SDPPair:
     """(ref: SDP_Pair, sdp.h:69-106)."""
 
     def __init__(self, model: Model, comparison, data, subopt,
-                 args: Optional[SdpArgs] = None):
+                 args: Optional[SdpArgs] = None, region=None,
+                 seeds_override=None):
+        """`region`/`seeds_override` restrict the pair to a target band
+        (the device-hybrid path re-runs winning bands host-side for
+        positions and tracebacks; calc grids materialize over the band
+        window while shadow/splice arithmetic stays absolute, so a
+        band-isolated run is byte-identical to the global one).
+        seeds_override: [(q_cobs, t_cobs_absolute, hsp_score, hsp)]
+        in global seed order."""
         self.model = model
         self.comparison = comparison
         self.data = data
         self.subopt = subopt
         self.args = args or SdpArgs()
         self.use_boundary = model_uses_boundary(model)
-        self.region = Region(0, 0, len(comparison.query),
-                             len(comparison.target))
+        self.region = region if region is not None else Region(
+            0, 0, len(comparison.query), len(comparison.target))
+        self._seeds_override = seeds_override
         # factored calcs (match grids) stay O(Q+T): score[i,j] =
         # table[q_idx[i], t_idx[j]] (+ q_add[i]) — materializing the
         # full Q*T match grid is prohibitive at genome scale
@@ -590,19 +602,27 @@ class SDPPair:
 
     # (ref: SDP_Pair_create_seed_list, sdp.c:439-494)
     def _make_seeds(self, comparison):
+        if self._seeds_override is not None:
+            t0 = self.region.target_start
+            return [_Seed(k, h, q_cobs, t_cobs - t0, hsp_score)
+                    for k, (q_cobs, t_cobs, hsp_score, h)
+                    in enumerate(self._seeds_override)]
         hsps = []
         for hs in comparison.hspsets():
             qadv = hs.qadv
             tadv = hs.tadv
             for h in hs.hsps:
                 hsps.append((h.target_start + h.cobs * tadv,
-                             h.query_start + h.cobs * qadv, h))
+                             h.query_start + h.cobs * qadv, h,
+                             (h.target_start,
+                              h.target_start + h.length * tadv)))
         hsps.sort(key=lambda x: (x[0], x[1]))
         seeds = []
         prev = None
-        for t_cobs, q_cobs, h in hsps:
+        for t_cobs, q_cobs, h, ext in hsps:
             if prev is None or prev != (t_cobs, q_cobs):
-                seeds.append(_Seed(len(seeds), h, q_cobs, t_cobs, h.score))
+                seeds.append(_Seed(len(seeds), h, q_cobs, t_cobs,
+                                   h.score, ext))
             prev = (t_cobs, q_cobs)
         return seeds
 

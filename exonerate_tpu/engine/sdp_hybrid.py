@@ -1,0 +1,224 @@
+"""Hybrid SDP driver: device scores + lazy host band re-runs.
+
+The default heuristic path on TPU: per comparison, the band-compressed
+device scan (sdp_device.py) computes every locus's best end score; the
+next_path stream then resolves only the loci that can actually report
+(score >= threshold, in best-first order) by re-running the host native
+scheduler restricted to that locus's target window — which yields exact
+positions and tracebacks at sparse-live-cell cost.  Device and host
+scores are cross-checked at every resolution; any disagreement (or an
+edge-liveness / cross-locus flag) raises HybridFallback, and the caller
+redoes the whole comparison on the host global path — GAM only submits a
+comparison's results after the full list is built, so a retry never
+double-emits (ref: GAM_Result_submit ordering, gam.c:1252-1275).
+
+Byte parity therefore never depends on the device: the kernel is an
+accelerator with an exactness proof per run (liveness-clean + score
+agreement), not an approximation.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import observe
+from ..align.alignment import Alignment
+from ..model.ir import Model
+from .region import Region
+from .sdp import NEG, SDPPair, SdpArgs, model_uses_boundary
+from . import sdp_bands, sdp_device
+
+# margin of dense band around seed extents; extension escaping it trips
+# edge liveness and falls back to the host engine
+BAND_MARGIN = 1024
+
+
+class HybridFallback(Exception):
+    """Device result unusable for this comparison; redo on host."""
+
+
+def eligible(model: Model, args: SdpArgs, subopt) -> bool:
+    """single-pass, empty subopt at pass time, device-expressible model
+    (the passes run exactly once per comparison in single-pass mode, so
+    a non-empty SubOpt can never reach them; guard anyway)."""
+    if not args.single_pass:
+        return False
+    if subopt is not None and getattr(subopt, "points", None):
+        return False
+    return sdp_device.supported(model)
+
+
+class HybridSDPPair:
+    """Drop-in replacement for SDPPair.next_path on the device path."""
+
+    def __init__(self, model: Model, comparison, data, subopt,
+                 args: Optional[SdpArgs] = None,
+                 device_out=None, plan=None, gpair=None):
+        self.model = model
+        self.comparison = comparison
+        self.data = data
+        self.subopt = subopt
+        self.args = args or SdpArgs()
+        # the global pair provides seeds, grids and the fallback path
+        self.gpair = gpair if gpair is not None else SDPPair(
+            model, comparison, data, subopt, self.args)
+        self.plan = plan
+        self.device_out = device_out
+        self._locus_scores = None
+        self._resolved: dict[int, SDPPair] = {}
+        self._order: list = None     # [(score, seed_global_ix, locus)]
+        self._pos = 0
+        self._ran = False
+
+    # -- device pass ---------------------------------------------------
+
+    def _run_device(self):
+        pair = self.gpair
+        if not pair.seeds:
+            self._locus_scores = np.empty(0, np.int64)
+            self.plan = sdp_bands.BandPlan([], -1, np.empty(0, np.int64),
+                                           np.empty(0, np.int32),
+                                           np.empty(0, np.int64), [],
+                                           np.empty(0, np.int32))
+            return
+        if self.plan is None or self.device_out is None:
+            plan = make_plan(self.model, pair)
+            out = run_device(self.model, pair, plan)
+            self.plan, self.device_out = plan, out
+        out = self.device_out
+        if out["live"] or out["xband"]:
+            observe.count_fallback(
+                "sdp device->host: band edge liveness"
+                if out["live"] else "sdp device->host: cross-locus thaw")
+            raise HybridFallback()
+        self._locus_scores = np.asarray(
+            out["band_end"][:len(self.plan.loci)], np.int64)
+
+    # -- lazy locus resolution ------------------------------------------
+
+    def _resolve(self, lx: int) -> SDPPair:
+        bp = self._resolved.get(lx)
+        if bp is not None:
+            return bp
+        lc = self.plan.loci[lx]
+        pair = self.gpair
+        seeds = pair.seeds[lc.seed_lo:lc.seed_hi]
+        region = Region(0, lc.t0, pair.region.query_length,
+                        lc.t1 - lc.t0)
+        bp = SDPPair(self.model, self.comparison, self.data,
+                     self.subopt, self.args, region=region,
+                     seeds_override=[(s.q_cobs, s.t_cobs, s.hsp_score,
+                                      s.hsp) for s in seeds])
+        bp._find_starts()
+        bp._find_ends()
+        best = max((s.max_end.score for s in bp.seeds), default=NEG)
+        if best != int(self._locus_scores[lx]):
+            observe.count_fallback(
+                "sdp device->host: locus score mismatch "
+                f"({best} != {int(self._locus_scores[lx])})")
+            raise HybridFallback()
+        self._resolved[lx] = bp
+        return bp
+
+    def _locus_of_seed(self, global_ix: int) -> int:
+        for lx, lc in enumerate(self.plan.loci):
+            if lc.seed_lo <= global_ix < lc.seed_hi:
+                return lx
+        raise IndexError(global_ix)
+
+    def next_path(self, threshold: int) -> Optional[Alignment]:
+        """(ref: SDP_Pair_next_path single-pass walk, sdp.c:743-814)."""
+        if not self._ran:
+            self._run_device()
+            self._ran = True
+            self._emitted: set = set()
+        plan = self.plan
+        while True:
+            # resolve every locus that could still top the stream
+            # (device locus score >= best unemitted resolved seed and
+            # >= threshold)
+            best_seed = None   # (score, global_ix, locus SDPPair, seed)
+            for lx, bp in self._resolved.items():
+                lc = plan.loci[lx]
+                for k, s in enumerate(bp.seeds):
+                    gix = lc.seed_lo + k
+                    if gix in self._emitted:
+                        continue
+                    key = (-s.max_end.score, gix)
+                    if best_seed is None or key < best_seed[0]:
+                        best_seed = (key, gix, bp, s)
+            need = None
+            for lx in range(len(plan.loci)):
+                if lx in self._resolved:
+                    continue
+                sc = int(self._locus_scores[lx])
+                if sc < threshold:
+                    continue
+                if best_seed is None or sc >= -best_seed[0][0]:
+                    if need is None or sc > int(self._locus_scores[need]):
+                        need = lx
+            if need is not None:
+                self._resolve(need)
+                continue
+            if best_seed is None:
+                return None
+            _key, gix, bp, seed = best_seed
+            if seed.max_end.score < threshold:
+                # ordered walk stops at the first below-threshold seed
+                # (ref: sdp.c:796-800)
+                return None
+            self._emitted.add(gix)
+            alignment = bp._find_path(seed)
+            alignment = _shift_alignment(alignment, bp.region)
+            if self.gpair._overlaps(alignment):
+                continue
+            return alignment
+
+
+def _shift_alignment(a: Alignment, region: Region) -> Alignment:
+    """Band-local alignment -> absolute coordinates."""
+    if region.target_start == 0 and region.query_start == 0:
+        return a
+    shifted = Alignment(
+        a.model,
+        Region(a.region.query_start + region.query_start,
+               a.region.target_start + region.target_start,
+               a.region.query_length, a.region.target_length),
+        a.score)
+    shifted.ops = a.ops
+    return shifted
+
+
+def make_plan(model: Model, pair: SDPPair) -> sdp_bands.BandPlan:
+    extents = [s.t_extent for s in pair.seeds]
+    sw = max((sp.max_target for sp in model.spans), default=0)
+    return sdp_bands.plan_bands(
+        extents, pair.region.query_length, pair.region.target_length,
+        margin=BAND_MARGIN,
+        span_window=sw + 2 * BAND_MARGIN)
+
+
+def run_device(model: Model, pair: SDPPair,
+               plan: sdp_bands.BandPlan) -> dict:
+    """Single-comparison device call (the pooled path batches many)."""
+    from .wavefront import _bucket
+    Q = pair.region.query_length
+    Qp, Wp = _bucket(Q), _bucket(plan.W)
+    n_seed_pad = _pow2(len(pair.seeds))
+    n_seg_pad = _pow2(len(plan.loci) + 1)
+    inputs, kinds = sdp_device.prepare_inputs(model, pair, plan,
+                                              pad_to=(Qp, Wp))
+    inputs.update(sdp_device.prepare_seeds(pair, plan, n_seed_pad))
+    fn = sdp_device.get_fn(model, Qp, Wp, kinds, pair.use_boundary,
+                           n_seed_pad, n_seg_pad, pair.args.dropoff)
+    observe.count_engine("sdp-device")
+    out = fn(inputs)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _pow2(n: int) -> int:
+    p = 8
+    while p < n:
+        p <<= 1
+    return p

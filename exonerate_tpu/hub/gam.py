@@ -199,9 +199,45 @@ class GAM:
             return self._result_bsdp(comparison, data)
         if os.environ.get("EXONERATE_TPU_HEURISTIC") == "locus":
             return self._result_heuristic_locus(comparison, data)
-        sdp_pair = SDPPair(self.model, comparison, data, SubOpt(),
-                           SdpArgs(self.gas.extension_threshold,
-                                   self.gas.single_pass))
+        sdp_pair = self._make_sdp_pair(comparison, data)
+        try:
+            return self._run_sdp_loop(sdp_pair, query, data)
+        except Exception as exc:
+            from ..engine.sdp_hybrid import HybridFallback
+            if not isinstance(exc, HybridFallback):
+                raise
+            # device result unusable: redo the whole comparison on the
+            # host global path (nothing was submitted yet)
+            sdp_pair = SDPPair(self.model, comparison, data, SubOpt(),
+                               SdpArgs(self.gas.extension_threshold,
+                                       self.gas.single_pass))
+            return self._run_sdp_loop(sdp_pair, query, data)
+
+    def _make_sdp_pair(self, comparison, data):
+        """Default SDP executor: the device-hybrid pair when a TPU is
+        attached (or EXONERATE_TPU_SDP=device forces it), else the host
+        pair (native C++ scheduler)."""
+        import os
+        from ..engine.subopt import SubOpt
+        from ..engine.sdp import SDPPair, SdpArgs
+        args = SdpArgs(self.gas.extension_threshold,
+                       self.gas.single_pass)
+        mode = os.environ.get("EXONERATE_TPU_SDP", "")
+        use_device = mode == "device"
+        if not use_device and mode == "":
+            from ..engine import optimal
+            use_device = optimal._use_pallas_prescan()
+        if use_device:
+            from ..engine import sdp_hybrid
+            if sdp_hybrid.eligible(self.model, args, None):
+                return sdp_hybrid.HybridSDPPair(
+                    self.model, comparison, data, SubOpt(), args)
+            from .. import observe
+            observe.count_fallback(
+                "sdp device->host: model unsupported on device")
+        return SDPPair(self.model, comparison, data, SubOpt(), args)
+
+    def _run_sdp_loop(self, sdp_pair, query, data):
         out: list[tuple[Alignment, AlignData]] = []
         while True:
             threshold = self.query_threshold(query, data)
