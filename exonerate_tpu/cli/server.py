@@ -152,39 +152,214 @@ class Connection:
             return f"warning: set param {name} ignored by server\n"
         return "error: bad set command\n"
 
+    def _hsp_param(self):
+        """Match/HSP parameters for the current query vs this index
+        (translated indexes serve protein queries as protein2dna,
+        ref: index.c:945-948 protein VFSM alphabet)."""
+        srv = self.server
+        if srv.index.translated:
+            if self.query.alphabet.type != AlphabetType.PROTEIN:
+                return None
+            match_type = match_type_find(AlphabetType.PROTEIN,
+                                         AlphabetType.DNA, False)
+        else:
+            match_type = match_type_find(
+                self.query.alphabet.type, AlphabetType.DNA, False)
+        param = HspParam(Match(match_type, MatchArgs()), self.hsp_args)
+        param.wordlen = srv.index.wordlen
+        return param
+
+    def _build_hspsets(self, param, seeds_by_target) -> dict:
+        """Server-side extension: seed + x-drop + finalise per target
+        (ref: Index_get_HSPset, index.c:1290-1320)."""
+        from ..db.index import qy_page_order
+        srv = self.server
+        out = {}
+        for tid in sorted(seeds_by_target):
+            target = srv.dataset.get_sequence(tid)
+            if self.revcomp_target:
+                target = target.revcomp()
+            hs = HspSet(self.query, target, param)
+            pairs = seeds_by_target[tid]
+            if self.revcomp_target and not srv.index.translated:
+                pairs = [(q, len(target) - t - param.wordlen)
+                         for q, t in pairs]
+            for qpos, tpos in qy_page_order(pairs, hs.qadv, hs.tadv,
+                                            len(target)):
+                hs.seed(qpos, tpos)
+            hs.finalise()
+            if hs.hsps:
+                out[tid] = hs
+        return out
+
     def _get_hsps(self) -> str:
         if self.query is None:
             return "error: no query set\n"
         srv = self.server
-        ds = srv.dataset
-        match_type = match_type_find(
-            self.query.alphabet.type,
-            AlphabetType.DNA if not srv.index.translated
-            else AlphabetType.DNA, False)
-        param = HspParam(Match(match_type, MatchArgs()), self.hsp_args)
-        param.wordlen = srv.index.wordlen
+        param = self._hsp_param()
+        if param is None:
+            return ("error: translated index requires a protein query\n")
+        if self.revcomp_target and param.match.type.name != "PROTEIN2DNA":
+            # (ref: exonerate-server.c:322-325)
+            return ("error: revcomp target only available for "
+                    "protein2dna matches\n")
         wordhood = WordHood.for_param(param)
-        seeds_by_target = srv.index.get_hsp_seeds(self.query, wordhood)
+        gs = getattr(self.hsp_args, "geneseed_threshold", 0)
+        if gs > 0:
+            if gs < param.threshold:
+                # (ref: exonerate-server.c:327-330)
+                return ("error: geneseed threshold must be >= hsp "
+                        "threshold\n")
+            hspsets = self._get_hsps_geneseed(param, wordhood)
+        else:
+            seeds_by_target = srv.index.get_hsp_seeds(
+                self.query, wordhood,
+                revcomp_target=self.revcomp_target)
+            hspsets = self._build_hspsets(param, seeds_by_target)
         parts = []
-        for tid in sorted(seeds_by_target):
-            target = ds.get_sequence(tid)
-            if self.revcomp_target:
-                target = target.revcomp()
-            hs = HspSet(self.query, target, param)
-            for qpos, tpos in seeds_by_target[tid]:
-                if self.revcomp_target:
-                    tpos = len(target) - tpos - param.wordlen
-                hs.seed(qpos, tpos)
-            hs.finalise()
-            if hs.hsps:
-                seg = ["hspset: %d" % tid]
-                for h in hs.hsps:
-                    seg.append(" %d %d %d" % (h.query_start,
-                                              h.target_start, h.length))
-                parts.append("".join(seg))
+        for tid in sorted(hspsets):
+            hs = hspsets[tid]
+            seg = ["hspset: %d" % tid]
+            for h in hs.hsps:
+                seg.append(" %d %d %d" % (h.query_start,
+                                          h.target_start, h.length))
+            parts.append("".join(seg))
         if not parts:
             return "hspset: empty\n"
         return "\n".join(parts) + "\n"
+
+    def _get_hsps_geneseed(self, param, wordhood) -> dict:
+        """Two-tier geneseed seeding (ref: Index_get_HSPsets_geneseed,
+        index.c:1924-1975): a sparse first pass at the geneseed
+        threshold/repeat anchors loci; iterative interval-restricted
+        subseed passes at the normal threshold then pull in nearby HSPs
+        via RangeTree-style geometry until no new regions appear."""
+        srv = self.server
+        gs_param = HspParam(param.match, self.hsp_args)
+        gs_param.wordlen = srv.index.wordlen
+        gs_param.threshold = self.hsp_args.geneseed_threshold
+        gs_param.seed_repeat = getattr(self.hsp_args,
+                                       "geneseed_repeat", 3)
+        seeds_by_target = srv.index.get_hsp_seeds(
+            self.query, wordhood, revcomp_target=self.revcomp_target)
+        anchors = self._build_hspsets(gs_param, seeds_by_target)
+        if not anchors:
+            return {}
+        # per-target geneseed state (ref: Index_Geneseed)
+        state = {}
+        for tid, hs in anchors.items():
+            keepers = {(self._q_cobs(hs, h), self._t_cobs(hs, h)): h
+                       for h in hs.hsps}
+            state[tid] = dict(
+                keepers=keepers,
+                cand={},
+                max_cobs=None,
+                covered=[],           # merged [start, end) intervals
+                subseeds=[(h, True, True) for h in hs.hsps],
+                hs=hs)
+        while True:
+            intervals = {}
+            for tid, st in state.items():
+                new = self._geneseed_regions(st)
+                if new:
+                    intervals[tid] = new
+            if not intervals:
+                break
+            sub_seeds = srv.index.get_hsp_seeds(
+                self.query, wordhood,
+                revcomp_target=self.revcomp_target,
+                intervals=intervals)
+            subs = self._build_hspsets(param, sub_seeds)
+            if not subs:
+                for st in state.values():
+                    st["subseeds"] = []
+                break
+            self._geneseed_refine(state, subs)
+        # collect keepers per target, re-finalised
+        # (ref: Index_Geneseed_collect_hspset)
+        out = {}
+        for tid, st in state.items():
+            if not st["keepers"]:
+                continue
+            hs = HspSet(self.query, st["hs"].target, param)
+            for h in sorted(st["keepers"].values(),
+                            key=lambda h: (h.query_start,
+                                           h.target_start)):
+                hs.add_known_hsp(h.query_start, h.target_start, h.length)
+            hs.finalise()
+            if hs.hsps:
+                out[tid] = hs
+        return out
+
+    @staticmethod
+    def _q_cobs(hs, h):
+        return h.query_start + h.cobs * hs.qadv
+
+    @staticmethod
+    def _t_cobs(hs, h):
+        return h.target_start + h.cobs * hs.tadv
+
+    def _geneseed_regions(self, st) -> list:
+        """New (uncovered) target intervals around current subseeds
+        (ref: Index_Geneseed_get_regions, index.c:1659-1695)."""
+        hs = st["hs"]
+        tlen = len(hs.target)
+        spans = []
+        for h, go_fwd, go_rev in sorted(
+                st["subseeds"], key=lambda x: x[0].target_start):
+            t_cobs = self._t_cobs(hs, h)
+            rng = self.max_target_span \
+                + (t_cobs - h.target_start) * 2
+            if go_rev:
+                start = max(0, t_cobs - rng)
+                spans.append((start, t_cobs))
+            if go_fwd:
+                end = min(tlen, t_cobs + rng)
+                spans.append((t_cobs, end))
+        # subtract already-covered intervals, then extend the coverage
+        # (the NOI-tree delta: only newly covered ranges are searched)
+        new = _interval_subtract(_interval_merge(spans), st["covered"])
+        st["covered"] = _interval_merge(st["covered"] + spans)
+        return [(s, e - s) for s, e in new if e > s]
+
+    def _geneseed_refine(self, state, subs):
+        """(ref: Index_Geneseed_refine_subseeds, index.c:1813-1905)."""
+        for tid, hs in subs.items():
+            st = state.get(tid)
+            if st is None or not st["subseeds"]:
+                continue
+            src = st["hs"]
+            for h in hs.hsps:
+                key = (self._q_cobs(hs, h), self._t_cobs(hs, h))
+                if key not in st["cand"]:
+                    st["cand"][key] = h
+                if st["max_cobs"] is None \
+                        or st["max_cobs"].cobs < h.cobs:
+                    st["max_cobs"] = h
+            nxt = []
+            mc = st["max_cobs"]
+            for h, go_fwd, go_rev in st["subseeds"]:
+                q_cobs = self._q_cobs(src, h)
+                t_cobs = self._t_cobs(src, h)
+                q_rng = self.max_query_span + (
+                    (h.query_end(src.qadv) - q_cobs)
+                    + (self._q_cobs(hs, mc) - mc.query_start)) * 2
+                t_rng = self.max_target_span + (
+                    (h.target_end(src.tadv) - t_cobs)
+                    + (self._t_cobs(hs, mc) - mc.target_start)) * 2
+                boxes = []
+                if go_fwd:
+                    boxes.append((q_cobs, q_rng, t_cobs, t_rng, True))
+                if go_rev:
+                    boxes.append((q_cobs - q_rng, q_rng,
+                                  t_cobs - t_rng, t_rng, False))
+                for (qx, qw, tx, tw, fwd) in boxes:
+                    for (cq, ct), cand in st["cand"].items():
+                        if qx <= cq < qx + qw and tx <= ct < tx + tw \
+                                and (cq, ct) not in st["keepers"]:
+                            st["keepers"][(cq, ct)] = cand
+                            nxt.append((cand, fwd, not fwd))
+            st["subseeds"] = nxt
 
 
 HELP_TEXT = (
@@ -294,3 +469,35 @@ def main(argv=None, out=None):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _interval_merge(spans):
+    """Merge [start, end) spans."""
+    out = []
+    for s, e in sorted(spans):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _interval_subtract(spans, covered):
+    """spans minus covered, both merged [start, end) lists."""
+    out = []
+    ci = 0
+    for s, e in spans:
+        cur = s
+        while ci < len(covered) and covered[ci][1] <= cur:
+            ci += 1
+        k = ci
+        while cur < e:
+            if k >= len(covered) or covered[k][0] >= e:
+                out.append((cur, e))
+                break
+            cs, ce = covered[k]
+            if cs > cur:
+                out.append((cur, cs))
+            cur = max(cur, ce)
+            k += 1
+    return out

@@ -123,11 +123,36 @@ class Index:
         c = int(self.word_counts[ix])
         return self.post_seq[s:s + c], self.post_pos[s:s + c]
 
-    def get_hsp_seeds(self, query: Sequence, wordhood=None
-                      ) -> dict[int, list[tuple[int, int]]]:
+    def _decode_translated(self, sids: np.ndarray, poss: np.ndarray,
+                           revcomp_target: bool):
+        """Frame-encoded postings (pep_pos*8 + frame+3) -> DNA positions
+        on the requested strand (ref: index.c:215-216: per-strand
+        postings store pep_pos*3 + frame-1 in strand-local DNA coords;
+        our single table encodes the strand in the frame sign)."""
+        frame = (poss & 7).astype(np.int64) - 3
+        pep = poss >> 3
+        if revcomp_target:
+            sel = frame < 0
+            dna = pep * 3 + (-frame) - 1
+        else:
+            sel = frame > 0
+            dna = pep * 3 + frame - 1
+        return sids[sel], dna[sel]
+
+    def get_hsp_seeds(self, query: Sequence, wordhood=None,
+                      revcomp_target: bool = False,
+                      intervals=None) -> dict[int, list[tuple[int, int]]]:
         """All (query_pos, target_pos) seed pairs per target sequence —
         the server's `get hsps` payload (ref: Index_get_HSPsets,
-        index.h:140-147; protocol exonerate-server.c:315-378)."""
+        index.h:140-147; protocol exonerate-server.c:315-378).
+
+        Translated indexes serve protein queries against the six-frame
+        postings: target positions decode to DNA coordinates on the
+        requested strand (revcomp positions are strand-local, matching
+        the seeding against the revcomp'd target sequence).
+        `intervals`: optional {target_id: [(start, len)]} restriction
+        (the two-tier geneseed subseed lookup, ref: index.c:1006-1100
+        Index_Address_list_refine)."""
         packed, valid = _pack_words(query.data, self.codes, self.wordlen,
                                     self.nsym)
         out: dict[int, list[tuple[int, int]]] = {}
@@ -137,10 +162,44 @@ class Index:
                 wlist = wordhood.neighbours(wlist[0])
             for w in wlist:
                 sids, poss = self.lookup_word(w)
+                if self.translated:
+                    sids, poss = self._decode_translated(
+                        sids, poss, revcomp_target)
                 for sid, tpos in zip(sids, poss):
+                    if intervals is not None:
+                        spans = intervals.get(int(sid))
+                        if not spans or not any(
+                                s <= tpos < s + ln for s, ln in spans):
+                            continue
                     out.setdefault(int(sid), []).append(
                         (int(qpos), int(tpos)))
-        # seeds in target-position order per target (seeding order parity)
-        for sid in out:
-            out[sid].sort(key=lambda qt: qt[1])
+        # order = (query word, posting) append order, matching the C
+        # server's per-target bins (ref: index.c:1358-1366); the page
+        # binning in the qy_sorted seeding then fixes emission order
         return out
+
+
+def qy_page_order(seed_pairs: list, qadv: int, tadv: int,
+                  tlen: int) -> list:
+    """Reorder (qpos, tpos) seeds exactly as HSPset_seed_all_qy_sorted
+    visits them (ref: hspset.c:1263-1310): the C server prepends seeds
+    into per-target bins (reversing append order), then bins by
+    1024-wide diagonal-section pages with another prepend; pages emit in
+    first-touch order of the reversed list, seeds within a page in
+    original append order."""
+    PAGE_BITS = 10  # HSPset_SList_PAGE_BIT_WIDTH, hspset.c:1240
+    pages: dict[int, list[int]] = {}
+    page_order: list[int] = []
+    for i in range(len(seed_pairs) - 1, -1, -1):
+        q, t = seed_pairs[i]
+        diag = t * qadv - q * tadv
+        sect = (diag + tlen) % tlen
+        p = sect >> PAGE_BITS
+        if p not in pages:
+            pages[p] = []
+            page_order.append(p)
+        pages[p].append(i)
+    out: list = []
+    for p in page_order:
+        out.extend(seed_pairs[i] for i in reversed(pages[p]))
+    return out

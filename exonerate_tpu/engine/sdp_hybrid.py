@@ -222,3 +222,37 @@ def _pow2(n: int) -> int:
     while p < n:
         p <<= 1
     return p
+
+
+def run_device_batch(model: Model, jobs: list) -> list[dict]:
+    """Batched device pass over many comparisons' (pair, plan) jobs —
+    one vmapped call per (shape, kinds) bucket, so a whole scan's SDP
+    passes cost a handful of device dispatches instead of one per
+    comparison (the TPU replacement for the reference's per-comparison
+    thread pool, SURVEY.md §2.13)."""
+    import jax
+    from .wavefront import _bucket
+    out: list = [None] * len(jobs)
+    buckets: dict = {}
+    for ix, (pair, plan) in enumerate(jobs):
+        Q = pair.region.query_length
+        Qp, Wp = _bucket(Q), _bucket(plan.W)
+        n_seed_pad = _pow2(len(pair.seeds))
+        n_seg_pad = _pow2(len(plan.loci) + 1)
+        inputs, kinds = sdp_device.prepare_inputs(model, pair, plan,
+                                                  pad_to=(Qp, Wp))
+        inputs.update(sdp_device.prepare_seeds(pair, plan, n_seed_pad))
+        key = (Qp, Wp, kinds, pair.use_boundary, n_seed_pad, n_seg_pad,
+               pair.args.dropoff)
+        buckets.setdefault(key, []).append((ix, inputs))
+    for (Qp, Wp, kinds, ub, nsp, ngp, dropoff), items in buckets.items():
+        fn = sdp_device.get_fn(model, Qp, Wp, kinds, ub, nsp, ngp,
+                               dropoff, batched=True)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[inp for _, inp in items])
+        observe.count_engine("sdp-device", len(items))
+        res = jax.tree_util.tree_map(np.asarray,
+                                     fn(jax.device_put(stacked)))
+        for b, (ix, _) in enumerate(items):
+            out[ix] = jax.tree_util.tree_map(lambda a: a[b], res)
+    return out

@@ -109,6 +109,7 @@ class Analysis:
         self._pool = None
         self._pending = None
         self._locus_pending: list = []
+        self._sdp_pending: list = []
         if self.aas.cores > 1:
             import jax
             self.gam.devices = jax.devices()[:self.aas.cores]
@@ -196,6 +197,7 @@ class Analysis:
             while self._pending:
                 self.gam.submit(self._pending.popleft().result())
         self._flush_locus_pool()
+        self._flush_sdp_pool()
         self.gam.report()
 
     def _process_bigseq(self):
@@ -392,6 +394,14 @@ class Analysis:
                 # comparison completion order -> same output bytes)
                 self._locus_pending.append(comparison)
                 return
+        if gapped and self._pool is None \
+                and self.gas.use_gapped_extension \
+                and self.gam.sdp_device_active():
+            # device SDP mode: defer so every comparison's passes share
+            # a handful of vmapped device calls; flushed by
+            # _flush_sdp_pool (same completion order -> same bytes)
+            self._sdp_pending.append(comparison)
+            return
         fn = (self.gam.result_heuristic if gapped
               else self.gam.result_ungapped)
         if self._pool is not None:
@@ -407,6 +417,12 @@ class Analysis:
         pending, self._locus_pending = self._locus_pending, []
         for results in self.gam.result_heuristic_pooled(pending):
             self.gam.submit(results)
+
+    def _flush_sdp_pool(self):
+        if not self._sdp_pending:
+            return
+        pending, self._sdp_pending = self._sdp_pending, []
+        self.gam.run_sdp_pool(pending)
 
     def _drain(self, block: bool = False):
         """Submit finished comparison results in order."""

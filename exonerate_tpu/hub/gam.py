@@ -213,6 +213,68 @@ class GAM:
                                        self.gas.single_pass))
             return self._run_sdp_loop(sdp_pair, query, data)
 
+    def sdp_device_active(self) -> bool:
+        """True when the default heuristic should run its SDP passes on
+        the device (TPU attached, or forced via EXONERATE_TPU_SDP=device)
+        and the model is device-expressible."""
+        import os
+        from ..engine import sdp_hybrid
+        from ..engine.sdp import SdpArgs
+        mode = os.environ.get("EXONERATE_TPU_SDP", "")
+        if mode == "device":
+            use = True
+        elif mode == "":
+            from ..engine import optimal
+            use = optimal._use_pallas_prescan()
+        else:
+            use = False
+        if not use:
+            return False
+        args = SdpArgs(self.gas.extension_threshold, self.gas.single_pass)
+        return sdp_hybrid.eligible(self.model, args, None)
+
+    def run_sdp_pool(self, comparisons: list):
+        """Pooled device SDP over many deferred comparisons: all passes
+        batch into a handful of vmapped device calls, then each
+        comparison's result loop runs (and submits) in original order,
+        so output bytes match the per-comparison path exactly."""
+        from .. import observe
+        from ..engine import sdp_hybrid
+        from ..engine.sdp import SDPPair, SdpArgs
+        from ..engine.subopt import SubOpt
+        args = SdpArgs(self.gas.extension_threshold,
+                       self.gas.single_pass)
+        metas = []
+        jobs = []
+        for comp in comparisons:
+            if not comp.has_hsps:
+                metas.append(None)
+                continue
+            data = self.make_data(comp.query, comp.target)
+            gpair = SDPPair(self.model, comp, data, SubOpt(), args)
+            plan = (sdp_hybrid.make_plan(self.model, gpair)
+                    if gpair.seeds else None)
+            metas.append((comp, data, gpair, plan))
+            if plan is not None:
+                jobs.append((gpair, plan))
+        outs = iter(sdp_hybrid.run_device_batch(self.model, jobs)
+                    if jobs else [])
+        for meta in metas:
+            if meta is None:
+                self.submit([])
+                continue
+            comp, data, gpair, plan = meta
+            out = next(outs) if plan is not None else None
+            hp = sdp_hybrid.HybridSDPPair(
+                self.model, comp, data, gpair.subopt, args,
+                device_out=out, plan=plan, gpair=gpair)
+            try:
+                results = self._run_sdp_loop(hp, comp.query, data)
+            except sdp_hybrid.HybridFallback:
+                pair = SDPPair(self.model, comp, data, SubOpt(), args)
+                results = self._run_sdp_loop(pair, comp.query, data)
+            self.submit(results)
+
     def _make_sdp_pair(self, comparison, data):
         """Default SDP executor: the device-hybrid pair when a TPU is
         attached (or EXONERATE_TPU_SDP=device forces it), else the host

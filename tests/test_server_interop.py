@@ -105,3 +105,168 @@ def test_c_client_vs_our_server(tmp_path):
         srv.shutdown()
     assert r.returncode == 0, r.stderr[-500:]
     assert any("10875" in ln for ln in _vulgar(r.stdout))
+
+
+def _raw_session(port, commands):
+    """Drive a server over the raw line protocol.  Multi-line replies
+    (get hsps) have no terminator; drain with select (the shim-built C
+    server mishandles batched request lines, so send one at a time)."""
+    import select
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    f = s.makefile("rwb")
+    replies = []
+    for cmd in commands:
+        f.write((cmd + "\n").encode())
+        f.flush()
+        reply = []
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if select.select([s], [], [], 0.5)[0]:
+                ln = f.readline().decode()
+                if not ln:
+                    break
+                reply.append(ln)
+                deadline = time.time() + 1.0
+            elif reply:
+                break
+        replies.append("".join(reply))
+    f.write(b"exit\n")
+    f.flush()
+    s.close()
+    return replies
+
+
+PROT = "/root/reference/test/data/protein/calm.human.protein.fasta"
+
+
+def test_translated_index_protein_query_matches_c_server(tmp_path):
+    """Protein query vs DNA genome through the translated index: our
+    server must return the same hspset: lines as the C server
+    (ref: index.c translated path, index.h:55-147)."""
+    from exonerate_tpu.seqio import iter_fasta
+    from exonerate_tpu.cli.server import ExonerateServer
+    from exonerate_tpu.db.dataset import dataset_build
+    from exonerate_tpu.db.index import Index, index_build
+    pep = str(list(iter_fasta(PROT))[0])
+
+    # C side
+    esd = str(tmp_path / "c.esd")
+    esi = str(tmp_path / "c.esi")
+    subprocess.run([os.path.join(REF_BIN, "fasta2esd"),
+                    "--softmask", "no", CALM, esd],
+                   check=True, capture_output=True, timeout=300)
+    subprocess.run([os.path.join(REF_BIN, "esd2esi"),
+                    "--translate", "yes", esd, esi],
+                   check=True, capture_output=True, timeout=300)
+    cport = _free_port()
+    proc = subprocess.Popen(
+        [os.path.join(REF_BIN, "exonerate-server"), esi,
+         "--port", str(cport)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    # our side
+    oesd = str(tmp_path / "o.esd.npz")
+    oesi = str(tmp_path / "o.esi.npz")
+    dataset_build([CALM], oesd)
+    index_build(oesd, oesi, wordlen=6, translated=True)
+    index = Index(oesi)
+    oport = _free_port()
+    srv = ExonerateServer(index.dataset, index, oport)
+    srv.start_background()
+
+    cmds = ["set query " + pep, "get hsps",
+            "revcomp target", "get hsps"]
+    try:
+        _wait_port(cport)
+        _wait_port(oport)
+        c_replies = _raw_session(cport, cmds)
+        o_replies = _raw_session(oport, cmds)
+    finally:
+        proc.kill()
+        proc.wait()
+        srv.shutdown()
+
+    def hspsets(replies):
+        return sorted(ln for r in replies for ln in r.splitlines()
+                      if ln.startswith("hspset:"))
+
+    c_hsps = hspsets(c_replies)
+    o_hsps = hspsets(o_replies)
+    assert c_hsps, f"C server returned no hspsets: {c_replies}"
+    assert o_hsps == c_hsps
+
+
+def test_geneseed_two_tier_matches_c_server(tmp_path):
+    """Two-tier geneseed seeding server-side (ref:
+    Index_get_HSPsets_geneseed, index.h:140-147): identical hspset:
+    lines from both servers for a mutated query with geneseed params."""
+    import numpy as np
+    from exonerate_tpu.seqio import iter_fasta
+    from exonerate_tpu.cli.server import ExonerateServer
+    from exonerate_tpu.db.dataset import dataset_build
+    from exonerate_tpu.db.index import Index, index_build
+    calm = str(list(iter_fasta(CALM))[0])
+    rng = np.random.default_rng(5)
+    q = list(calm[100:900])
+    for _ in range(60):
+        q[rng.integers(0, len(q))] = "ACGT"[rng.integers(0, 4)]
+    q = "".join(q)
+
+    esd = str(tmp_path / "c.esd")
+    esi = str(tmp_path / "c.esi")
+    subprocess.run([os.path.join(REF_BIN, "fasta2esd"),
+                    "--softmask", "no", CALM, esd],
+                   check=True, capture_output=True, timeout=300)
+    subprocess.run([os.path.join(REF_BIN, "esd2esi"), esd, esi],
+                   check=True, capture_output=True, timeout=300)
+    cport = _free_port()
+    proc = subprocess.Popen(
+        [os.path.join(REF_BIN, "exonerate-server"), esi,
+         "--port", str(cport)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    oesd = str(tmp_path / "o.esd.npz")
+    oesi = str(tmp_path / "o.esi.npz")
+    dataset_build([CALM], oesd)
+    index_build(oesd, oesi, wordlen=12)
+    index = Index(oesi)
+    oport = _free_port()
+    srv = ExonerateServer(index.dataset, index, oport)
+    srv.start_background()
+
+    cmds = ["set param geneseedthreshold 120",
+            "set param geneseedrepeat 1",
+            "set param maxqueryspan 200",
+            "set param maxtargetspan 200",
+            "set query " + q,
+            "get hsps"]
+    try:
+        _wait_port(cport)
+        _wait_port(oport)
+        c_replies = _raw_session(cport, cmds)
+        o_replies = _raw_session(oport, cmds)
+    finally:
+        proc.kill()
+        proc.wait()
+        srv.shutdown()
+
+    def hspsets(replies):
+        """Canonicalize: {target: sorted (qstart, tstart, len)}.  The C
+        server's intra-set order follows glibc tsearch root-eviction
+        feeding a kd-tree (rangetree.c:102-130) — implementation-defined
+        and re-finalised client-side, so sets are the contract."""
+        out = {}
+        for r in replies:
+            for ln in r.splitlines():
+                if not ln.startswith("hspset:") or "empty" in ln:
+                    continue
+                parts = ln.split()
+                trip = parts[2:]
+                out.setdefault(parts[1], set()).update(
+                    tuple(trip[k:k + 3]) for k in range(0, len(trip), 3))
+        return out
+
+    c_hsps = hspsets(c_replies)
+    o_hsps = hspsets(o_replies)
+    assert c_hsps, c_replies
+    assert o_hsps == c_hsps
