@@ -101,3 +101,47 @@ def test_merge_tie_rank_semantics():
     # both 100-scoring ties survive bestn 1 (fewer than 1 strictly
     # better); 90/80 evicted; chunk-major order within the tie
     assert out == "a#1\nc#2\n"
+
+
+def test_sharded_single_pair_est2genome_matches_single_device():
+    """One est2genome pair's DP sharded sp=2: the per-diagonal state
+    vectors split over the mesh, rolls become collective permutes, and
+    the score/region result is exactly the single-device wavefront's
+    (VERDICT r1 next #5)."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from exonerate_tpu.alphabet import Alphabet, AlphabetType
+    from exonerate_tpu.seqio import Sequence
+    from exonerate_tpu.model.est2genome import est2genome_create
+    from exonerate_tpu.model.data import AlignData, IntronArgs
+    from exonerate_tpu.engine.region import Region
+    from exonerate_tpu.engine import wavefront
+    from exonerate_tpu.parallel.sharded_pair import \
+        find_region_sharded_pair
+
+    rng = np.random.default_rng(3)
+    dna = Alphabet(AlphabetType.DNA)
+    ex1 = "".join(rng.choice(list("ACGT"), 120))
+    ex2 = "".join(rng.choice(list("ACGT"), 120))
+    intr = "GT" + "".join(rng.choice(list("ACGT"), 76)) + "AG"
+    genome = ("".join(rng.choice(list("ACGT"), 50)) + ex1 + intr + ex2
+              + "".join(rng.choice(list("ACGT"), 50)))
+    q = Sequence("q", None, ex1 + ex2, dna)
+    t = Sequence("t", None, genome, dna)
+    ia = IntronArgs(min_intron=20, max_intron=1000)
+    model = est2genome_create(ia)
+    data = AlignData(q, t)
+    data.intron = ia
+    region = Region(0, 0, len(q), len(t))
+
+    single = wavefront.find_region(model, region, data)
+
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs.reshape(1, 2), ("dp", "sp"))
+    sharded = find_region_sharded_pair(model, region, data, mesh)
+    assert sharded.score == single.score
+    assert (sharded.query_start, sharded.target_start,
+            sharded.query_end, sharded.target_end) == (
+        single.query_start, single.target_start,
+        single.query_end, single.target_end)
