@@ -642,32 +642,59 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                      for _ in spans)
 
     def run(inputs):
-        d_seq = jnp.arange(Dp, dtype=jnp.int32)
+        # G diagonals fold into each scan step on TPU, amortizing the
+        # sequential-loop overhead (the wavefront engine's unroll trick)
+        try:
+            G = 8 if jax.default_backend() == "tpu" else 1
+        except Exception:
+            G = 1
+        Dg = ((Dp + G - 1) // G) * G
+        d_seq = jnp.arange(Dg, dtype=jnp.int32)
+        if G > 1:
+            d_seq = d_seq.reshape(Dg // G, G)
         acc0 = {"band_end": jnp.full(n_seg_pad, NEG, jnp.int32)}
         if track_sid:
             acc0["rev_start"] = jnp.full(n_seed_pad, NEG, jnp.int32)
-        dummy_inj = jnp.zeros(Dp, jnp.uint32)
+        dummy_inj = (jnp.zeros((Dg // G, G), jnp.uint32) if G > 1
+                     else jnp.zeros(Dg, jnp.uint32))
 
-        def rev_step(carry, xs):
-            d, inj = xs
-            return step_rev(carry, (d, inj, inputs))
+        def group(step_fn, backwards=False):
+            if G == 1:
+                def one(carry, xs):
+                    d, inj = xs
+                    return step_fn(carry, (d, inj, inputs))
+                return one
+
+            def many(carry, xs):
+                ds, injs = xs
+                order = range(G - 1, -1, -1) if backwards else range(G)
+                ys = [None] * G
+                for g in order:
+                    carry, ys[g] = step_fn(carry,
+                                           (ds[g], injs[g], inputs))
+                return carry, jax.tree_util.tree_map(
+                    lambda *a: jnp.stack(a), *ys)
+            return many
 
         carry0 = (init_prev(track_sid, False), (), acc0,
                   jnp.zeros((), bool), jnp.zeros((), bool))
         (prev, _sp, acc, live_r, _xb), ys = lax.scan(
-            rev_step, carry0, (d_seq, dummy_inj), reverse=True)
+            group(step_rev, backwards=True), carry0, (d_seq, dummy_inj),
+            reverse=True)
         if debug_planes:
             ys, rev_planes = ys
-
-        def fwd_step(carry, xs):
-            d, inj = xs
-            return step_fwd(carry, (d, inj, inputs))
+            if G > 1:
+                rev_planes = rev_planes.reshape(
+                    (Dg,) + rev_planes.shape[2:])
 
         inj_xs = ys if use_boundary else dummy_inj
         carry1 = (init_prev(False, n_sh > 0), init_span(n_sh > 0), acc,
                   jnp.zeros((), bool), jnp.zeros((), bool))
         (prev, _sp, acc, live_f, xband), fys = lax.scan(
-            fwd_step, carry1, (d_seq, inj_xs))
+            group(step_fwd), carry1, (d_seq, inj_xs))
+        if debug_planes and G > 1:
+            fys = jax.tree_util.tree_map(
+                lambda a: a.reshape((Dg,) + a.shape[2:]), fys)
 
         out = {"band_end": acc["band_end"], "live": live_r | live_f,
                "xband": xband}

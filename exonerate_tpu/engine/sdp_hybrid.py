@@ -233,24 +233,22 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
     import jax
     from .wavefront import _bucket
     out: list = [None] * len(jobs)
-    # one padded shape per (kinds, boundary, dropoff) group: a scan's
-    # comparisons share one compiled kernel and one device dispatch,
-    # trading ~25% padded cells for per-bucket trace/compile latency
-    # (the dominant cost through a remote-device tunnel)
+    # coarse pow2 rungs on the compressed width keep the compiled-shape
+    # count small (2-3 per scan) without the 2x+ padded-cell waste of a
+    # single max-shape bucket; Q/seed/segment pads take the group max
     shape_max: dict = {}
-    prepped: list = []
     for ix, (pair, plan) in enumerate(jobs):
-        Q = pair.region.query_length
         gkey = (pair.use_boundary, pair.args.dropoff)
-        cur = shape_max.get(gkey, (0, 0, 0, 0))
-        shape_max[gkey] = (max(cur[0], Q), max(cur[1], plan.W),
-                           max(cur[2], len(pair.seeds)),
-                           max(cur[3], len(plan.loci) + 1))
+        cur = shape_max.get(gkey, (0, 0, 0))
+        shape_max[gkey] = (max(cur[0], pair.region.query_length),
+                           max(cur[1], len(pair.seeds)),
+                           max(cur[2], len(plan.loci) + 1))
     buckets: dict = {}
     for ix, (pair, plan) in enumerate(jobs):
         gkey = (pair.use_boundary, pair.args.dropoff)
-        mq, mw, ms, mg = shape_max[gkey]
-        Qp, Wp = _bucket(mq), _bucket(mw)
+        mq, ms, mg = shape_max[gkey]
+        Qp = _bucket(mq)
+        Wp = _pow2(max(plan.W, 1024))
         n_seed_pad, n_seg_pad = _pow2(ms), _pow2(mg)
         inputs, kinds = sdp_device.prepare_inputs(model, pair, plan,
                                                   pad_to=(Qp, Wp))

@@ -213,6 +213,12 @@ class Analysis:
                           and ((self.query_type == AlphabetType.PROTEIN
                                 and self.target_type == AlphabetType.DNA)
                                or self.translate_both))
+        # the streamed exact-word join keeps memory bounded by
+        # --fsmmemory at chromosome scale (ref: BSAM/DejaVu linear
+        # memory, bsam.c:142-239); eligible for plain dna-exact
+        # seeding, byte-identical to the in-memory path
+        streamable = (set(params) == {"dna"}
+                      and self.seeder_args.word_ambiguity <= 1)
         for query in self.query_db:
             query = self._load_seq(query, self.query_type)
             for qv in self._expand_strands(query, revcomp_query):
@@ -224,11 +230,30 @@ class Analysis:
                             kind, param = next(iter(params.items()))
                             self._bigseq_progress(
                                 qv, tv, param.wordlen)
+                        if streamable:
+                            self._bigseq_pair_streamed(params["dna"],
+                                                       qv, tv)
+                            continue
                         seeder = Seeder(params,
                                         self._report_comparison,
                                         self.seeder_args, {})
                         seeder.add_query(qv)
                         seeder.add_target(tv)
+
+    def _bigseq_pair_streamed(self, param, qv, tv):
+        from ..seeds.seeder import bigseq_stream_join
+        from ..seeds.hsp import Comparison, HspSet
+        budget = max(1, self.seeder_args.fsm_memory_limit) << 20
+        seeds = bigseq_stream_join(param, qv, tv, self.seeder_args,
+                                   budget)
+        if not len(seeds):
+            return
+        hs = HspSet(qv, tv, param)
+        hs.seed_batch(seeds)
+        comp = Comparison(qv, tv, dna=hs)
+        if comp.has_hsps:
+            comp.finalise()
+            self._report_comparison(comp)
 
     def _bigseq_progress(self, qv, tv, wordlen: int):
         """The DejaVu level-progress line (ref: DejaVu_traverse,

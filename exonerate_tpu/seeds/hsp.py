@@ -281,7 +281,7 @@ class HspSet:
         """Process a presorted seed list, preferring the native C++
         seeding machine (native/seedlib.cpp) and falling back to the
         per-seed Python path."""
-        if not seeds:
+        if not len(seeds):
             return
         if self.param.filter_threshold or self.is_finalised:
             for q, t in seeds:

@@ -343,3 +343,78 @@ class Seeder:
                           dna=sets.get("dna"),
                           protein=sets.get("protein"),
                           codon=sets.get("codon"))
+
+
+def bigseq_stream_join(hsp_param, query: Sequence, target: Sequence,
+                       args: SeederArgs, budget_bytes: int
+                       ) -> np.ndarray:
+    """Memory-bounded exact-word join for bigseq mode (ref: BSAM +
+    DejaVu linear-memory chromosome scanning, src/hub/bsam.c:142-239,
+    src/struct/dejavu.c).
+
+    The query's surviving words (word-jump applied) become sorted
+    arrays; the target streams through windows sized by the --fsmmemory
+    budget, each window's packed words joining by binary search.  Seed
+    emission order matches _Loader.scan_target exactly (window/target
+    positions ascending, query occurrences LIFO per word), so results
+    are byte-identical to the in-memory path at any budget.
+
+    Returns an [N, 2] int64 array of (query_pos, target_pos) seeds.
+    """
+    match = hsp_param.match
+    loader = _Loader(hsp_param, "dna", args)
+    W = loader.wordlen
+    softmask_q = match.mas.softmask_query
+    softmask_t = match.mas.softmask_target
+    qpacked, qvalid = loader._pack_valid(query, softmask_q)
+    vq = np.nonzero(qvalid)[0]
+    if args.word_jump > 1:
+        vq = vq[::args.word_jump]
+    if query.annotation is not None:
+        keep = [p for p in vq
+                if _word_is_valid(match, query, int(p), W)]
+        vq = np.asarray(keep, dtype=vq.dtype)
+    qwords = qpacked[vq]
+    order = np.argsort(qwords, kind="stable")
+    sw = qwords[order]
+    spos = vq[order].astype(np.int64)
+    uniq, ustart, ucount = np.unique(sw, return_index=True,
+                                     return_counts=True)
+
+    # window length from the budget: ~32 bytes of transient arrays per
+    # target symbol in a window
+    win = max(W * 4, int(budget_bytes // 32))
+    out_q: list[np.ndarray] = []
+    out_t: list[np.ndarray] = []
+    tlen = len(target)
+    start = 0
+    while start < tlen:
+        stop = min(tlen, start + win)
+        sub = target.subseq(start, stop - start)
+        tpacked, tvalid = loader._pack_valid(sub, softmask_t)
+        # windows advance by win-(W-1) bytes, so packable start
+        # positions are contiguous across windows with no duplicates
+        hits = np.nonzero(tvalid)[0]
+        if len(hits):
+            pw = tpacked[hits]
+            ix = np.searchsorted(uniq, pw)
+            ix[ix >= len(uniq)] = len(uniq) - 1
+            m = uniq[ix] == pw
+            hits, ix = hits[m], ix[m]
+        if len(hits):
+            cnt = ucount[ix]
+            total = int(cnt.sum())
+            # per-hit reversed occurrence indices (LIFO emission,
+            # matching the reference's prepend-built seed lists)
+            reps = np.repeat(np.arange(len(hits)), cnt)
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+            occ = ustart[ix][reps] + (cnt[reps] - 1 - offs)
+            out_q.append(spos[occ])
+            out_t.append(np.repeat(
+                hits.astype(np.int64) + start, cnt))
+        start = stop - (W - 1) if stop < tlen else stop
+    if not out_q:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.stack([np.concatenate(out_q),
+                     np.concatenate(out_t)], axis=1)
