@@ -644,8 +644,10 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
     def run(inputs):
         # G diagonals fold into each scan step on TPU, amortizing the
         # sequential-loop overhead (the wavefront engine's unroll trick)
+        import os
         try:
-            G = 8 if jax.default_backend() == "tpu" else 1
+            G = int(os.environ.get("EXONERATE_TPU_SDP_G", "0")) or \
+                (2 if jax.default_backend() == "tpu" else 1)
         except Exception:
             G = 1
         Dg = ((Dp + G - 1) // G) * G

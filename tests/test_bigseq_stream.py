@@ -71,8 +71,13 @@ def test_bigseq_chromosome_scale_rss(tmp_path):
                     qf, tf, "--showvulgar", "yes",
                     "--showalignment", "no"])
     vulgar = [ln for ln in out.splitlines() if ln.startswith("vulgar:")]
-    assert vulgar and " 5000 " in vulgar[0].replace("M 5000 5000",
-                                                    " 5000 ")
+    assert vulgar
+    parts = vulgar[0].split()
+    score = int(parts[9])
+    t0v, t1v = int(parts[6]), int(parts[7])
+    # the alignment must cover the planted 5 kb gene copy
+    assert score >= 24000, vulgar[0]
+    assert t0v <= 7_200_000 and t1v >= 7_205_000, vulgar[0]
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     # word arrays ~160 MB + python/jax baseline; the dict-of-lists path
     # would exceed several GB here
