@@ -421,10 +421,13 @@ class Analysis:
                 return
         if gapped and self._pool is None \
                 and self.gas.use_gapped_extension \
+                and not self.aas.use_bigseq \
                 and self.gam.sdp_device_active():
             # device SDP mode: defer so every comparison's passes share
             # a handful of vmapped device calls; flushed by
-            # _flush_sdp_pool (same completion order -> same bytes)
+            # _flush_sdp_pool (same completion order -> same bytes).
+            # bigseq pairs stay un-deferred: their per-pair progress
+            # lines interleave with results in the reference's order
             self._sdp_pending.append(comparison)
             return
         fn = (self.gam.result_heuristic if gapped

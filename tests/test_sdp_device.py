@@ -170,3 +170,26 @@ def test_est2genome_fuzz(trial):
         hl.append((qs0, ts0, int(r.integers(15, 40)),
                    int(r.integers(80, 300))))
     _run("EST2GENOME", qq, g, hl, margin=int(r.integers(48, 200)))
+
+
+def test_protein2dna_multi_portal_boundary():
+    """protein2dna: no spans/shadows but multiple portals force the
+    boundary protocol; 1:3 advances exercise the contiguity vetoes."""
+    from exonerate_tpu.translate import default_code
+    r = np.random.default_rng(21)
+    dna = "".join(r.choice(list("ACGT"), 600))
+    code = default_code()
+    pep = code.translate(
+        np.frombuffer(dna[90:390].encode(), np.uint8), 1)
+    pep = pep.tobytes().decode().replace("*", "S")
+    _run("PROTEIN2DNA", pep, dna, [(5, 105, 30, 180)],
+         qadv=1, tadv=3, margin=90, qt=PD)
+
+
+def test_coding2coding_frameshifts():
+    r = np.random.default_rng(22)
+    base = "".join(r.choice(list("ACGT"), 500))
+    q = base[:300]
+    t = _mutate(base[40:460], 20)
+    _run("CODING2CODING", q, t, [(30, 5, 45, 220)],
+         qadv=3, tadv=3, margin=120)
