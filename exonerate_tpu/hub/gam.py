@@ -220,15 +220,12 @@ class GAM:
         import os
         from ..engine import sdp_hybrid
         from ..engine.sdp import SdpArgs
-        mode = os.environ.get("EXONERATE_TPU_SDP", "")
-        if mode == "device":
-            use = True
-        elif mode == "":
-            from ..engine import optimal
-            use = optimal._use_pallas_prescan()
-        else:
-            use = False
-        if not use:
+        # opt-in for now: the band scan is byte-exact on device but the
+        # XLA lax.scan execution pays per-step launch overhead (~67k
+        # steps for a 1 Mb scan -> minutes); the host native scheduler
+        # stays the default until the Pallas port of the band scan
+        # lands (PLAN.md round-3 #2)
+        if os.environ.get("EXONERATE_TPU_SDP", "") != "device":
             return False
         args = SdpArgs(self.gas.extension_threshold, self.gas.single_pass)
         return sdp_hybrid.eligible(self.model, args, None)
@@ -284,12 +281,7 @@ class GAM:
         from ..engine.sdp import SDPPair, SdpArgs
         args = SdpArgs(self.gas.extension_threshold,
                        self.gas.single_pass)
-        mode = os.environ.get("EXONERATE_TPU_SDP", "")
-        use_device = mode == "device"
-        if not use_device and mode == "":
-            from ..engine import optimal
-            use_device = optimal._use_pallas_prescan()
-        if use_device:
+        if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
             from ..engine import sdp_hybrid
             if sdp_hybrid.eligible(self.model, args, None):
                 return sdp_hybrid.HybridSDPPair(
