@@ -219,17 +219,30 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             arrays[k] = np.asarray(
                 [p[k] for p in per_pair], np.int32).reshape(B, 1)
     meta["wire"] = tuple(sorted(wire.items()))
-    # largest positive per-step CALC value (calc arrays only — the g*/
-    # shv*/kc* names registered in kinds; not lengths/offsets/shadow
-    # metadata): bounds the max score gain of any path suffix (callers
-    # pop this before building the trace key — it gates the int16 carry
-    # ring, see _ring16_ok)
+    # per-step CALC value bounds (calc arrays only — the g*/shv*/kc*
+    # names registered in kinds; not lengths/offsets/shadow metadata):
+    # maxpos bounds the score gain of any path step, minneg its loss.
+    # Flag-encoded arrays ship as 0/1 masks, so their bound is the wire
+    # CONSTANT, not the array max.  Callers pop these before building
+    # the trace key — they gate the int16 carry ring (_ring16_ok) and
+    # the guard-free arithmetic (_fastneg_ok).
     calc_names = {k for k, kind in kinds if kind != "blocked"}
-    meta["maxpos"] = max(
-        (int(a.max()) for n, a in arrays.items()
-         if a.size and (n in calc_names
-                        or n.split(":")[0] in calc_names)),
-        default=0)
+    maxpos, minneg = 0, 0
+    for n, a in arrays.items():
+        if not a.size or not (n in calc_names
+                              or n.split(":")[0] in calc_names):
+            continue
+        spec = wire.get(n)
+        if spec is not None and spec[0][0] == "flag":
+            lo = hi = int(spec[0][1])
+            hi = max(hi, 0)
+            lo = min(lo, 0)
+        else:
+            lo, hi = int(a.min()), int(a.max())
+        maxpos = max(maxpos, hi)
+        minneg = min(minneg, lo)
+    meta["maxpos"] = maxpos
+    meta["minneg"] = minneg
     return arrays, meta
 
 
@@ -246,6 +259,34 @@ def _ring16_ok(model: Model, Qp: int, Tp: int, maxpos: int) -> bool:
         return False
     return not any(c.shadow_fn is not None or c.pallas_fn is not None
                    for c in model.calcs)
+
+
+# liveness threshold for guard-free arithmetic: real end scores exceed
+# NEG + FASTNEG_MARGIN, dead-path values provably never reach it
+FASTNEG_MARGIN = 1 << 25
+
+
+def _fastneg_ok(Qp: int, Tp: int, maxpos: int, minneg: int) -> bool:
+    """True when per-transition validity guards can be dropped: invalid
+    ring lanes reset to NEG at (masked) load; every other "dead" value is
+    NEG plus a sum of real per-step calcs along some path.  The gates
+    bound that drift so dead values stay inside
+    (int32 min, NEG + FASTNEG_MARGIN) — strictly separated from any
+    reportable score (real scores >= -(D * maxabs) > NEG + margin) and
+    safe from int32 wrap (NEG - D * maxabs - |minneg| > int32 min).
+    Shadow/pallas calc outputs are not visible to these array bounds;
+    build_pallas_wavefront keeps the full guard on exactly those
+    transitions, which also re-pins their dead outputs to NEG."""
+    if os.environ.get("EXONERATE_TPU_KERNEL_FASTNEG", "1") == "0":
+        return False
+    D = Qp + Tp + 1
+    maxabs = max(maxpos, -minneg)
+    # dead ceiling: a path gains positive calc on at most D advancing
+    # steps plus <= 3 silent steps per diagonal (silent chains are
+    # acyclic) — bound with a x4 slack factor
+    return (maxpos * (D + 2) * 4 < (1 << 24)
+            and maxabs <= (1 << 17)
+            and D * maxabs < (4 << 27))
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +404,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                            interpret: bool | None = None,
                            stream: bool = False,
                            shard_mesh=None,
-                           ring16: bool = False):
+                           ring16: bool = False,
+                           fastneg: bool = False):
     """Build fn(flat_arrays) -> {"score": (B,), ...} running the whole
     wavefront in one Pallas kernel.  ``names`` is the sorted flat key
     order of the packed arrays.
@@ -446,8 +488,13 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     # of kernel body size (compile time scales with G).  Path mode and
     # blocked-plane pipelining assume one diagonal per grid step, so G
     # applies only to plain score/region scans.
-    G = int(os.environ.get("EXONERATE_TPU_KERNEL_G", "1"))
-    if mode == "path" or has_blocked or G < 1:
+    # default: 4 diagonals per grid step on hardware (register reuse
+    # across the group cuts ring traffic ~2.5x); 1 under interpret so
+    # CPU parity tests trace a small body — G only changes scheduling,
+    # never results, and an explicit G-parity test covers G=4
+    G = int(os.environ.get("EXONERATE_TPU_KERNEL_G",
+                           "1" if interpret else "4"))
+    if mode == "path" or has_blocked or stream or G < 1:
         G = 1
     n_steps = (D + G - 1) // G
     # names carrying a VLEN axis (reversed target vectors): streamed
@@ -487,7 +534,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     env_ladder = os.environ.get("EXONERATE_TPU_KERNEL_LADDER", "1")
     ladder = None
     if not has_blocked and not stream and QV >= 512 and env_ladder != "0":
-        if mode == "score":
+        if mode == "score" or (mode == "region"
+                               and env_ladder == "dyn-all"):
             ladder = "dyn"
         elif env_ladder != "dyn-only":
             ladder = "static"
@@ -542,6 +590,11 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 lanes_ring[...] = jnp.zeros(lanes_ring.shape, jnp.int32)
 
         def _step(wl, i_base):
+            # regs[g] = (scores, lanes) planes of diagonal pid*G + g:
+            # later diagonals of the SAME grid step read their sources
+            # from these SSA values instead of re-loading the VMEM ring
+            # (the dominant bandwidth saving of G-grouped steps)
+            regs = []
             for _g in range(G):
                 d = pid * G + _g
                 if stream_names:
@@ -558,8 +611,9 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                         cps.append(cp)
                     for cp in cps:
                         cp.wait()
-                _one_diagonal(d, in_refs, windows, ring, bestp,
-                              lanes_ring, tb_ref, wl, i_base)
+                regs.append(_one_diagonal(
+                    d, _g, regs, in_refs, windows, ring, bestp,
+                    lanes_ring, tb_ref, wl, i_base))
 
         if not windowed:
             _step(QV, 0)
@@ -618,8 +672,10 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
             tie2 = tie & (jb == jmin[:, None])
             ii = jax.lax.broadcasted_iota(jnp.int32, (B, LDIM), 1) - FO
             imin = jnp.min(jnp.where(tie2, ii, BIG), axis=1)
-            found = m > NEG
-            out_refs[0][...] = m
+            # under fastneg, dead-path values exceed NEG but never the
+            # margin threshold; report exactly NEG for no-alignment
+            found = m > (NEG + FASTNEG_MARGIN if fastneg else NEG)
+            out_refs[0][...] = jnp.where(found, m, NEG)
             out_refs[1][...] = jnp.where(found, imin, 0)
             out_refs[2][...] = jnp.where(found, jmin, 0)
             if want_region:
@@ -633,8 +689,8 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 out_refs[3][...] = jnp.where(found, qs, 0)
                 out_refs[4][...] = jnp.where(found, ts, 0)
 
-    def _one_diagonal(d, in_refs, windows, ring, bestp, lanes_ring,
-                      tb_ref, wl, i_base):
+    def _one_diagonal(d, g_off, regs, in_refs, windows, ring, bestp,
+                      lanes_ring, tb_ref, wl, i_base):
         # wl/i_base: static ladder width + traced 128-aligned window
         # start picked per grid step (full width when not windowed).
         # Logical i lives at mem index i + FO; the FO front-pad lanes
@@ -718,18 +774,50 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
         tb_c = [None] * S
         ring_memo: dict = {}    # transitions share (input, adv, aq) reads
         calc_memo: dict = {}    # stereo twins share calc+advances
+        mask_memo: dict = {}    # (aq, at) -> source-validity mask
+        sisj_memo: dict = {}
+
+        def adv_mask(aq, at):
+            m = mask_memo.get((aq, at))
+            if m is None:
+                m = cell_ok
+                if aq:
+                    m = (i >= aq) & m
+                if at:
+                    m = (j >= at) & m
+                mask_memo[(aq, at)] = m
+            return m
+
+        def si_of(aq):
+            if aq not in sisj_memo:
+                sisj_memo[aq] = i - aq if aq else i
+            return sisj_memo[aq]
+
+        def sj_of(at):
+            key = ("t", at)
+            if key not in sisj_memo:
+                sisj_memo[key] = j - at if at else j
+            return sisj_memo[key]
 
         for plan_id, p in enumerate(plan):
             t = p["t"]
             aq, at = t.advance_query, t.advance_target
             adv = aq + at
-            si, sj = i - aq, j - at
-            src_ok = (si >= 0) & (sj >= 0) & cell_ok
+            si, sj = si_of(aq), sj_of(at)
             inp, out = t.input, t.output
             src_l = [zero_plane] * L
+            guarded = (not fastneg or p["shkey"] is not None
+                       or p["pallas_ci"] is not None)
+            src_ok = None
+            if guarded:
+                src_ok = adv_mask(aq, at)
             if inp is start_state:
-                src_ok = src_ok & _scope_mask_start(
-                    model.start_state.scope, si, sj)
+                smask = adv_mask(aq, at)
+                if model.start_state.scope != Scope.ANYWHERE:
+                    smask = smask & _scope_mask_start(
+                        model.start_state.scope, si, sj)
+                if guarded:
+                    src_ok = smask
                 base = zero_plane
             else:
                 if adv == 0:
@@ -743,23 +831,52 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 elif (inp.id, adv, aq) in ring_memo:
                     base, src_l = ring_memo[(inp.id, adv, aq)]
                 else:
-                    slot = jnp.remainder(d - adv, R)
-                    base = (neg_plane if "noring" in ablate
-                            else rload(ring, slot, ring_row[inp.id]))
-                    if L:
-                        src_l = [
-                            (rload(lanes_ring, slot,
-                                   lane_row[(inp.id, ln)])
-                             if (inp.id, ln) in lane_row else zero_plane)
-                            for ln in range(L)]
+                    src_g = g_off - adv
+                    loaded = False
+                    if src_g >= 0:
+                        # in-register source: computed earlier in this
+                        # same grid step, no VMEM ring traffic.  Under
+                        # fastneg its invalid cells already hold
+                        # dead (< NEG + margin) values, so no re-mask.
+                        r_sc, r_ln = regs[src_g]
+                        base = (neg_plane if r_sc[inp.id] is None
+                                else r_sc[inp.id])
+                        if L:
+                            src_l = [(zero_plane
+                                      if r_ln[inp.id][ln] is None
+                                      else r_ln[inp.id][ln])
+                                     for ln in range(L)]
+                    else:
+                        slot = jnp.remainder(d - adv, R)
+                        base = (neg_plane if "noring" in ablate
+                                else rload(ring, slot,
+                                           ring_row[inp.id]))
+                        if L:
+                            src_l = [
+                                (rload(lanes_ring, slot,
+                                       lane_row[(inp.id, ln)])
+                                 if (inp.id, ln) in lane_row
+                                 else zero_plane)
+                                for ln in range(L)]
+                        loaded = True
                     if aq > 0:
                         base = shift_q(base, aq, NEG)
                         src_l = [shift_q(v, aq, 0) for v in src_l]
+                    if fastneg and loaded:
+                        # one masked load (in the DEST frame, after the
+                        # q-shift) replaces the dropped per-transition
+                        # validity guards: stale / out-of-rectangle
+                        # ring lanes reset to NEG
+                        base = jnp.where(adv_mask(aq, at), base, NEG)
                     ring_memo[(inp.id, adv, aq)] = (base, src_l)
-            if out is end_state:
-                src_ok = src_ok & _scope_mask_end(
+            end_mask = None
+            if out is end_state and \
+                    model.end_state.scope != Scope.ANYWHERE:
+                end_mask = _scope_mask_end(
                     model.end_state.scope, i, j, qlen, tlen)
-            if p["is_match"] and blk is not None:
+                if guarded:
+                    src_ok = src_ok & end_mask
+            if p["is_match"] and blk is not None and guarded:
                 src_ok = src_ok & ~blk
             if p["key"] is None or "nocalc" in ablate:
                 calc = jnp.zeros((), jnp.int32)
@@ -819,26 +936,31 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                     for n in names if n.startswith(p["shkey"] + "/")}
                 calc = t.calc.shadow_fn(jnp, calc, svals, sh_inputs,
                                         si + qstart, sj + tstart)
-            val = base + calc
+            if not guarded and inp is start_state:
+                # guard-free start: the scope/validity mask folds into
+                # the value itself (dead = NEG, see _fastneg_ok)
+                val = jnp.where(smask, calc, NEG)
+            else:
+                val = base + calc
             if t.calc is not None:
                 if t.calc.protect & Protect.UNDERFLOW:
                     val = jnp.maximum(val, NEG)
                 if t.calc.protect & Protect.OVERFLOW:
                     val = jnp.minimum(val, IMPOSSIBLY_HIGH_SCORE)
-            val = jnp.maximum(val, NEG)
-            if inp is start_state:
-                val = jnp.where(src_ok, val, NEG)
+            if guarded:
+                val = jnp.maximum(val, NEG)
+                if inp is start_state:
+                    val = jnp.where(src_ok, val, NEG)
+                else:
+                    val = jnp.where(src_ok & (base > NEG), val, NEG)
             else:
-                val = jnp.where(src_ok & (base > NEG), val, NEG)
-            cur = scores[out.id] if scores[out.id] is not None \
-                else neg_plane
-            take = (val > cur) & src_ok
-            scores[out.id] = jnp.where(take, val, cur)
-            if want_path:
-                old_tb = (tb_c[out.id] if tb_c[out.id] is not None
-                          else zero_plane)
-                tb_c[out.id] = jnp.where(take, plan_id + 1, old_tb)
-            if L:
+                if end_mask is not None:
+                    val = jnp.where(end_mask, val, NEG)
+                if p["is_match"] and blk is not None:
+                    val = jnp.where(blk, NEG, val)
+            cur = scores[out.id]
+            new_l = None
+            if L and live[out.id]:
                 new_l = list(src_l)
                 for desig, kind, veckey in p["start_lanes"]:
                     if veckey is not None:
@@ -852,11 +974,38 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                     else:
                         new_l[rs_q] = si
                         new_l[rs_t] = sj
-                for ln in sorted(live[out.id]):   # dead lanes stay None
-                    old = (lanes_c[out.id][ln]
-                           if lanes_c[out.id][ln] is not None
-                           else zero_plane)
-                    lanes_c[out.id][ln] = jnp.where(take, new_l[ln], old)
+            if cur is None and not guarded:
+                # first writer of this state: take the value plane
+                # whole — no merge against neg_plane needed (dead
+                # cells hold dead values below NEG + margin, which is
+                # equivalent to NEG under fastneg)
+                scores[out.id] = (val if val.ndim
+                                  else jnp.broadcast_to(val, (B, wl)))
+                if want_path:
+                    tb_c[out.id] = jnp.full((B, wl), plan_id + 1,
+                                            jnp.int32)
+                if new_l is not None:
+                    for ln in sorted(live[out.id]):
+                        lanes_c[out.id][ln] = new_l[ln]
+                continue
+            if cur is None:
+                cur = neg_plane
+            if want_path or (new_l is not None):
+                take = val > cur
+                scores[out.id] = jnp.where(take, val, cur)
+                if want_path:
+                    old_tb = (tb_c[out.id] if tb_c[out.id] is not None
+                              else zero_plane)
+                    tb_c[out.id] = jnp.where(take, plan_id + 1, old_tb)
+                if new_l is not None:
+                    for ln in sorted(live[out.id]):
+                        old = (lanes_c[out.id][ln]
+                               if lanes_c[out.id][ln] is not None
+                               else zero_plane)
+                        lanes_c[out.id][ln] = jnp.where(
+                            take, new_l[ln], old)
+            else:
+                scores[out.id] = jnp.maximum(val, cur)
 
         if want_path:
             for pi in range(P):
@@ -909,17 +1058,20 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                                       lanes_c[end_state.id][rs_t],
                                       bwin(3)))
 
-        # write the new diagonal into the ring (live slots only)
-        if "nostore" in ablate:
-            return
-        slot = jnp.remainder(d, R)
-        for s in ring_states:
-            rstore(ring, slot, ring_row[s],
-                   neg_plane if scores[s] is None else scores[s])
-        for (s, ln) in lane_slots:
-            v = lanes_c[s][ln] if scores[s] is not None else None
-            rstore(lanes_ring, slot, lane_row[(s, ln)],
-                   zero_plane if v is None else v)
+        # write the new diagonal into the ring (live slots only); the
+        # first G-K diagonals of a grid step are consumed exclusively
+        # in-register by later diagonals of the same step, so only the
+        # last K need to reach VMEM for the next grid step
+        if "nostore" not in ablate and g_off >= G - K:
+            slot = jnp.remainder(d, R)
+            for s in ring_states:
+                rstore(ring, slot, ring_row[s],
+                       neg_plane if scores[s] is None else scores[s])
+            for (s, ln) in lane_slots:
+                v = lanes_c[s][ln] if scores[s] is not None else None
+                rstore(lanes_ring, slot, lane_row[(s, ln)],
+                       zero_plane if v is None else v)
+        return scores, lanes_c
 
     n_best = 5 if want_region else 3
     scratch_shapes = [pltpu.VMEM((R, NR, B, LDIM),
@@ -1169,16 +1321,19 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
                 use_stream = vbytes > STREAM_VMEM_BYTES
             else:
                 use_stream = stream
-            ring16 = _ring16_ok(model, Qp, Tp, meta.pop("maxpos", 0))
+            maxpos = meta.pop("maxpos", 0)
+            minneg = meta.pop("minneg", 0)
+            ring16 = _ring16_ok(model, Qp, Tp, maxpos)
+            fastneg = _fastneg_ok(Qp, Tp, maxpos, minneg)
             meta_key = tuple(sorted(meta.items()))
             key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-                   bool(interpret), use_stream, ring16)
+                   bool(interpret), use_stream, ring16, fastneg)
             fn = _CACHE.get(key)
             if fn is None:
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, mode, kinds, meta, names,
                     interpret=interpret, stream=use_stream,
-                    ring16=ring16)
+                    ring16=ring16, fastneg=fastneg)
             stats = np.asarray(fn(_put_cached(flat))["out"])
             res = dict(zip(fn.out_keys, stats))   # one fetch per call
             zeros = np.zeros(len(per_pair), np.int32)
@@ -1227,16 +1382,19 @@ def find_batched_sharded(model: Model, jobs: list, mesh,
             arrays, meta = pack_batched_inputs(model, per_pair, kinds,
                                                Qp, Tp)
             flat, names = _flatten(arrays)
-            ring16 = _ring16_ok(model, Qp, Tp, meta.pop("maxpos", 0))
+            maxpos = meta.pop("maxpos", 0)
+            minneg = meta.pop("minneg", 0)
+            ring16 = _ring16_ok(model, Qp, Tp, maxpos)
+            fastneg = _fastneg_ok(Qp, Tp, maxpos, minneg)
             meta_key = tuple(sorted(meta.items()))
             key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
-                   bool(interpret), "mesh", id(mesh), ring16)
+                   bool(interpret), "mesh", id(mesh), ring16, fastneg)
             fn = _CACHE.get(key)
             if fn is None:
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, mode, kinds, meta, names,
                     interpret=interpret, stream=False, shard_mesh=mesh,
-                    ring16=ring16)
+                    ring16=ring16, fastneg=fastneg)
             stats = np.asarray(
                 fn(tuple(jnp.asarray(a) for a in flat))["out"])
             res = dict(zip(fn.out_keys, stats))
@@ -1364,15 +1522,19 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
             arrays, meta = pack_batched_inputs(model, per_pair, kinds,
                                                Qp, Tp)
             flat, names = _flatten(arrays)
-            ring16 = _ring16_ok(model, Qp, Tp, meta.pop("maxpos", 0))
+            maxpos = meta.pop("maxpos", 0)
+            minneg = meta.pop("minneg", 0)
+            ring16 = _ring16_ok(model, Qp, Tp, maxpos)
+            fastneg = _fastneg_ok(Qp, Tp, maxpos, minneg)
             meta_key = tuple(sorted(meta.items()))
             key = (id(model), Qp, Tp, "path", kinds, meta_key, names,
-                   bool(interpret), False, ring16)
+                   bool(interpret), False, ring16, fastneg)
             fn = _CACHE.get(key)
             if fn is None:
                 fn = _CACHE[key] = build_pallas_wavefront(
                     model, Qp, Tp, "path", kinds, meta, names,
-                    interpret=interpret, stream=False, ring16=ring16)
+                    interpret=interpret, stream=False, ring16=ring16,
+                    fastneg=fastneg)
             res = fn(_put_cached(flat))
             stats_dev = res["out"]       # (3, B): score, qe, te
             cap = n_steps + 256

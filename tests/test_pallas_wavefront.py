@@ -307,3 +307,26 @@ def test_static_ladder_region_and_path_parity():
         (refp.score, refp.query_start, refp.target_start,
          refp.query_end, refp.target_end)
     assert [t.name for t in g.path] == [t.name for t in refp.path]
+
+
+def test_grouped_steps_and_guarded_parity(monkeypatch):
+    """G=4 grid steps exercise the cross-diagonal register-reuse path
+    (sources read from in-step SSA values, ring stores skipped for the
+    first G-K diagonals); EXONERATE_TPU_KERNEL_FASTNEG=0 exercises the
+    fully-guarded arithmetic.  Both must match the XLA engine,
+    including on the static opening ladder (bucket 512)."""
+    from exonerate_tpu.model.est2genome import est2genome_create
+    calm = _calm()
+    model = est2genome_create()
+    data = AlignData(calm, calm)
+    jobs = [(Region(0, 0, 400, 520), data),
+            (Region(40, 10, 80, 150), data)]
+    ref = wavefront.find_region_batched(model, jobs)
+    for g, fneg in (("4", "1"), ("2", "0")):
+        monkeypatch.setenv("EXONERATE_TPU_KERNEL_G", g)
+        monkeypatch.setenv("EXONERATE_TPU_KERNEL_FASTNEG", fneg)
+        pallas_wavefront._CACHE.clear()
+        got = pallas_wavefront.find_batched(model, jobs, "region",
+                                            interpret=True)
+        assert ref == got, (g, fneg)
+    pallas_wavefront._CACHE.clear()

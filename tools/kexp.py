@@ -52,26 +52,30 @@ def main():
     cells = region.query_length * region.target_length
 
     ring16 = pw._ring16_ok(model, Qp, Tp, meta.get("maxpos", 0))
-    print(f"ring16 gate: {ring16}")
+    fastneg = pw._fastneg_ok(Qp, Tp, meta.get("maxpos", 0),
+                             meta.get("minneg", 0))
+    print(f"ring16 gate: {ring16}  fastneg gate: {fastneg}")
 
     def run(tag, ablate="", g=None, reps=4, m=None, stream=False,
-            r16=None):
+            r16=None, fn_=None):
         os.environ["EXONERATE_TPU_KERNEL_ABLATE"] = ablate
         if g is not None:
             os.environ["EXONERATE_TPU_KERNEL_G"] = str(g)
         fn = pw.build_pallas_wavefront(model, Qp, Tp, m or mode, kinds,
                                        meta, names, stream=stream,
                                        ring16=ring16 if r16 is None
-                                       else r16)
+                                       else r16,
+                                       fastneg=fastneg
+                                       if fn_ is None else fn_)
         t0 = time.perf_counter()
         r = fn(dev)
-        s = np.asarray(r["score"])
+        s = np.asarray(r["out"])[fn.out_keys.index("score")]
         tc = time.perf_counter() - t0
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             r = fn(dev)
-            np.asarray(r["score"])
+            np.asarray(r["out"])
             times.append(time.perf_counter() - t0)
         ms = min(times) * 1e3 / B
         gcups = cells / (ms / 1e3) / 1e9
@@ -95,6 +99,10 @@ def main():
             run(v, "", g=g, m="score")
         elif ab == "ring32":
             run(v, "", g=g, r16=False)
+        elif ab == "nofastneg":
+            run(v, "", g=g, fn_=False)
+        elif ab == "scorefast":
+            run(v, "", g=g, m="score", fn_=True)
         else:
             run(v, ab, g=g)
 
