@@ -103,6 +103,14 @@ def main():
             run(v, "", g=g, fn_=False)
         elif ab == "scorefast":
             run(v, "", g=g, m="score", fn_=True)
+        elif ab == "dynall":
+            os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "dyn-all"
+            run(v, "", g=g)
+            os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "1"
+        elif ab == "noladder":
+            os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "0"
+            run(v, "", g=g)
+            os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "1"
         else:
             run(v, ab, g=g)
 
