@@ -50,10 +50,6 @@ def main():
     # over a batch of pairs — the same engine optimal.find_path uses for
     # its reduced-space pre-scan on TPU.
     import os
-    # G=1 measured best once per-call host-link costs were cut (the
-    # earlier G=2 pick was dominated by transfer noise): 1.97 ms/pair
-    # vs 2.44 at G=2 on v5e (tools/kexp.py)
-    os.environ.setdefault("EXONERATE_TPU_KERNEL_G", "1")
     from exonerate_tpu.engine import pallas_wavefront
     B, reps = 64, 6
     jobs = [(region, data)] * B

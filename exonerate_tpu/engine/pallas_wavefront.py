@@ -177,7 +177,7 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             # share one trace (each distinct C retraces the kernel's
             # C-way select chain); padded classes select nothing
             C = len(union)
-            for rung in (5, 8, 12, 16, 20, 25):
+            for rung in (4, 5, 8, 12, 16, 20, 25):
                 if C <= rung:
                     C = rung
                     break
@@ -185,6 +185,12 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             while len(union) < C:
                 union.append(union[-1] if union else 0)
             meta[key] = C
+            # ambiguous-query override plane: omitted when all-zero
+            # (the common clean-sequence case — saves a plane load and
+            # a select per diagonal in the kernel)
+            has_ov = any(bool(np.any(p[key]["q_override_s"]))
+                         for p in per_pair)
+            meta[key + ":ov"] = has_ov
             # one (B, QV) plane per class: a lane-minor (B, QV, C)
             # array would force a relayout on every in-kernel slice
             P = np.stack(
@@ -195,9 +201,10 @@ def pack_batched_inputs(model: Model, per_pair: list[dict], kinds: tuple,
             add(key + ":tj",
                 np.stack([remap[p[key]["t_idx"]] for p in per_pair]),
                 rev=True)                                  # (B, Tp+1)
-            add(key + ":ov",
-                np.stack([pad_i(p[key]["q_override_s"])
-                          for p in per_pair]), rev=False)  # (B, QV)
+            if has_ov:
+                add(key + ":ov",
+                    np.stack([pad_i(p[key]["q_override_s"])
+                              for p in per_pair]), rev=False)  # (B, QV)
         elif kind == "tvec":
             add(key, np.stack([p[key] for p in per_pair]), rev=True)
         elif kind == "qvec":
@@ -488,12 +495,12 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     # of kernel body size (compile time scales with G).  Path mode and
     # blocked-plane pipelining assume one diagonal per grid step, so G
     # applies only to plain score/region scans.
-    # default: 4 diagonals per grid step on hardware (register reuse
-    # across the group cuts ring traffic ~2.5x); 1 under interpret so
-    # CPU parity tests trace a small body — G only changes scheduling,
-    # never results, and an explicit G-parity test covers G=4
-    G = int(os.environ.get("EXONERATE_TPU_KERNEL_G",
-                           "1" if interpret else "4"))
+    # G=1 measured best on v5e despite the register-reuse traffic
+    # savings at G>1 (tools/kexp.py round 2: g1 1.19 ms/pair vs g4
+    # 1.93, g2 2.21 — the grouped body's live SSA set defeats Mosaic's
+    # scheduling, and g4 compiles in 795 s vs 23 s).  The machinery
+    # stays (correct, parity-tested) for future Mosaic versions.
+    G = int(os.environ.get("EXONERATE_TPU_KERNEL_G", "1"))
     if mode == "path" or has_blocked or stream or G < 1:
         G = 1
     n_steps = (D + G - 1) // G
@@ -531,11 +538,16 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
     #   half the diagonals of a square pair); those steps slice every
     #   plane with STATIC starts, so the lane savings come free.  The
     #   closing triangle runs full width.
+    # the dynamic window originally regressed region mode (the ~26
+    # lane-plane accesses per diagonal made its dynamic starts a net
+    # loss, commit fd2a487); after the round-2 op diet it wins there
+    # too (tools/kexp.py: 1.14 vs 1.26 ms/pair at 2175^2 B=64), so
+    # score AND region default to dyn and only path keeps the static
+    # opening ladder (its tb walk-back needs the unshifted frame).
     env_ladder = os.environ.get("EXONERATE_TPU_KERNEL_LADDER", "1")
     ladder = None
     if not has_blocked and not stream and QV >= 512 and env_ladder != "0":
-        if mode == "score" or (mode == "region"
-                               and env_ladder == "dyn-all"):
+        if mode in ("score", "region") and env_ladder != "static-only":
             ladder = "dyn"
         elif env_ladder != "dyn-only":
             ladder = "static"
@@ -892,8 +904,10 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                         g = jnp.where(tj == c,
                                       iload(in_refs[p["key"] + f":P{c}"]),
                                       g)
-                    ov = iload(in_refs[p["key"] + ":ov"])
-                    calc = jnp.where(ov != 0, ov, g)
+                    if meta.get(p["key"] + ":ov", True):
+                        ov = iload(in_refs[p["key"] + ":ov"])
+                        g = jnp.where(ov != 0, ov, g)
+                    calc = g
                 elif kind == "tvec":
                     calc = tslice(p["key"], at)
                 elif kind == "qvec":
@@ -1071,7 +1085,16 @@ def build_pallas_wavefront(model: Model, Qp: int, Tp: int, mode: str,
                 v = lanes_c[s][ln] if scores[s] is not None else None
                 rstore(lanes_ring, slot, lane_row[(s, ln)],
                        zero_plane if v is None else v)
-        return scores, lanes_c
+        # prune the register hand-off to what later diagonals of this
+        # grid step can actually read (= the ring row / lane slot sets)
+        # so Mosaic's live SSA set stays at ring size
+        reg_sc = [scores[s] if s in ring_row else None
+                  for s in range(S)]
+        reg_ln = [[(lanes_c[s][ln] if ((s, ln) in lane_row
+                                       and scores[s] is not None)
+                    else None) for ln in range(L)]
+                  for s in range(S)]
+        return reg_sc, reg_ln
 
     n_best = 5 if want_region else 3
     scratch_shapes = [pltpu.VMEM((R, NR, B, LDIM),
