@@ -45,7 +45,14 @@ def _gff_line(alignment, query, target, on_query: bool, feature: str,
 def _percent_region(alignment: Alignment, data, report_id: bool,
                     q_lo: int, q_hi: int) -> float:
     """identity/similarity restricted to a query range
-    (ref: Alignment_get_percent_score_region, alignment.c:1524-1533)."""
+    (ref: Alignment_get_percent_score_region, alignment.c:1524-1533).
+
+    The query range is INCLUSIVE of ``q_hi``: the reference's region
+    walkers stop only once ``query_pos > exon_query_end``
+    (alignment.c:1495-1520), so a MATCH unit starting exactly at the
+    exon-end query position (e.g. the first base of the next exon when
+    only a target-advancing intron intervenes) is counted in this
+    exon's identity/similarity stats."""
     from ..engine.reference import _materialize_grids, _grid_value
     code = data.mas.translate
     total = match = 0
@@ -57,7 +64,7 @@ def _percent_region(alignment: Alignment, data, report_id: bool,
         for k in range(op.length):
             cq = qp + t.advance_query * k
             ct = tp + t.advance_target * k
-            if not (q_lo <= cq < q_hi):
+            if not (q_lo <= cq <= q_hi):
                 continue
             total += 1
             if report_id:

@@ -1,0 +1,799 @@
+"""Pallas-fused SDP band scan: the default heuristic's DP in ONE kernel.
+
+(ref: src/sdp/scheduler.c:700-1100 ``Scheduler_Cell_process``; the
+driving walk src/sdp/sdp.c:743-814.)
+
+Replaces engine/sdp_device.py's per-diagonal ``lax.scan`` (byte-parity
+proven, but dispatch-bound: ~67k sequential XLA steps for a 1 Mb
+comparison cost ~641 s where the arithmetic is worth ~2 s) with the
+fused-kernel structure of pallas_wavefront.py: every compressed-target
+diagonal of the reverse AND forward band passes runs inside two
+``pallas_call``s per batch — carry rings in VMEM, reversed-vector
+diagonal slicing via 128-aligned windows + ``pltpu.roll``, and the
+boundary bit-planes handed from the reverse to the forward kernel as a
+31-diagonals-per-int32 packed HBM array (written/read via revisited
+grid blocks, so no cross-lane packing is ever needed).
+
+Semantics are mirrored step-for-step from sdp_device.build_pass:
+
+- candidate order (advance_target desc, advance_query desc, reverse
+  model position), strict-> replacement, silent sweep after the
+  advancing merge (ref: scheduler.c:887-888, 1048-1051);
+- per-path maximum (pmax) lanes, dropoff pruning, forward kill of
+  negative cells, protect clamps (ref: scheduler.c:1008-1051);
+- span freeze/thaw with per-query-column stored/curr registers
+  (ref: scheduler.h:111-129, scheduler.c:567-645);
+- reverse pass scores shadowed transitions as 0 and emits boundary
+  cells (start-state >= 0 or span-state > 0, ref: scheduler.c:965-1000)
+  consumed as the forward pass's injection rows;
+- edge-liveness and cross-locus-thaw safety flags (any trip falls the
+  comparison back to the host native scheduler via sdp_hybrid, so byte
+  parity never depends on this kernel).
+
+Per-band end scores are accumulated as a per-column best plane kept in
+the reversed-vector frame (one windowed max per diagonal); the XLA
+wrapper flips it back and the host segment-reduces per locus.
+
+Boundary-mode models only (``model_uses_boundary`` — est2genome and the
+spliced/translated zoo); non-boundary models (plain affine/ungapped
+heuristics) stay on the XLA scan / host native path.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model.ir import (IMPOSSIBLY_LOW_SCORE, IMPOSSIBLY_HIGH_SCORE,
+                        Model, Protect)
+from . import sdp_bands, sdp_device
+from .sdp_device import _plan_transitions, _span_plan
+
+NEG = IMPOSSIBLY_LOW_SCORE
+POS = IMPOSSIBLY_HIGH_SCORE
+
+_INTERPRET = False          # set True in tests to run the kernel on CPU
+
+# diagonals packed per int32 word of the boundary-bits plane (31 keeps
+# every shift off the sign bit)
+DPW = 31
+
+MAX_SEED_LAYERS = 4
+
+
+def _qv(Qp: int) -> int:
+    return -(-(Qp + 1) // 128) * 128
+
+
+def kernel_supported(model: Model, use_boundary: bool,
+                     n_layers: int) -> bool:
+    """Is the fused kernel applicable?  (Callers additionally require
+    sdp_device.supported(model).)"""
+    if not use_boundary:
+        return False            # track_sid attribution not implemented
+    if n_layers > MAX_SEED_LAYERS:
+        return False
+    return not any(c.pallas_fn is not None for c in model.calcs)
+
+
+def count_seed_layers(pair, plan) -> int:
+    """Max seeds sharing one compressed column (= seed-vector layers)."""
+    from collections import Counter
+    cnt = Counter()
+    band_ix = 0
+    for s in pair.seeds:
+        while not (plan.bands[band_ix].t0 <= s.t_cobs
+                   <= plan.bands[band_ix].t1):
+            band_ix += 1
+        cnt[plan.to_v(band_ix, s.t_cobs)] += 1
+    return max(cnt.values(), default=1)
+
+
+def prepare_kernel_inputs(model: Model, pair, plan, Qp: int, Wp: int,
+                          n_layers: int):
+    """Compact host arrays (flat name->array) + static meta.
+
+    Reuses sdp_device.prepare_inputs for the calc/coordinate vectors so
+    the kernel sees byte-identical content to the XLA scan, then adds
+    the kernel-only derived forms: factored per-class q-planes,
+    per-advance contiguity masks, and column-indexed seed layers."""
+    inputs, kinds = sdp_device.prepare_inputs(model, pair, plan,
+                                              pad_to=(Qp, Wp))
+    kind_map = dict(kinds)
+    flat: dict = {}
+    meta: dict = {}
+    tnames: list = []           # W-axis names: device flip+pad
+    for ci, c in enumerate(model.calcs):
+        key = f"c{ci}"
+        kind = kind_map.get(key)
+        if kind == "qt":
+            flat[key + ":q"] = np.asarray(inputs[key]["q"], np.int32)
+            flat[key + ":t"] = np.asarray(inputs[key]["t"], np.int32)
+            tnames.append(key + ":t")
+        elif kind == "factored":
+            v = inputs[key]
+            C = int(v["table"].shape[1])
+            meta[key] = C
+            qi = np.asarray(v["q_idx"])
+            for cc in range(C):
+                flat[f"{key}:P{cc}"] = np.asarray(v["table"])[
+                    qi, cc].astype(np.int32)
+            flat[key + ":tj"] = np.asarray(v["t_idx"], np.int32)
+            tnames.append(key + ":tj")
+            qo = np.asarray(v["q_over"], np.int32)
+            has_ov = bool(qo.any())
+            meta[key + ":ov"] = has_ov
+            if has_ov:
+                flat[key + ":ov"] = qo
+        elif kind == "scalar":
+            flat[key] = np.asarray(inputs[key], np.int32).reshape(1)
+        elif kind == "qvec":
+            flat[key] = np.asarray(inputs[key], np.int32)
+        elif kind == "tvec":
+            flat[key] = np.asarray(inputs[key], np.int32)
+            tnames.append(key)
+        if f"sh{ci}" in inputs:
+            for n2, v2 in sorted(inputs[f"sh{ci}"].items()):
+                flat[f"sh{ci}/{n2}"] = np.asarray(v2,
+                                                  np.int32).reshape(1)
+    for sx in range(len(model.shadows)):
+        if f"shv{sx}" in inputs:
+            flat[f"shv{sx}"] = np.asarray(inputs[f"shv{sx}"], np.int32)
+            tnames.append(f"shv{sx}")
+    flat["_abs_t"] = np.asarray(inputs["_abs_t"], np.int32)
+    tnames.append("_abs_t")
+    flat["_edge"] = np.asarray(inputs["_edge"], np.int32)
+    tnames.append("_edge")
+    flat["_seg"] = np.asarray(inputs["_seg"], np.int32)
+    tnames.append("_seg")
+    flat["_qlen"] = np.asarray(inputs["_qlen"], np.int32).reshape(1)
+    flat["_wlen"] = np.asarray(inputs["_wlen"], np.int32).reshape(1)
+    W = plan.W
+    for at in sorted({t.advance_target for t in model.transitions
+                      if t.advance_target}):
+        m = np.zeros(Wp + 1, np.int32)
+        m[:W + 1] = sdp_bands.contig_mask(plan.abs_t,
+                                          at).astype(np.int32)
+        flat[f"_contig{at}"] = m
+        tnames.append(f"_contig{at}")
+    # column-indexed seed layers: the reverse pass injects
+    # sc[end][q] = hsp_score >> 1 at (q_cobs, v_cobs); at diagonal d the
+    # lane i reads column v = d - i, so the hit condition
+    # seed_q[v] == i fires exactly at d = q + v — no per-diagonal
+    # scatter needed.  q is stored +1 so the device pad (zeros) can
+    # never match a lane.  (ref: seed list sdp.c:439-494)
+    by_v: dict = {}
+    band_ix = 0
+    for s in pair.seeds:
+        while not (plan.bands[band_ix].t0 <= s.t_cobs
+                   <= plan.bands[band_ix].t1):
+            band_ix += 1
+        v = plan.to_v(band_ix, s.t_cobs)
+        slot = by_v.setdefault(v, {})
+        q = s.q_cobs
+        half = s.hsp_score >> 1
+        slot[q] = max(slot.get(q, NEG), half)
+    need = max((len(d) for d in by_v.values()), default=1)
+    assert need <= n_layers, (need, n_layers)
+    sq = np.zeros((n_layers, Wp + 1), np.int32)
+    sv = np.zeros((n_layers, Wp + 1), np.int32)
+    for v, dd in by_v.items():
+        for lx, (q, val) in enumerate(sorted(dd.items())):
+            sq[lx, v] = q + 1
+            sv[lx, v] = val
+    for lx in range(n_layers):
+        flat[f"_seedq{lx}"] = sq[lx]
+        tnames.append(f"_seedq{lx}")
+        flat[f"_seedv{lx}"] = sv[lx]
+        tnames.append(f"_seedv{lx}")
+    meta["n_layers"] = n_layers
+    meta["tnames"] = tuple(sorted(tnames))
+    return flat, kinds, meta
+
+
+def _ring_plan(model: Model, is_forward: bool):
+    """States needing carry-ring rows = inputs of advancing candidates
+    in this pass direction."""
+    adv_plan, _ = _plan_transitions(model, is_forward)
+    ring_states = sorted({e["read"] for e in adv_plan})
+    return ring_states
+
+
+def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
+                     names: tuple, meta: dict, B: int, dropoff: int,
+                     interpret: bool | None = None):
+    """fn(flat_tuple) -> {"colbest": (B, Wp+1), "live": (B,),
+    "xband": (B,)} — colbest[b, v] = best forward end score whose end
+    cell lies in compressed column v (NEG where none)."""
+    if interpret is None:
+        interpret = _INTERPRET
+    S = len(model.states)
+    n_sh = model.total_shadow_designations
+    start_id = model.start_state.state.id
+    end_id = model.end_state.state.id
+    K = max(max((t.advance_query + t.advance_target
+                 for t in model.transitions), default=1), 1)
+    R = K + 1
+    QV = _qv(Qp)
+    PADF = QV + 128
+    VLENW = PADF + Wp + 1 + QV + 264
+    Dp = Qp + Wp + 1
+    NBLK = (Dp + DPW - 1) // DPW
+    kind_map = dict(kinds)
+    spans = _span_plan(model)
+    n_spans = len(spans)
+    n_layers = meta["n_layers"]
+    tnames = set(meta["tnames"])
+    calc_of = {f"c{ci}": c for ci, c in enumerate(model.calcs)}
+
+    def make_kernel(is_forward: bool):
+        adv_plan, silent_plan = _plan_transitions(model, is_forward)
+        has_lanes = is_forward and n_sh > 0
+        ring_states = _ring_plan(model, is_forward)
+        ring_row = {s: r for r, s in enumerate(ring_states)}
+        NR = max(len(ring_states), 1)
+        lane_slots = ([(s, ln) for s in ring_states
+                       for ln in range(n_sh)] if has_lanes else [])
+        lane_row = {sl: r for r, sl in enumerate(lane_slots)}
+        NL = max(len(lane_slots), 1)
+        n_span_rows = 8 + 2 * n_sh      # per-span register planes
+
+        def kernel(*refs):
+            in_refs = dict(zip(names, refs[:len(names)]))
+            nx = len(names)
+            bits_in = None
+            if is_forward:
+                bits_in = refs[nx]
+                nx += 1
+            if is_forward:
+                colbest, live_o, xband_o = refs[nx:nx + 3]
+                nx += 3
+            else:
+                bits_o, live_o = refs[nx:nx + 2]
+                nx += 2
+            ring_sc = refs[nx]
+            ring_pm = refs[nx + 1]
+            nx += 2
+            ring_ln = None
+            if has_lanes:
+                ring_ln = refs[nx]
+                nx += 1
+            span_reg = None
+            if is_forward and n_spans:
+                span_reg = refs[nx]
+                nx += 1
+
+            g = pl.program_id(0)
+            d = (Dp - 1 - g) if not is_forward else g
+
+            @pl.when(g == 0)
+            def _init():
+                ring_sc[...] = jnp.full(ring_sc.shape, NEG, jnp.int32)
+                ring_pm[...] = jnp.full(ring_pm.shape, NEG, jnp.int32)
+                if ring_ln is not None:
+                    ring_ln[...] = jnp.zeros(ring_ln.shape, jnp.int32)
+                if span_reg is not None:
+                    z = jnp.zeros(span_reg.shape, jnp.int32)
+                    span_reg[...] = z
+                    # st_sc (row 0) and cu_sc (row 4) start at NEG
+                    neg = jnp.full((B, QV), NEG, jnp.int32)
+                    for spx in range(n_spans):
+                        span_reg[spx, 0] = neg
+                        span_reg[spx, 4] = neg
+                live_o[...] = jnp.zeros(live_o.shape, jnp.int32)
+                if is_forward:
+                    colbest[...] = jnp.full(colbest.shape, NEG,
+                                            jnp.int32)
+                    xband_o[...] = jnp.zeros(xband_o.shape, jnp.int32)
+
+            i = jax.lax.broadcasted_iota(jnp.int32, (B, QV), 1)
+            j = d - i
+            qlen = in_refs["_qlen"][...]            # (B, 1)
+            wlen = in_refs["_wlen"][...]
+            cell_ok = (j >= 0) & (j <= wlen) & (i <= qlen)
+            neg_plane = jnp.full((B, QV), NEG, jnp.int32)
+            zero_plane = jnp.zeros((B, QV), jnp.int32)
+
+            tsl_memo: dict = {}
+
+            def tslice(name, shift):
+                """Value of a W-axis vector at column j + shift."""
+                key = (name, shift)
+                if key in tsl_memo:
+                    return tsl_memo[key]
+                st = PADF + Wp - d - shift
+                st0 = (st // 128) * 128
+                off = st - st0
+                w = in_refs[name][:, pl.ds(st0, QV + 128)]
+                v = pltpu.roll(w, (QV + 128) - off, axis=1)[:, :QV]
+                tsl_memo[key] = v
+                return v
+
+            def shift_q(a, aq, fill):
+                """Source lane i -aq (fwd) / i +aq (rev) into lane i."""
+                if aq == 0:
+                    return a
+                if is_forward:
+                    return jnp.concatenate(
+                        [jnp.full((B, aq), fill, a.dtype), a[:, :-aq]],
+                        axis=1)
+                return jnp.concatenate(
+                    [a[:, aq:], jnp.full((B, aq), fill, a.dtype)],
+                    axis=1)
+
+            calc_memo: dict = {}
+
+            def calc_score(key, aq, at):
+                """Calc value plane at the calc position: (i-aq, j-at)
+                forward, (i, j) reverse (ref: sdp_device.calc_score)."""
+                memo = (key, aq, at)
+                if memo in calc_memo:
+                    return calc_memo[memo]
+                kind = kind_map[key]
+                sq_ = aq if is_forward else 0
+                st_ = -at if is_forward else 0
+                if kind == "qt":
+                    v = shift_q(in_refs[key + ":q"][...], sq_, 0) \
+                        + tslice(key + ":t", st_)
+                elif kind == "factored":
+                    C = meta[key]
+                    tj = tslice(key + ":tj", st_)
+                    v = jnp.zeros((B, QV), jnp.int32)
+                    for cc in range(C):
+                        v = jnp.where(
+                            tj == cc,
+                            shift_q(in_refs[f"{key}:P{cc}"][...],
+                                    sq_, 0), v)
+                    if meta.get(key + ":ov", False):
+                        ov = shift_q(in_refs[key + ":ov"][...], sq_, 0)
+                        v = jnp.where(ov != 0, ov, v)
+                elif kind == "scalar":
+                    v = in_refs[key][...]           # (B, 1)
+                elif kind == "qvec":
+                    v = shift_q(in_refs[key][...], sq_, 0)
+                else:                               # tvec
+                    v = tslice(key, st_)
+                calc_memo[memo] = v
+                return v
+
+            # running per-state values
+            sc = [neg_plane] * S
+            pm = [neg_plane] * S
+            ln = ([[zero_plane] * n_sh for _ in range(S)]
+                  if has_lanes else None)
+
+            # --- injection (first occupant) -------------------------
+            thaw_row = None
+            if is_forward:
+                word = bits_in[0]
+                bits = ((word >> (d % DPW)) & 1) != 0
+                bits = bits & cell_ok
+                row = jnp.where(bits, 0, NEG)
+                sc[start_id] = row
+                pm[start_id] = row
+                thaw_row = bits
+            else:
+                row = neg_plane
+                for lx in range(n_layers):
+                    hit = (tslice(f"_seedq{lx}", 0) - 1) == i
+                    row = jnp.where(hit & cell_ok,
+                                    jnp.maximum(
+                                        row, tslice(f"_seedv{lx}", 0)),
+                                    row)
+                sc[end_id] = row
+                pm[end_id] = row
+
+            ev_row = neg_plane          # running per-cell event best
+
+            ring_memo: dict = {}
+
+            def load_src(e):
+                """(s_sc, s_pm, s_ln) source planes for a candidate."""
+                aq, at, adv = e["aq"], e["at"], e["aq"] + e["at"]
+                r = e["read"]
+                if adv == 0:
+                    return (sc[r], pm[r],
+                            list(ln[r]) if has_lanes else None)
+                mkey = (r, adv, aq)
+                if mkey in ring_memo:
+                    return ring_memo[mkey]
+                src_d = d - adv if is_forward else d + adv
+                slot = jnp.remainder(src_d, R)
+                s_sc = shift_q(ring_sc[slot, ring_row[r]], aq, NEG)
+                s_pm = shift_q(ring_pm[slot, ring_row[r]], aq, NEG)
+                s_ln = None
+                if has_lanes:
+                    s_ln = [shift_q(ring_ln[slot, lane_row[(r, lx)]],
+                                    aq, 0) for lx in range(n_sh)]
+                out = (s_sc, s_pm, s_ln)
+                ring_memo[mkey] = out
+                return out
+
+            mask_memo: dict = {}
+
+            def src_mask(aq, at):
+                """Bounds + band-contiguity validity of the source cell
+                (ref: sdp_device eval_candidate src_ok)."""
+                mkey = (aq, at)
+                if mkey in mask_memo:
+                    return mask_memo[mkey]
+                if is_forward:
+                    si, sj = i - aq, j - at
+                else:
+                    si, sj = i + aq, j + at
+                m = cell_ok & (si >= 0) & (si <= qlen) \
+                    & (sj >= 0) & (sj <= wlen)
+                if at:
+                    # (abs_t[dst] - abs_t[src]) == at, evaluated at the
+                    # larger-t column of the pair
+                    m = m & (tslice(f"_contig{at}",
+                                    0 if is_forward else at) != 0)
+                mask_memo[mkey] = m
+                return m
+
+            def eval_accept(e):
+                nonlocal ev_row
+                aq, at = e["aq"], e["at"]
+                s_sc, s_pm, s_ln = load_src(e)
+                src_ok = src_mask(aq, at)
+                if e["rev_shadowed"] or e["calc"] is None:
+                    tsc = None
+                else:
+                    ci = model.calcs.index(e["calc"])
+                    tsc = calc_score(f"c{ci}", aq, at)
+                    if is_forward and e["calc"].shadow_fn is not None:
+                        svals = {nm: s_ln[des]
+                                 for nm, des in e["dst_shadows"]}
+                        sh_in = {
+                            nm.split("/", 1)[1]: in_refs[nm][...]
+                            for nm in names
+                            if nm.startswith(f"sh{ci}/")}
+                        qpos = i - aq
+                        tpos = tslice("_abs_t", -at)
+                        tsc = e["calc"].shadow_fn(jnp, tsc, svals,
+                                                  sh_in, qpos, tpos)
+                val = s_sc if tsc is None else s_sc + tsc
+                if e["p_under"]:
+                    val = jnp.maximum(val, NEG)
+                if e["p_over"]:
+                    val = jnp.minimum(val, POS)
+                ok = src_ok & (s_sc > NEG)
+                if is_forward:
+                    ok = ok & (val >= 0)
+                ok = ok & ((s_pm - val) <= dropoff)
+                w = e["write"]
+                take = ok & (val > sc[w])
+                sc[w] = jnp.where(take, val, sc[w])
+                pm[w] = jnp.where(take, jnp.maximum(s_pm, val), pm[w])
+                if has_lanes:
+                    new_l = list(s_ln)
+                    for des, start_kind, shvix in e["shadow_starts"]:
+                        if shvix is not None:
+                            pos = tslice(f"shv{shvix}", -at)
+                        elif start_kind == "query_pos":
+                            pos = jnp.broadcast_to(i - aq, (B, QV))
+                        else:
+                            pos = tslice("_abs_t", -at)
+                        new_l[des] = pos
+                    for lx in range(n_sh):
+                        ln[w][lx] = jnp.where(take, new_l[lx],
+                                              ln[w][lx])
+                if e["event"]:
+                    ev = take & (val >= s_pm)
+                    ev_row = jnp.where(ev, val, ev_row)
+
+            for e in adv_plan:
+                eval_accept(e)
+            for e in silent_plan:
+                eval_accept(e)
+
+            # --- span thaw + submit (forward only) ------------------
+            xband_hit = None
+            if is_forward and n_spans:
+                abs_tv = tslice("_abs_t", 0)
+                seg_row = tslice("_seg", 0)
+                for spx, sp in enumerate(spans):
+                    st = sp["state"]
+                    st_sc = span_reg[spx, 0]
+                    st_pm = span_reg[spx, 1]
+                    st_te = span_reg[spx, 2]
+                    st_sg = span_reg[spx, 3]
+                    cu_sc = span_reg[spx, 4]
+                    cu_pm = span_reg[spx, 5]
+                    cu_te = span_reg[spx, 6]
+                    cu_sg = span_reg[spx, 7]
+                    st_ln = [span_reg[spx, 8 + lx]
+                             for lx in range(n_sh)]
+                    cu_ln = [span_reg[spx, 8 + n_sh + lx]
+                             for lx in range(n_sh)]
+                    # expire stored at thaw cells
+                    in_w = (st_te + sp["max_target"]) >= abs_tv
+                    expired = thaw_row & (st_sc > NEG) & ~in_w
+                    st_sc = jnp.where(expired, NEG, st_sc)
+                    # curr: expire by window, refresh from stored
+                    cu_ok = (cu_sc > NEG) & \
+                        ((cu_te + sp["max_target"]) >= abs_tv)
+                    upd = thaw_row & (st_sc > NEG) & in_w & \
+                        (~cu_ok | (cu_sc < st_sc))
+                    cu_sc = jnp.where(thaw_row & ~cu_ok & ~upd, NEG,
+                                      jnp.where(upd, st_sc, cu_sc))
+                    cu_pm = jnp.where(upd, st_pm, cu_pm)
+                    cu_te = jnp.where(upd, st_te, cu_te)
+                    cu_sg = jnp.where(upd, st_sg, cu_sg)
+                    if n_sh:
+                        cu_ln = [jnp.where(upd, st_ln[lx], cu_ln[lx])
+                                 for lx in range(n_sh)]
+                    # thaw into the cell (strict <)
+                    th = thaw_row & (cu_sc > NEG) & (sc[st] < cu_sc)
+                    xb = th & (cu_sg != seg_row)
+                    xband_hit = xb if xband_hit is None \
+                        else (xband_hit | xb)
+                    pre_sc, pre_pm = sc[st], pm[st]
+                    pre_ln = list(ln[st]) if has_lanes else None
+                    sc[st] = jnp.where(th, cu_sc, sc[st])
+                    pm[st] = jnp.where(th, cu_pm, pm[st])
+                    if has_lanes:
+                        for lx in range(n_sh):
+                            ln[st][lx] = jnp.where(th, cu_ln[lx],
+                                                   ln[st][lx])
+                    # submit (pre- or post-thaw per transition order)
+                    if sp["submit_post_thaw"]:
+                        sub_sc, sub_pm = sc[st], pm[st]
+                        sub_ln = ln[st] if has_lanes else None
+                    else:
+                        sub_sc, sub_pm = pre_sc, pre_pm
+                        sub_ln = pre_ln
+                    rep = cell_ok & (sub_sc >= 0) & (sub_sc >= st_sc)
+                    span_reg[spx, 0] = jnp.where(rep, sub_sc, st_sc)
+                    span_reg[spx, 1] = jnp.where(rep, sub_pm, st_pm)
+                    span_reg[spx, 2] = jnp.where(rep, abs_tv, st_te)
+                    span_reg[spx, 3] = jnp.where(rep, seg_row, st_sg)
+                    span_reg[spx, 4] = cu_sc
+                    span_reg[spx, 5] = cu_pm
+                    span_reg[spx, 6] = cu_te
+                    span_reg[spx, 7] = cu_sg
+                    for lx in range(n_sh):
+                        span_reg[spx, 8 + lx] = jnp.where(
+                            rep, sub_ln[lx], st_ln[lx])
+                        span_reg[spx, 8 + n_sh + lx] = cu_ln[lx]
+
+            # --- finalize: mask invalid cells -----------------------
+            for s in range(S):
+                sc[s] = jnp.where(cell_ok, sc[s], NEG)
+
+            # --- liveness / boundary bits / events ------------------
+            any_live = zero_plane != 0
+            for s in range(S):
+                any_live = any_live | (sc[s] > NEG)
+            edge = tslice("_edge", 0) != 0
+            live_o[...] = live_o[...] | \
+                (any_live & edge & cell_ok).astype(jnp.int32)
+
+            if is_forward:
+                if xband_hit is not None:
+                    xband_o[...] = xband_o[...] | \
+                        xband_hit.astype(jnp.int32)
+                # per-column best end score, accumulated in the
+                # reversed-vector frame: lane i of diagonal d is
+                # column j = d - i at buffer position
+                # PADF + Wp - d + i
+                st = PADF + Wp - d
+                st0 = (st // 128) * 128
+                off = st - st0
+                ev_pad = jnp.concatenate(
+                    [ev_row, jnp.full((B, 128), NEG, jnp.int32)],
+                    axis=1)
+                rolled = pltpu.roll(ev_pad, off, axis=1)
+                win = colbest[:, pl.ds(st0, QV + 128)]
+                colbest[:, pl.ds(st0, QV + 128)] = \
+                    jnp.maximum(win, rolled)
+            else:
+                flag = sc[start_id] >= 0
+                for sp in spans:
+                    flag = flag | (sc[sp["state"]] > 0)
+                flag = flag & cell_ok
+                first = (d % DPW == (DPW - 1)) | (g == 0)
+
+                @pl.when(first)
+                def _zero_block():
+                    bits_o[...] = jnp.zeros(bits_o.shape, jnp.int32)
+
+                shift = jnp.int32(1) << (d % DPW)
+                bits_o[...] = bits_o[...] | \
+                    (flag.astype(jnp.int32) * shift)
+
+            # --- ring store -----------------------------------------
+            slot = jnp.remainder(d, R)
+            for s in ring_states:
+                ring_sc[slot, ring_row[s]] = sc[s]
+                ring_pm[slot, ring_row[s]] = pm[s]
+            if has_lanes:
+                for (s, lx) in lane_slots:
+                    ring_ln[slot, lane_row[(s, lx)]] = ln[s][lx]
+
+        scratch = [pltpu.VMEM((R, NR, B, QV), jnp.int32),
+                   pltpu.VMEM((R, NR, B, QV), jnp.int32)]
+        if has_lanes:
+            scratch.append(pltpu.VMEM((R, NL, B, QV), jnp.int32))
+        if is_forward and n_spans:
+            scratch.append(pltpu.VMEM((n_spans, n_span_rows, B, QV),
+                                      jnp.int32))
+        return kernel, scratch
+
+    rev_kernel, rev_scratch = make_kernel(False)
+    fwd_kernel, fwd_scratch = make_kernel(True)
+
+    def in_spec(name, a):
+        return pl.BlockSpec(a.shape,
+                            functools.partial(
+                                lambda nd, _d: (0,) * nd, len(a.shape)))
+
+    def _expand(name, x):
+        """Compact host form -> kernel layout (device-side): widen the
+        batch dim, pad q-axis names to QV, flip+pad W-axis names into
+        the reversed VLENW frame."""
+        if name in tnames:
+            x = jnp.flip(x, axis=1)
+            x = jnp.pad(x, ((0, 0),
+                            (PADF, VLENW - PADF - x.shape[1])))
+        elif x.ndim == 2 and x.shape[1] > 1:
+            x = jnp.pad(x, ((0, 0), (0, QV - x.shape[1])))
+        return x
+
+    def core(*flat_arrays):
+        flat_arrays = tuple(_expand(n, a)
+                            for n, a in zip(names, flat_arrays))
+        rev_out = pl.pallas_call(
+            rev_kernel,
+            grid=(Dp,),
+            in_specs=[in_spec(n, a)
+                      for n, a in zip(names, flat_arrays)],
+            out_specs=[
+                pl.BlockSpec((1, B, QV),
+                             lambda g: ((Dp - 1 - g) // DPW, 0, 0)),
+                pl.BlockSpec((B, QV), lambda g: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NBLK, B, QV), jnp.int32),
+                jax.ShapeDtypeStruct((B, QV), jnp.int32),
+            ],
+            scratch_shapes=rev_scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=int(os.environ.get(
+                    "EXONERATE_TPU_KERNEL_VMEM_MB", "100")) << 20),
+            interpret=interpret,
+        )(*flat_arrays)
+        bits, rev_live = rev_out
+        fwd_out = pl.pallas_call(
+            fwd_kernel,
+            grid=(Dp,),
+            in_specs=[in_spec(n, a)
+                      for n, a in zip(names, flat_arrays)]
+            + [pl.BlockSpec((1, B, QV), lambda g: (g // DPW, 0, 0))],
+            out_specs=[
+                pl.BlockSpec((B, VLENW), lambda g: (0, 0)),
+                pl.BlockSpec((B, QV), lambda g: (0, 0)),
+                pl.BlockSpec((B, QV), lambda g: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, VLENW), jnp.int32),
+                jax.ShapeDtypeStruct((B, QV), jnp.int32),
+                jax.ShapeDtypeStruct((B, QV), jnp.int32),
+            ],
+            scratch_shapes=fwd_scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=int(os.environ.get(
+                    "EXONERATE_TPU_KERNEL_VMEM_MB", "100")) << 20),
+            interpret=interpret,
+        )(*flat_arrays, bits)
+        colbest_rev, fwd_live, xband = fwd_out
+        # reversed frame -> column frame: column v sits at
+        # PADF + Wp - v
+        col = jnp.flip(colbest_rev[:, PADF:PADF + Wp + 1], axis=1)
+        live = (jnp.max(rev_live, axis=1)
+                | jnp.max(fwd_live, axis=1)) != 0
+        xb = jnp.max(xband, axis=1) != 0
+        return {"colbest": col, "live": live, "xband": xb}
+
+    return jax.jit(core)
+
+
+_CACHE: dict = {}
+
+
+def get_kernel_fn(model: Model, Qp: int, Wp: int, kinds: tuple,
+                  names: tuple, meta_key: tuple, meta: dict, B: int,
+                  dropoff: int, interpret: bool | None = None):
+    key = (id(model), Qp, Wp, kinds, names, meta_key, B, dropoff,
+           bool(interpret), _INTERPRET)
+    if key not in _CACHE:
+        _CACHE[key] = build_sdp_kernel(model, Qp, Wp, kinds, names,
+                                       meta, B, dropoff,
+                                       interpret=interpret)
+    return _CACHE[key]
+
+
+def run_kernel(model: Model, jobs: list, dropoff: int,
+               interpret: bool | None = None) -> list:
+    """jobs: [(pair, plan)] — batched per (shape, kinds) bucket.
+    Returns per-job dicts {"band_end": [n_loci], "live": bool,
+    "xband": bool} shaped like sdp_device's outputs (band_end indexed
+    by locus)."""
+    from .wavefront import _bucket
+    out: list = [None] * len(jobs)
+    prepped = []
+    for ix, (pair, plan) in enumerate(jobs):
+        Qp = _bucket(pair.region.query_length)
+        Wp = _pow2(max(plan.W, 1023))
+        n_layers = count_seed_layers(pair, plan)
+        prepped.append((ix, pair, plan, Qp, Wp, n_layers))
+    buckets: dict = {}
+    for ix, pair, plan, Qp, Wp, n_layers in prepped:
+        buckets.setdefault((Qp, Wp), []).append(
+            (ix, pair, plan, n_layers))
+    for (Qp, Wp), items in buckets.items():
+        n_layers = max(x[3] for x in items)
+        flats = []
+        kinds = meta = None
+        for ix, pair, plan, _nl in items:
+            flat, kinds_i, meta_i = prepare_kernel_inputs(
+                model, pair, plan, Qp, Wp, n_layers)
+            if kinds is None:
+                kinds, meta = kinds_i, meta_i
+            else:
+                assert kinds_i == kinds
+                # ov flags may differ pair-to-pair; unify: any pair
+                # with an override forces the plane for the bucket
+                for k, v in meta_i.items():
+                    if str(k).endswith(":ov") and v and not meta[k]:
+                        meta[k] = True
+            flats.append((ix, flat))
+        # unify names: pairs lacking an :ov plane ship zeros
+        all_names = sorted({n for _, f in flats for n in f})
+        B = len(flats)
+        stacked = []
+        for n in all_names:
+            arrs = []
+            for _, f in flats:
+                a = f.get(n)
+                if a is None:
+                    proto = next(ff[n] for _, ff in flats if n in ff)
+                    a = np.zeros_like(proto)
+                arrs.append(a)
+            stacked.append(np.stack(arrs))
+        names = tuple(all_names)
+        meta_key = tuple(sorted(
+            (k, v) for k, v in meta.items() if k != "tnames"))
+        fn = get_kernel_fn(model, Qp, Wp, kinds, names, meta_key,
+                           meta, B, dropoff, interpret=interpret)
+        res = fn(tuple(jnp.asarray(a) for a in stacked))
+        col = np.asarray(res["colbest"])
+        live = np.asarray(res["live"])
+        xb = np.asarray(res["xband"])
+        for b, (ix, pair, plan, _nl) in enumerate(items):
+            n_loci = len(plan.loci)
+            band_end = np.full(max(n_loci, 1), NEG, np.int64)
+            if n_loci:
+                locus_of_v = plan.locus_of_v
+                c = col[b, :plan.W + 1].astype(np.int64)
+                np.maximum.at(band_end, locus_of_v, c)
+            out[ix] = {"band_end": band_end,
+                       "live": bool(live[b]),
+                       "xband": bool(xb[b])}
+    return out
+
+
+def _pow2(n: int) -> int:
+    p = 1024
+    while p < n + 1:
+        p <<= 1
+    return p - 1 if False else p
+
+

@@ -104,7 +104,9 @@ def main():
         elif ab == "scorefast":
             run(v, "", g=g, m="score", fn_=True)
         elif ab == "dynall":
-            os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "dyn-all"
+            # "dyn-only" is the token the kernel recognizes: it drops
+            # the static fallback so every mode takes the dyn ladder
+            os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "dyn-only"
             run(v, "", g=g)
             os.environ["EXONERATE_TPU_KERNEL_LADDER"] = "1"
         elif ab == "noladder":
