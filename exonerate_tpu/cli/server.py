@@ -175,7 +175,12 @@ class Connection:
         from ..db.index import qy_page_order
         srv = self.server
         out = {}
-        for tid in sorted(seeds_by_target):
+        # first-seen target order from the word-seed scan, NOT sorted:
+        # the C server appends targets to target_id_list on first
+        # encounter while walking the word seed list and every later
+        # stage preserves that order (ref: index.c:1358-1399,
+        # Index_Geneseed_collect_hsps index.c:1894-1911)
+        for tid in seeds_by_target:
             target = srv.dataset.get_sequence(tid)
             if self.revcomp_target:
                 target = target.revcomp()
@@ -214,10 +219,11 @@ class Connection:
         else:
             seeds_by_target = srv.index.get_hsp_seeds(
                 self.query, wordhood,
-                revcomp_target=self.revcomp_target)
+                revcomp_target=self.revcomp_target,
+                device_index=srv.device_index)
             hspsets = self._build_hspsets(param, seeds_by_target)
         parts = []
-        for tid in sorted(hspsets):
+        for tid in hspsets:          # first-seen order (see above)
             hs = hspsets[tid]
             seg = ["hspset: %d" % tid]
             for h in hs.hsps:
@@ -241,18 +247,24 @@ class Connection:
         gs_param.seed_repeat = getattr(self.hsp_args,
                                        "geneseed_repeat", 3)
         seeds_by_target = srv.index.get_hsp_seeds(
-            self.query, wordhood, revcomp_target=self.revcomp_target)
+            self.query, wordhood, revcomp_target=self.revcomp_target,
+            device_index=srv.device_index)
         anchors = self._build_hspsets(gs_param, seeds_by_target)
         if not anchors:
             return {}
-        # per-target geneseed state (ref: Index_Geneseed)
+        # per-target geneseed state (ref: Index_Geneseed).  The keeper
+        # and candidate sets are faithful RangeTrees (glibc tsearch
+        # recent set + kd-tree) so the collected HSP byte ORDER matches
+        # the C server exactly (rangetree.c root-eviction + in-order)
+        from ..db.rangetree import RangeTree
         state = {}
         for tid, hs in anchors.items():
-            keepers = {(self._q_cobs(hs, h), self._t_cobs(hs, h)): h
-                       for h in hs.hsps}
+            keepers = RangeTree()
+            for h in hs.hsps:
+                keepers.add(self._q_cobs(hs, h), self._t_cobs(hs, h), h)
             state[tid] = dict(
                 keepers=keepers,
-                cand={},
+                cand=RangeTree(),
                 max_cobs=None,
                 covered=[],           # merged [start, end) intervals
                 subseeds=[(h, True, True) for h in hs.hsps],
@@ -268,24 +280,23 @@ class Connection:
             sub_seeds = srv.index.get_hsp_seeds(
                 self.query, wordhood,
                 revcomp_target=self.revcomp_target,
-                intervals=intervals)
+                intervals=intervals, device_index=srv.device_index)
             subs = self._build_hspsets(param, sub_seeds)
             if not subs:
                 for st in state.values():
                     st["subseeds"] = []
                 break
             self._geneseed_refine(state, subs)
-        # collect keepers per target, re-finalised
-        # (ref: Index_Geneseed_collect_hspset)
+        # collect keepers per target, re-finalised, in kd-tree in-order
+        # (ref: Index_Geneseed_collect_hspset, index.c:1560-1580)
         out = {}
         for tid, st in state.items():
-            if not st["keepers"]:
+            if st["keepers"].is_empty():
                 continue
             hs = HspSet(self.query, st["hs"].target, param)
-            for h in sorted(st["keepers"].values(),
-                            key=lambda h: (h.query_start,
-                                           h.target_start)):
-                hs.add_known_hsp(h.query_start, h.target_start, h.length)
+            st["keepers"].traverse(
+                lambda x, y, h, _hs=hs: _hs.add_known_hsp(
+                    h.query_start, h.target_start, h.length) and False)
             hs.finalise()
             if hs.hsps:
                 out[tid] = hs
@@ -305,8 +316,7 @@ class Connection:
         hs = st["hs"]
         tlen = len(hs.target)
         spans = []
-        for h, go_fwd, go_rev in sorted(
-                st["subseeds"], key=lambda x: x[0].target_start):
+        for h, go_fwd, go_rev in st["subseeds"]:   # list order (ref)
             t_cobs = self._t_cobs(hs, h)
             rng = self.max_target_span \
                 + (t_cobs - h.target_start) * 2
@@ -323,21 +333,34 @@ class Connection:
         return [(s, e - s) for s, e in new if e > s]
 
     def _geneseed_refine(self, state, subs):
-        """(ref: Index_Geneseed_refine_subseeds, index.c:1813-1905)."""
+        """(ref: Index_Geneseed_refine_subseeds, index.c:1813-1905).
+        Candidate search runs through the faithful RangeTree so new
+        keepers arrive in the C server's kd-tree find order."""
         for tid, hs in subs.items():
             st = state.get(tid)
             if st is None or not st["subseeds"]:
                 continue
             src = st["hs"]
+            cand = st["cand"]
+            keepers = st["keepers"]
             for h in hs.hsps:
-                key = (self._q_cobs(hs, h), self._t_cobs(hs, h))
-                if key not in st["cand"]:
-                    st["cand"][key] = h
+                cq, ct = self._q_cobs(hs, h), self._t_cobs(hs, h)
+                if not cand.check_pos(cq, ct):
+                    cand.add(cq, ct, h)
                 if st["max_cobs"] is None \
                         or st["max_cobs"].cobs < h.cobs:
                     st["max_cobs"] = h
             nxt = []
             mc = st["max_cobs"]
+
+            def report(fwd):
+                def cb(x, y, c):
+                    if not keepers.check_pos(x, y):
+                        keepers.add(x, y, c)
+                        nxt.append((c, fwd, not fwd))
+                    return False
+                return cb
+
             for h, go_fwd, go_rev in st["subseeds"]:
                 q_cobs = self._q_cobs(src, h)
                 t_cobs = self._t_cobs(src, h)
@@ -347,18 +370,12 @@ class Connection:
                 t_rng = self.max_target_span + (
                     (h.target_end(src.tadv) - t_cobs)
                     + (self._t_cobs(hs, mc) - mc.target_start)) * 2
-                boxes = []
                 if go_fwd:
-                    boxes.append((q_cobs, q_rng, t_cobs, t_rng, True))
+                    cand.find(q_cobs, q_rng, t_cobs, t_rng,
+                              report(True))
                 if go_rev:
-                    boxes.append((q_cobs - q_rng, q_rng,
-                                  t_cobs - t_rng, t_rng, False))
-                for (qx, qw, tx, tw, fwd) in boxes:
-                    for (cq, ct), cand in st["cand"].items():
-                        if qx <= cq < qx + qw and tx <= ct < tx + tw \
-                                and (cq, ct) not in st["keepers"]:
-                            st["keepers"][(cq, ct)] = cand
-                            nxt.append((cand, fwd, not fwd))
+                    cand.find(q_cobs - q_rng, q_rng,
+                              t_cobs - t_rng, t_rng, report(False))
             st["subseeds"] = nxt
 
 
@@ -381,12 +398,25 @@ HELP_TEXT = (
 
 class ExonerateServer:
     def __init__(self, dataset: Dataset, index: Index, port: int = 12886,
-                 verbosity: int = 0):
+                 verbosity: int = 0, use_device_index: bool = False):
         self.dataset = dataset
         self.index = index
         self.port = port
         self.verbosity = verbosity
         self._httpd = None
+        self.device_index = None
+        if use_device_index:
+            # postings sharded over every attached device; `get hsps`
+            # word lookups become one collective gather per query
+            # (ref: the serving loop exonerate-server.c:315-378 —
+            # the TPU-native replacement for its postings scan)
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+            from ..db.device_index import DeviceIndex
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs.reshape(-1), ("dp",))
+            self.device_index = DeviceIndex(index, mesh)
 
     def serve_forever(self):
         outer = self
@@ -438,6 +468,9 @@ def main(argv=None, out=None):
              "4", A.parse_int, "maxconnections")
     aset.add(None, "preload", None, "Preload the database", "TRUE",
              A.parse_boolean, "preload")
+    aset.add(None, "deviceindex", None,
+             "Serve word lookups from the device-sharded index",
+             "FALSE", A.parse_boolean, "deviceindex")
     aset.add("V", "verbosity", "level", "Verbosity level", "1",
              A.parse_int, "verbosity")
     p.add_set(aset)
@@ -462,7 +495,8 @@ def main(argv=None, out=None):
         index = Index(esi)
         dataset = index.dataset
     out.write(f"listening on port {v['port']}\n")
-    srv = ExonerateServer(dataset, index, v["port"], v["verbosity"])
+    srv = ExonerateServer(dataset, index, v["port"], v["verbosity"],
+                          use_device_index=v["deviceindex"])
     srv.serve_forever()
     return 0
 

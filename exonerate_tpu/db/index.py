@@ -141,7 +141,8 @@ class Index:
 
     def get_hsp_seeds(self, query: Sequence, wordhood=None,
                       revcomp_target: bool = False,
-                      intervals=None) -> dict[int, list[tuple[int, int]]]:
+                      intervals=None, device_index=None
+                      ) -> dict[int, list[tuple[int, int]]]:
         """All (query_pos, target_pos) seed pairs per target sequence —
         the server's `get hsps` payload (ref: Index_get_HSPsets,
         index.h:140-147; protocol exonerate-server.c:315-378).
@@ -152,31 +153,55 @@ class Index:
         the seeding against the revcomp'd target sequence).
         `intervals`: optional {target_id: [(start, len)]} restriction
         (the two-tier geneseed subseed lookup, ref: index.c:1006-1100
-        Index_Address_list_refine)."""
+        Index_Address_list_refine).
+
+        `device_index`: optional db.device_index.DeviceIndex — the
+        whole query's word lookups batch into ONE sharded collective
+        gather on the mesh instead of per-word host scans; iteration
+        order (and therefore every output byte) is identical."""
         packed, valid = _pack_words(query.data, self.codes, self.wordlen,
                                     self.nsym)
-        out: dict[int, list[tuple[int, int]]] = {}
+        qw: list[tuple[int, int]] = []
         for qpos in np.nonzero(valid)[0]:
             wlist = [int(packed[qpos])]
             if wordhood is not None:
                 wlist = wordhood.neighbours(wlist[0])
             for w in wlist:
+                qw.append((int(qpos), int(w)))
+        out: dict[int, list[tuple[int, int]]] = {}
+        if device_index is not None and qw:
+            words = np.asarray([w for _, w in qw],
+                               dtype=self.word_table.dtype)
+            word_of, sids_all, poss_all = \
+                device_index.lookup_words(words)
+            bounds = np.searchsorted(word_of, np.arange(len(qw) + 1))
+            for k, (qpos, _w) in enumerate(qw):
+                self._bin_seeds(out, qpos,
+                                sids_all[bounds[k]:bounds[k + 1]],
+                                poss_all[bounds[k]:bounds[k + 1]],
+                                revcomp_target, intervals)
+        else:
+            for qpos, w in qw:
                 sids, poss = self.lookup_word(w)
-                if self.translated:
-                    sids, poss = self._decode_translated(
-                        sids, poss, revcomp_target)
-                for sid, tpos in zip(sids, poss):
-                    if intervals is not None:
-                        spans = intervals.get(int(sid))
-                        if not spans or not any(
-                                s <= tpos < s + ln for s, ln in spans):
-                            continue
-                    out.setdefault(int(sid), []).append(
-                        (int(qpos), int(tpos)))
+                self._bin_seeds(out, qpos, sids, poss,
+                                revcomp_target, intervals)
         # order = (query word, posting) append order, matching the C
         # server's per-target bins (ref: index.c:1358-1366); the page
         # binning in the qy_sorted seeding then fixes emission order
         return out
+
+    def _bin_seeds(self, out, qpos, sids, poss, revcomp_target,
+                   intervals):
+        if self.translated:
+            sids, poss = self._decode_translated(sids, poss,
+                                                 revcomp_target)
+        for sid, tpos in zip(sids, poss):
+            if intervals is not None:
+                spans = intervals.get(int(sid))
+                if not spans or not any(
+                        s <= tpos < s + ln for s, ln in spans):
+                    continue
+            out.setdefault(int(sid), []).append((int(qpos), int(tpos)))
 
 
 def qy_page_order(seed_pairs: list, qadv: int, tadv: int,

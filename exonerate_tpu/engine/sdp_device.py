@@ -59,14 +59,19 @@ POS = IMPOSSIBLY_HIGH_SCORE
 # ---------------------------------------------------------------------------
 
 def supported(model: Model) -> bool:
-    """Can the device scan express this model exactly?"""
-    for sp in model.spans:
-        if sp.max_query > 0:
-            return False            # query-advancing spans (ner, g2g)
-        st = sp.span_state
-        for t in model.transitions:
-            if t.is_silent and (t.input is st or t.output is st):
-                return False        # silent edges on span states
+    """Can the device scan express this model exactly?
+
+    Query-advancing and joint spans (ner, genome2genome) are supported
+    via the scatter+prefix-max thaw (see build_pass): a seed frozen at
+    (q'', t'') is usable by thaw cells (q', t') with q' >= q'' and the
+    reference window checks (scheduler protocol is side-agnostic,
+    ref: scheduler.c:567-645) — diagonal order is causal for every
+    span type because lex-(t, q) submit-before-thaw plus the q-window
+    imply d'' <= d'.  Silent exits from span states (ner's `ner to
+    match`) are handled by running the span thaw/submit phase before
+    the silent sweep.  The q-window upper bound is only enforced for
+    max_query >= query_length — callers gate smaller windows to the
+    host path (sdp_hybrid)."""
     for sh in model.shadows:
         if sh.start_vec_fn is not None and sh.start != "target_pos":
             return False
@@ -250,14 +255,18 @@ def _plan_transitions(model: Model, is_forward: bool):
 
 
 def _span_plan(model: Model):
-    """Per-span static info: state id, max_target window, and whether the
-    loop's submit reads the post-thaw value (thaw trigger position
-    before the loop position in reverse model order)."""
+    """Per-span static info: state id, max_target/max_query windows, and
+    whether the loop's submit reads the post-thaw value (thaw trigger
+    position before the loop position in reverse model order)."""
     rev = list(model.transitions)[::-1]
     plans = []
     for sp in model.spans:
         st = sp.span_state
-        loop_pos = min(i for i, t in enumerate(rev)
+        # a span state may carry several loops (ner's insert+delete):
+        # the reference submits at EACH loop position and replaces on
+        # >=, and thaw only raises the value — so the net stored value
+        # is post-thaw iff ANY loop follows the thaw trigger
+        loop_pos = max(i for i, t in enumerate(rev)
                        if t.input is st and t.output is st
                        and t.calc is None)
         thaw_pos = min((i for i, t in enumerate(rev)
@@ -265,6 +274,7 @@ def _span_plan(model: Model):
                         and not (t.input is t.output and t.calc is None)),
                        default=10 ** 9)
         plans.append(dict(state=st.id, max_target=sp.max_target,
+                          max_query=sp.max_query,
                           submit_post_thaw=thaw_pos < loop_pos))
     return plans
 
@@ -506,15 +516,12 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     s_ln = None
                 accept(e, *eval_candidate(e, (s_sc, s_pm, s_sd, s_ln)))
 
-            # --- silent sweep (reverse model order) ---------------------
-            for e in silent_plan:
-                r = e["read"]
-                src = (sc[r], pm[r],
-                       sd[r] if has_sid else None,
-                       ln[r] if has_lanes else None)
-                accept(e, *eval_candidate(e, src))
-
             # --- span thaw + submit (forward, boundary models) ----------
+            # runs BEFORE the silent sweep so silent exits from span
+            # states (ner's `ner to match`, ref: scheduler.c:891-985
+            # per-cell transition order) read the post-thaw value;
+            # supported models have no silent WRITES into span states,
+            # so nothing the sweep produces is consumed here
             new_span = span_carry
             xband_hit = jnp.zeros((), bool)
             # locus id per destination column: span interchange across
@@ -527,6 +534,92 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     st = sp["state"]
                     (st_sc, st_pm, st_te, st_sg, st_ln,
                      cu_sc, cu_pm, cu_te, cu_sg, cu_ln) = span_carry[spx]
+                    if sp["max_target"] == 0:
+                        # query-only span: Scheduler_SpanData_submit
+                        # only stores seeds when max_target != 0
+                        # (scheduler.c:619-641), so these spans never
+                        # freeze/thaw in the reference SDP at all —
+                        # mirror the no-op
+                        new_span.append(span_carry[spx])
+                        continue
+                    if sp["max_query"] > 0:
+                        # joint span (ner, genome2genome): the
+                        # reference carries ONE curr register through
+                        # the lex-(t, q) walk, picking up the stored
+                        # seed of lane q'' only at a thaw cell
+                        # (q'', t') and carrying it along the row to
+                        # later lanes (ref: Scheduler_SpanData_get_curr
+                        # scheduler.c:567-645).  The diagonal-scan
+                        # image of "next cell in the same row" is lane
+                        # q-1 of the PREVIOUS diagonal, so the curr
+                        # register becomes a per-lane plane advanced by
+                        # a one-lane shift per diagonal — row restarts
+                        # fall out of the lane-0 boundary (the q-window
+                        # upper bound never binds: sdp_hybrid gates
+                        # max_query >= qlen).  The one divergence from
+                        # the serial register (a curr surviving ACROSS
+                        # rows when the next row's thaw cells all sit
+                        # above its entry lane) shows up as a locus
+                        # score mismatch and falls back to the host
+                        # path.  cu_* carry slots hold (sc, pm,
+                        # q_entry->te reused, sg) of the rolling curr;
+                        # cu lanes ride the span lane slots.
+                        roll1 = lambda v, fill: jnp.concatenate(
+                            [jnp.full((1,) + v.shape[1:], fill,
+                                      v.dtype), v[:-1]], axis=0)
+                        r_sc = roll1(cu_sc, NEG)
+                        r_pm = roll1(cu_pm, 0)
+                        r_te = roll1(cu_te, 0)
+                        r_sg = roll1(cu_sg, 0)
+                        r_ln = (roll1(cu_ln, 0) if has_lanes else cu_ln)
+                        # expire by the target window at this cell
+                        r_ok = (r_sc > NEG) & \
+                            ((r_te + sp["max_target"]) >= abs_tv)
+                        # pickup: thaw cells consult their own lane's
+                        # stored seed; strictly-greater replaces
+                        st_ok = (st_sc > NEG) & \
+                            ((st_te + sp["max_target"]) >= abs_tv)
+                        upd = thaw_row & st_ok & \
+                            (~r_ok | (r_sc < st_sc))
+                        r_sc = jnp.where(upd, st_sc,
+                                         jnp.where(r_ok, r_sc, NEG))
+                        r_pm = jnp.where(upd, st_pm, r_pm)
+                        r_te = jnp.where(upd, st_te, r_te)
+                        r_sg = jnp.where(upd, st_sg, r_sg)
+                        if has_lanes:
+                            r_ln = jnp.where(upd[:, None], st_ln, r_ln)
+                        th = thaw_row & (r_sc > NEG) & (sc[st] < r_sc)
+                        xband_hit |= jnp.any(th & (r_sg != seg_row))
+                        pre_sc, pre_pm = sc[st], pm[st]
+                        pre_ln = ln[st] if has_lanes else None
+                        sc[st] = jnp.where(th, r_sc, sc[st])
+                        pm[st] = jnp.where(th, r_pm, pm[st])
+                        if has_lanes:
+                            ln[st] = jnp.where(th[:, None], r_ln,
+                                               ln[st])
+                        cu_sc, cu_pm, cu_te, cu_sg = \
+                            r_sc, r_pm, r_te, r_sg
+                        if has_lanes:
+                            cu_ln = r_ln
+                        if sp["submit_post_thaw"]:
+                            sub_sc, sub_pm = sc[st], pm[st]
+                            sub_ln = ln[st] if has_lanes else None
+                        else:
+                            sub_sc, sub_pm = pre_sc, pre_pm
+                            sub_ln = pre_ln
+                        cand = cell_ok & (sub_sc >= 0)
+                        rep = cand & (sub_sc >= st_sc)
+                        st_sc = jnp.where(rep, sub_sc, st_sc)
+                        st_pm = jnp.where(rep, sub_pm, st_pm)
+                        st_te = jnp.where(rep, abs_tv, st_te)
+                        st_sg = jnp.where(rep, seg_row, st_sg)
+                        if has_lanes:
+                            st_ln = jnp.where(rep[:, None], sub_ln,
+                                              st_ln)
+                        new_span.append((st_sc, st_pm, st_te, st_sg,
+                                         st_ln, cu_sc, cu_pm, cu_te,
+                                         cu_sg, cu_ln))
+                        continue
                     # expire stored at thaw cells (ref: _span_thaw)
                     in_w = (st_te + sp["max_target"]) >= abs_tv
                     expired = thaw_row & (st_sc > NEG) & ~in_w
@@ -574,6 +667,14 @@ def build_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     new_span.append((st_sc, st_pm, st_te, st_sg, st_ln,
                                      cu_sc, cu_pm, cu_te, cu_sg, cu_ln))
                 new_span = tuple(new_span)
+
+            # --- silent sweep (reverse model order) ---------------------
+            for e in silent_plan:
+                r = e["read"]
+                src = (sc[r], pm[r],
+                       sd[r] if has_sid else None,
+                       ln[r] if has_lanes else None)
+                accept(e, *eval_candidate(e, src))
 
             # --- finalize: mask invalid cells ---------------------------
             for s in range(S):

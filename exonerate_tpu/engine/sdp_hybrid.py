@@ -75,6 +75,15 @@ class HybridSDPPair:
 
     def _run_device(self):
         pair = self.gpair
+        # the device scan's query/joint-span thaw only enforces the
+        # q-window upper bound when it can never bind (max_query >=
+        # query length); narrower windows go to the host path
+        if any(sp.max_target > 0
+               and 0 < sp.max_query < pair.region.query_length
+               for sp in self.model.spans):
+            observe.count_fallback(
+                "sdp device->host: narrow query-span window")
+            raise HybridFallback()
         if not pair.seeds:
             self._locus_scores = np.empty(0, np.int64)
             self.plan = sdp_bands.BandPlan([], -1, np.empty(0, np.int64),
@@ -199,11 +208,47 @@ def make_plan(model: Model, pair: SDPPair) -> sdp_bands.BandPlan:
         span_window=sw + 2 * BAND_MARGIN)
 
 
+def _kernel_usable(model: Model, pair: SDPPair, plan) -> bool:
+    """Route through the fused Pallas band-scan kernel?  Only on a real
+    TPU backend (interpret mode is test-only) for boundary-mode models
+    the kernel can express."""
+    import os
+    env = os.environ.get("EXONERATE_TPU_SDP_KERNEL", "")
+    if env == "0":
+        return False
+    try:
+        import jax
+        if jax.default_backend() in ("cpu",) and env != "1":
+            return False
+    except Exception:
+        return False
+    from . import sdp_pallas
+    n_layers = sdp_pallas.count_seed_layers(pair, plan)
+    return sdp_pallas.kernel_supported(model, pair.use_boundary,
+                                       n_layers, pair)
+
+
+# above this many compressed diagonals the XLA lax.scan expression is
+# slower than the host native scheduler (per-step dispatch overhead);
+# if the kernel can't serve such a comparison, fall straight back to
+# the host global path instead
+SCAN_DIAG_CAP = 8192
+
+
 def run_device(model: Model, pair: SDPPair,
                plan: sdp_bands.BandPlan) -> dict:
     """Single-comparison device call (the pooled path batches many)."""
     from .wavefront import _bucket
+    if _kernel_usable(model, pair, plan):
+        from . import sdp_pallas
+        observe.count_engine("sdp-kernel")
+        return sdp_pallas.run_kernel(model, [(pair, plan)],
+                                     pair.args.dropoff)[0]
     Q = pair.region.query_length
+    if Q + plan.W + 1 > SCAN_DIAG_CAP:
+        observe.count_fallback(
+            "sdp device->host: kernel unavailable, scan too long")
+        raise HybridFallback()
     Qp, Wp = _bucket(Q), _bucket(plan.W)
     n_seed_pad = _pow2(len(pair.seeds))
     n_seg_pad = _pow2(len(plan.loci) + 1)
@@ -233,6 +278,30 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
     import jax
     from .wavefront import _bucket
     out: list = [None] * len(jobs)
+    # fused-kernel tier first: jobs the Pallas band scan can serve go
+    # through it (bucketed internally); the rest use the XLA scan
+    kernelable = [ix for ix, (pair, plan) in enumerate(jobs)
+                  if _kernel_usable(model, pair, plan)]
+    if kernelable:
+        from . import sdp_pallas
+        by_drop: dict = {}
+        for ix in kernelable:
+            by_drop.setdefault(jobs[ix][0].args.dropoff,
+                               []).append(ix)
+        for dropoff, ixs in by_drop.items():
+            kjobs = [jobs[ix] for ix in ixs]
+            observe.count_engine("sdp-kernel", len(kjobs))
+            kres = sdp_pallas.run_kernel(model, kjobs, dropoff)
+            for ix, r in zip(ixs, kres):
+                out[ix] = r
+        jobs = [(ix, j) for ix, j in enumerate(jobs)
+                if ix not in set(kernelable)]
+        if not jobs:
+            return out
+        remap = [ix for ix, _ in jobs]
+        jobs = [j for _, j in jobs]
+    else:
+        remap = list(range(len(jobs)))
     # coarse pow2 rungs on the compressed width keep the compiled-shape
     # count small (2-3 per scan) without the 2x+ padded-cell waste of a
     # single max-shape bucket; Q/seed/segment pads take the group max
@@ -265,5 +334,5 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
         res = jax.tree_util.tree_map(np.asarray,
                                      fn(jax.device_put(stacked)))
         for b, (ix, _) in enumerate(items):
-            out[ix] = jax.tree_util.tree_map(lambda a: a[b], res)
+            out[remap[ix]] = jax.tree_util.tree_map(lambda a: a[b], res)
     return out

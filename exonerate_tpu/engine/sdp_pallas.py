@@ -70,15 +70,33 @@ def _qv(Qp: int) -> int:
     return -(-(Qp + 1) // 128) * 128
 
 
-def kernel_supported(model: Model, use_boundary: bool,
-                     n_layers: int) -> bool:
+def kernel_supported(model: Model, use_boundary: bool, n_layers: int,
+                     pair=None) -> bool:
     """Is the fused kernel applicable?  (Callers additionally require
     sdp_device.supported(model).)"""
     if not use_boundary:
         return False            # track_sid attribution not implemented
     if n_layers > MAX_SEED_LAYERS:
         return False
-    return not any(c.pallas_fn is not None for c in model.calcs)
+    if any(sp.max_query > 0 for sp in model.spans):
+        return False            # query/joint-span thaw: XLA scan only
+    for sp in model.spans:
+        st = sp.span_state
+        if any(t.is_silent and (t.input is st or t.output is st)
+               for t in model.transitions):
+            return False        # silent span edges: XLA scan only
+    for c in model.calcs:
+        if c.pallas_fn is not None:
+            # pallas_fn calcs need their gather-free kernel inputs
+            if c.kernel_inputs_fn is None:
+                return False
+        elif c.shadow_fn is not None and pair is not None:
+            # shadow_fn runs in-kernel; its inputs must be scalars
+            # (array inputs imply gathers Mosaic cannot legalize)
+            if any(np.ndim(v) != 0 for v in
+                   pair.shadow_inputs.get(id(c), {}).values()):
+                return False
+    return True
 
 
 def count_seed_layers(pair, plan) -> int:
@@ -137,7 +155,26 @@ def prepare_kernel_inputs(model: Model, pair, plan, Qp: int, Wp: int,
         elif kind == "tvec":
             flat[key] = np.asarray(inputs[key], np.int32)
             tnames.append(key)
-        if f"sh{ci}" in inputs:
+        if c.pallas_fn is not None and c.kernel_inputs_fn is not None:
+            # gather-free kernel inputs (wavefront-style kc arrays),
+            # target-axis vectors recompressed through the band plan
+            Q = pair.region.query_length
+            tr = next(t for t in model.transitions if t.calc is c)
+            si = np.clip(np.arange(Q + 1) - tr.advance_query, 0, Q)
+            for nm, (kkind, arr) in sorted(c.kernel_inputs_fn(
+                    pair.region, pair.data).items()):
+                kkey = f"kc{ci}:{nm}"
+                arr = np.asarray(arr, np.int32)
+                if kkind == "qvec":
+                    v = np.zeros(Qp + 1, np.int32)
+                    v[:Q + 1] = arr[si]
+                    flat[kkey] = v
+                else:
+                    v = np.zeros(Wp + 1, np.int32)
+                    v[:plan.W + 1] = arr[plan.abs_t]
+                    flat[kkey] = v
+                    tnames.append(kkey)
+        elif f"sh{ci}" in inputs:
             for n2, v2 in sorted(inputs[f"sh{ci}"].items()):
                 flat[f"sh{ci}/{n2}"] = np.asarray(v2,
                                                   np.int32).reshape(1)
@@ -446,7 +483,31 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                 else:
                     ci = model.calcs.index(e["calc"])
                     tsc = calc_score(f"c{ci}", aq, at)
-                    if is_forward and e["calc"].shadow_fn is not None:
+                    if is_forward and e["calc"].pallas_fn is not None:
+                        svals = {nm: s_ln[des]
+                                 for nm, des in e["dst_shadows"]}
+
+                        class _Ctx:
+                            xp = jnp
+                            grid_val = tsc
+
+                            @staticmethod
+                            def lane(prefix):
+                                for _n, _v in svals.items():
+                                    if _n.startswith(prefix):
+                                        return _v
+                                raise KeyError(prefix)
+
+                            @staticmethod
+                            def tslice(nm, _ci=ci, _at=at):
+                                return tslice(f"kc{_ci}:{nm}", -_at)
+
+                            @staticmethod
+                            def qvec(nm, _ci=ci):
+                                return in_refs[f"kc{_ci}:{nm}"][...]
+
+                        tsc = e["calc"].pallas_fn(_Ctx)
+                    elif is_forward and e["calc"].shadow_fn is not None:
                         svals = {nm: s_ln[des]
                                  for nm, des in e["dst_shadows"]}
                         sh_in = {
@@ -702,7 +763,11 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
         xb = jnp.max(xband, axis=1) != 0
         return {"colbest": col, "live": live, "xband": xb}
 
-    return jax.jit(core)
+    @jax.jit
+    def fn(flat_arrays):
+        return core(*flat_arrays)
+
+    return fn
 
 
 _CACHE: dict = {}
@@ -718,6 +783,26 @@ def get_kernel_fn(model: Model, Qp: int, Wp: int, kinds: tuple,
                                        meta, B, dropoff,
                                        interpret=interpret)
     return _CACHE[key]
+
+
+SDPK_VMEM_BYTES = 72 << 20
+
+
+def _max_batch(model: Model, Qp: int, Wp: int, n_tvec: int) -> int:
+    """Largest batch whose VMEM residents (t-vectors + carry rings +
+    span registers + column-best buffer) fit the budget."""
+    S = len(model.states)
+    n_sh = model.total_shadow_designations
+    K = max(max((t.advance_query + t.advance_target
+                 for t in model.transitions), default=1), 1)
+    R = K + 1
+    QV = _qv(Qp)
+    VLENW = (QV + 128) + Wp + 1 + QV + 264
+    per_pair = (n_tvec + 1) * VLENW * 4 \
+        + R * S * (2 + n_sh) * QV * 4 \
+        + len(model.spans) * (8 + 2 * n_sh) * QV * 4 \
+        + 12 * QV * 4
+    return max(1, SDPK_VMEM_BYTES // per_pair)
 
 
 def run_kernel(model: Model, jobs: list, dropoff: int,
@@ -738,7 +823,24 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
     for ix, pair, plan, Qp, Wp, n_layers in prepped:
         buckets.setdefault((Qp, Wp), []).append(
             (ix, pair, plan, n_layers))
+    chunked: dict = {}
     for (Qp, Wp), items in buckets.items():
+        n_tvec = 8 + 2 * len(model.calcs)       # generous estimate
+        cap = _max_batch(model, Qp, Wp, n_tvec)
+        p = 1
+        while p * 2 <= cap:
+            p *= 2
+        cap = p
+        for k in range(0, len(items), cap):
+            chunk = items[k:k + cap]
+            b = 1
+            while b < len(chunk):
+                b *= 2
+            # pad to a power of two with copies of the last job so the
+            # batch dim stays in a tiny compiled-shape set
+            chunk = chunk + [chunk[-1]] * (b - len(chunk))
+            chunked[(Qp, Wp, k)] = (items[k:k + cap], chunk)
+    for (Qp, Wp, _k), (real_items, items) in chunked.items():
         n_layers = max(x[3] for x in items)
         flats = []
         kinds = meta = None
@@ -792,8 +894,8 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
 
 def _pow2(n: int) -> int:
     p = 1024
-    while p < n + 1:
+    while p < n:
         p <<= 1
-    return p - 1 if False else p
+    return p
 
 

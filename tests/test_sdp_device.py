@@ -193,3 +193,50 @@ def test_coding2coding_frameshifts():
     t = _mutate(base[40:460], 20)
     _run("CODING2CODING", q, t, [(30, 5, 45, 220)],
          qadv=3, tadv=3, margin=120)
+
+
+PP = (AlphabetType.PROTEIN, AlphabetType.PROTEIN)
+
+_AAS = list("ACDEFGHIKLMNPQRSTVWY")
+
+
+def test_ner_joint_span():
+    """ner: a JOINT span (max_query = max_target = 50000) with a silent
+    exit from the span state — exercises the lane-shifted curr register
+    and the pre-silent span phase (ref: scheduler.c:567-645)."""
+    r = np.random.default_rng(31)
+    blockA = "".join(r.choice(_AAS, 60))
+    blockB = "".join(r.choice(_AAS, 60))
+    link1 = "".join(r.choice(_AAS, 25))
+    link2 = "".join(r.choice(_AAS, 40))
+    q = blockA + link1 + blockB
+    t = blockA + link2 + blockB
+    _run("NER", q, t, [(5, 5, 40, 220), (95, 110, 40, 220)],
+         margin=64, qt=PP)
+
+
+def test_ner_single_block():
+    r = np.random.default_rng(32)
+    base = "".join(r.choice(_AAS, 120))
+    q = base
+    tl = list(base)
+    for _ in range(15):
+        tl[int(r.integers(0, len(tl)))] = str(r.choice(_AAS))
+    _run("NER", q, "".join(tl), [(10, 10, 60, 260)], margin=64, qt=PP)
+
+
+def test_genome2genome_spliced():
+    """genome2genome: target, query-only (reference no-op) and joint
+    intron spans in one model."""
+    r = np.random.default_rng(33)
+    ex1 = "".join(r.choice(list("ACGT"), 120))
+    ex2 = "".join(r.choice(list("ACGT"), 120))
+    intr = "GT" + "".join(r.choice(list("ACGT"), 76)) + "AG"
+    genome = ("".join(r.choice(list("ACGT"), 150)) + ex1 + intr + ex2
+              + "".join(r.choice(list("ACGT"), 150)))
+    cdna = list(ex1 + ex2)
+    for _ in range(10):
+        cdna[int(r.integers(0, len(cdna)))] = str(
+            r.choice(list("ACGT")))
+    _run("GENOME2GENOME", "".join(cdna), genome,
+         [(10, 160, 80, 300), (130, 360, 80, 300)], margin=96)

@@ -250,23 +250,21 @@ def test_geneseed_two_tier_matches_c_server(tmp_path):
         proc.wait()
         srv.shutdown()
 
-    def hspsets(replies):
-        """Canonicalize: {target: sorted (qstart, tstart, len)}.  The C
-        server's intra-set order follows glibc tsearch root-eviction
-        feeding a kd-tree (rangetree.c:102-130) — implementation-defined
-        and re-finalised client-side, so sets are the contract."""
-        out = {}
+    def hspset_lines(replies):
+        """Raw hspset: lines, order preserved — byte parity is the
+        contract.  Our geneseed keepers run through a faithful
+        RangeTree whose recent set calls the REAL glibc tsearch/
+        tdelete (db/rangetree.py), so the intra-set order reproduces
+        the C server's root-eviction + kd-tree in-order emission
+        (rangetree.c:102-130)."""
+        out = []
         for r in replies:
             for ln in r.splitlines():
-                if not ln.startswith("hspset:") or "empty" in ln:
-                    continue
-                parts = ln.split()
-                trip = parts[2:]
-                out.setdefault(parts[1], set()).update(
-                    tuple(trip[k:k + 3]) for k in range(0, len(trip), 3))
+                if ln.startswith("hspset:") and "empty" not in ln:
+                    out.append(ln)
         return out
 
-    c_hsps = hspsets(c_replies)
-    o_hsps = hspsets(o_replies)
+    c_hsps = hspset_lines(c_replies)
+    o_hsps = hspset_lines(o_replies)
     assert c_hsps, c_replies
     assert o_hsps == c_hsps
