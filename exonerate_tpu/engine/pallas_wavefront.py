@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..model.ir import Model, Protect, Scope
+from ..model.ir import model_fingerprint as _mfp
 from . import wavefront as wf
 from .wavefront import NEG, IMPOSSIBLY_HIGH_SCORE
 
@@ -1420,7 +1421,7 @@ def find_batched(model: Model, jobs: list, mode: str = "region",
             ring16 = _ring16_ok(model, Qp, Tp, maxpos)
             fastneg = _fastneg_ok(Qp, Tp, maxpos, minneg)
             meta_key = tuple(sorted(meta.items()))
-            key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
+            key = (_mfp(model), Qp, Tp, mode, kinds, meta_key, names,
                    bool(interpret), use_stream, ring16, fastneg)
             fn = _CACHE.get(key)
             if fn is None:
@@ -1481,7 +1482,7 @@ def find_batched_sharded(model: Model, jobs: list, mesh,
             ring16 = _ring16_ok(model, Qp, Tp, maxpos)
             fastneg = _fastneg_ok(Qp, Tp, maxpos, minneg)
             meta_key = tuple(sorted(meta.items()))
-            key = (id(model), Qp, Tp, mode, kinds, meta_key, names,
+            key = (_mfp(model), Qp, Tp, mode, kinds, meta_key, names,
                    bool(interpret), "mesh", id(mesh), ring16, fastneg)
             fn = _CACHE.get(key)
             if fn is None:
@@ -1630,7 +1631,7 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
             ring16 = _ring16_ok(model, Qp, Tp, maxpos)
             fastneg = _fastneg_ok(Qp, Tp, maxpos, minneg)
             meta_key = tuple(sorted(meta.items()))
-            key = (id(model), Qp, Tp, "path", kinds, meta_key, names,
+            key = (_mfp(model), Qp, Tp, "path", kinds, meta_key, names,
                    bool(interpret), False, ring16, fastneg)
             fn = _CACHE.get(key)
             if fn is None:
@@ -1641,7 +1642,7 @@ def find_path_batched(model: Model, jobs: list, subopt=None,
             res = fn(dev)
             stats_dev = res["out"]       # (3, B): score, qe, te
             cap = n_steps + 256
-            wkey = (id(model), B, cap, "walk")
+            wkey = (_mfp(model), B, cap, "walk")
             walk = _CACHE.get(wkey)
             if walk is None:
                 walk = _CACHE[wkey] = _build_walkback(model, B, cap)

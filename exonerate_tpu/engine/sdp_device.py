@@ -61,17 +61,18 @@ POS = IMPOSSIBLY_HIGH_SCORE
 def supported(model: Model) -> bool:
     """Can the device scan express this model exactly?
 
-    Query-advancing and joint spans (ner, genome2genome) are supported
-    via the scatter+prefix-max thaw (see build_pass): a seed frozen at
-    (q'', t'') is usable by thaw cells (q', t') with q' >= q'' and the
-    reference window checks (scheduler protocol is side-agnostic,
-    ref: scheduler.c:567-645) — diagonal order is causal for every
-    span type because lex-(t, q) submit-before-thaw plus the q-window
-    imply d'' <= d'.  Silent exits from span states (ner's `ner to
-    match`) are handled by running the span thaw/submit phase before
-    the silent sweep.  The q-window upper bound is only enforced for
-    max_query >= query_length — callers gate smaller windows to the
-    host path (sdp_hybrid)."""
+    Query/joint spans (ner, genome2genome) are supported via the
+    lane-shifted curr register (see build_pass): the reference carries
+    one curr register through the lex-(t, q) walk; its diagonal-scan
+    image is a per-lane plane advanced one lane per diagonal, with
+    pickups gated to thaw cells and the reference window checks
+    (scheduler protocol, ref: scheduler.c:567-645).  Query-only spans
+    mirror the reference submit no-op (scheduler.c:619-641).  Silent
+    exits from span states (ner's `ner to match`) are handled by
+    running the span thaw/submit phase before the silent sweep.  The
+    q-window upper bound is only enforced for max_query >=
+    query_length — callers gate smaller windows to the host path
+    (sdp_hybrid)."""
     for sh in model.shadows:
         if sh.start_vec_fn is not None and sh.start != "target_pos":
             return False
@@ -818,7 +819,8 @@ _CACHE: dict = {}
 def get_fn(model: Model, Qp: int, Wp: int, kinds: tuple,
            use_boundary: bool, n_seed_pad: int, n_seg_pad: int,
            dropoff: int, batched: bool = False):
-    key = (id(model), Qp, Wp, kinds, use_boundary, n_seed_pad,
+    from ..model.ir import model_fingerprint
+    key = (model_fingerprint(model), Qp, Wp, kinds, use_boundary, n_seed_pad,
            n_seg_pad, dropoff, batched)
     if key not in _CACHE:
         fn = build_pass(model, Qp, Wp, kinds, use_boundary,

@@ -93,6 +93,10 @@ class HybridSDPPair:
             return
         if self.plan is None or self.device_out is None:
             plan = make_plan(self.model, pair)
+            if not device_worthwhile(plan):
+                observe.count_fallback(
+                    "sdp device->host: below device size floor")
+                raise HybridFallback()
             out = run_device(self.model, pair, plan)
             self.plan, self.device_out = plan, out
         out = self.device_out
@@ -206,6 +210,22 @@ def make_plan(model: Model, pair: SDPPair) -> sdp_bands.BandPlan:
         extents, pair.region.query_length, pair.region.target_length,
         margin=BAND_MARGIN,
         span_window=sw + 2 * BAND_MARGIN)
+
+
+# below this compressed width the host native scheduler finishes in
+# milliseconds and a first-time kernel compile (minutes) could never
+# amortize; small comparisons only take the device path when the user
+# forces it (EXONERATE_TPU_SDP=device / EXONERATE_TPU_SDP_KERNEL=1)
+DEVICE_MIN_W = 16384
+
+
+def device_worthwhile(plan) -> bool:
+    """Size gate for the DEFAULT (non-forced) device routing: tiny
+    comparisons stay on the host scheduler."""
+    import os
+    if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
+        return True
+    return plan is not None and plan.W >= DEVICE_MIN_W
 
 
 def _kernel_usable(model: Model, pair: SDPPair, plan) -> bool:

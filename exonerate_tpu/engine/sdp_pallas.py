@@ -761,7 +761,12 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
         live = (jnp.max(rev_live, axis=1)
                 | jnp.max(fwd_live, axis=1)) != 0
         xb = jnp.max(xband, axis=1) != 0
-        return {"colbest": col, "live": live, "xband": xb}
+        # ONE fetched array per call (each fetch is a tunnel
+        # round-trip): columns [0, Wp] = colbest, Wp+1 = live,
+        # Wp+2 = xband
+        return jnp.concatenate(
+            [col, live[:, None].astype(jnp.int32),
+             xb[:, None].astype(jnp.int32)], axis=1)
 
     @jax.jit
     def fn(flat_arrays):
@@ -776,8 +781,9 @@ _CACHE: dict = {}
 def get_kernel_fn(model: Model, Qp: int, Wp: int, kinds: tuple,
                   names: tuple, meta_key: tuple, meta: dict, B: int,
                   dropoff: int, interpret: bool | None = None):
-    key = (id(model), Qp, Wp, kinds, names, meta_key, B, dropoff,
-           bool(interpret), _INTERPRET)
+    from ..model.ir import model_fingerprint
+    key = (model_fingerprint(model), Qp, Wp, kinds, names, meta_key, B,
+           dropoff, bool(interpret), _INTERPRET)
     if key not in _CACHE:
         _CACHE[key] = build_sdp_kernel(model, Qp, Wp, kinds, names,
                                        meta, B, dropoff,
@@ -875,10 +881,15 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
             (k, v) for k, v in meta.items() if k != "tnames"))
         fn = get_kernel_fn(model, Qp, Wp, kinds, names, meta_key,
                            meta, B, dropoff, interpret=interpret)
-        res = fn(tuple(jnp.asarray(a) for a in stacked))
-        col = np.asarray(res["colbest"])
-        live = np.asarray(res["live"])
-        xb = np.asarray(res["xband"])
+        # content-addressed H2D: a scan re-dispatches identical input
+        # stacks (cold->warm runs, bestn rescans); through a TPU tunnel
+        # re-shipping them dominates, so reuse the wavefront engine's
+        # device-input cache
+        from .pallas_wavefront import _put_cached
+        packed = np.asarray(fn(_put_cached(stacked)))
+        col = packed[:, :Wp + 1]
+        live = packed[:, Wp + 1] != 0
+        xb = packed[:, Wp + 2] != 0
         for b, (ix, pair, plan, _nl) in enumerate(items):
             n_loci = len(plan.loci)
             band_end = np.full(max(n_loci, 1), NEG, np.int64)

@@ -539,7 +539,8 @@ _CACHE: dict = {}
 
 
 def _get_fn(model: Model, Q: int, T: int, mode: str, kinds: tuple):
-    key = (id(model), Q, T, mode, kinds)
+    from ..model.ir import model_fingerprint
+    key = (model_fingerprint(model), Q, T, mode, kinds)
     if key not in _CACHE:
         _CACHE[key] = jax.jit(build_wavefront(model, Q, T, mode, kinds))
     return _CACHE[key]
@@ -652,7 +653,8 @@ def _bucket(n: int, step: int = 256) -> int:
 
 def _get_batched_fn(model: Model, Qp: int, Tp: int, mode: str,
                     kinds: tuple):
-    key = (id(model), Qp, Tp, mode, kinds, "batched")
+    from ..model.ir import model_fingerprint
+    key = (model_fingerprint(model), Qp, Tp, mode, kinds, "batched")
     if key not in _CACHE:
         _CACHE[key] = jax.jit(
             jax.vmap(build_wavefront(model, Qp, Tp, mode, kinds)))

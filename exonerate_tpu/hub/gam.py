@@ -215,19 +215,35 @@ class GAM:
 
     def sdp_device_active(self) -> bool:
         """True when the default heuristic should run its SDP passes on
-        the device (TPU attached, or forced via EXONERATE_TPU_SDP=device)
-        and the model is device-expressible."""
+        the device and the model is device-expressible.
+
+        DEFAULT ON TPU for models the fused Pallas band-scan kernel
+        serves (engine/sdp_pallas.py): the 16x1Mb est2genome scan runs
+        7.6 s warm through the kernel vs 11.2 s host native and 18.1 s
+        single-core C (BASELINE.md round 3).  EXONERATE_TPU_SDP=device
+        forces it everywhere (CPU XLA scan included);
+        =native / =python force the host engines."""
         import os
         from ..engine import sdp_hybrid
-        from ..engine.sdp import SdpArgs
-        # opt-in for now: the band scan is byte-exact on device but the
-        # XLA lax.scan execution pays per-step launch overhead (~67k
-        # steps for a 1 Mb scan -> minutes); the host native scheduler
-        # stays the default until the Pallas port of the band scan
-        # lands (PLAN.md round-3 #2)
-        if os.environ.get("EXONERATE_TPU_SDP", "") != "device":
+        from ..engine.sdp import SdpArgs, model_uses_boundary
+        env = os.environ.get("EXONERATE_TPU_SDP", "")
+        if env in ("native", "python"):
             return False
         args = SdpArgs(self.gas.extension_threshold, self.gas.single_pass)
+        if env == "device":
+            return sdp_hybrid.eligible(self.model, args, None)
+        # default: only when a real TPU will run the fused kernel — the
+        # XLA lax.scan tier is slower than host native at scan scale
+        try:
+            import jax
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:
+            return False
+        from ..engine import sdp_pallas
+        if not sdp_pallas.kernel_supported(
+                self.model, model_uses_boundary(self.model), 1):
+            return False
         return sdp_hybrid.eligible(self.model, args, None)
 
     def run_sdp_pool(self, comparisons: list):
@@ -251,6 +267,12 @@ class GAM:
             gpair = SDPPair(self.model, comp, data, SubOpt(), args)
             plan = (sdp_hybrid.make_plan(self.model, gpair)
                     if gpair.seeds else None)
+            if plan is not None \
+                    and not sdp_hybrid.device_worthwhile(plan):
+                # tiny comparison: host scheduler directly (no device
+                # dispatch, no first-time kernel compile)
+                metas.append((comp, data, gpair, "host"))
+                continue
             metas.append((comp, data, gpair, plan))
             if plan is not None:
                 jobs.append((gpair, plan))
@@ -261,6 +283,10 @@ class GAM:
                 self.submit([])
                 continue
             comp, data, gpair, plan = meta
+            if plan == "host":
+                self.submit(self._run_sdp_loop(gpair, comp.query,
+                                               data))
+                continue
             out = next(outs) if plan is not None else None
             hp = sdp_hybrid.HybridSDPPair(
                 self.model, comp, data, gpair.subopt, args,
@@ -281,11 +307,11 @@ class GAM:
         from ..engine.sdp import SDPPair, SdpArgs
         args = SdpArgs(self.gas.extension_threshold,
                        self.gas.single_pass)
-        if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
+        if self.sdp_device_active():
             from ..engine import sdp_hybrid
-            if sdp_hybrid.eligible(self.model, args, None):
-                return sdp_hybrid.HybridSDPPair(
-                    self.model, comparison, data, SubOpt(), args)
+            return sdp_hybrid.HybridSDPPair(
+                self.model, comparison, data, SubOpt(), args)
+        if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
             from .. import observe
             observe.count_fallback(
                 "sdp device->host: model unsupported on device")

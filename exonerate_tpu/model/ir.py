@@ -225,6 +225,65 @@ class _Terminus:
         self.scope = scope
 
 
+def _fn_key(f):
+    """Identity of a calc's traced-in code: qualname + plain-value
+    closure cells (the per-model parameters like phase/on_target that
+    pick the code path; numeric score data ships as arrays and is NOT
+    part of the trace)."""
+    if f is None:
+        return None
+    cells = tuple(
+        c.cell_contents if isinstance(c.cell_contents,
+                                      (int, bool, str, type(None)))
+        else type(c.cell_contents).__name__
+        for c in (f.__closure__ or ()))
+    return (getattr(f, "__qualname__", str(f)), cells)
+
+
+def model_fingerprint(model: "Model") -> tuple:
+    """Stable structural identity of a closed model: everything an
+    engine bakes into a traced/compiled kernel (graph shape, advances,
+    labels, calc code identity, span windows, shadow wiring, scopes).
+    Numeric score parameters (submats, penalties) ship as runtime
+    arrays, so two models equal under this key trace identically —
+    jit/kernel caches keyed on it survive model re-construction across
+    CLI runs instead of retracing per `id()` (the runtime analogue of
+    the reference bootstrapper's name->function archive,
+    ref: src/model/bootstrapper.c:199-265)."""
+    fp = getattr(model, "_fingerprint", None)
+    if fp is not None:
+        return fp
+    assert not model.is_open
+    t_ix = {id(t): k for k, t in enumerate(model.transitions)}
+    fp = (
+        model.name,
+        tuple(s.name for s in model.states),
+        tuple((t.name, t.input.id if t.input else -1,
+               t.output.id if t.output else -1,
+               t.advance_query, t.advance_target,
+               (model.calcs.index(t.calc) if t.calc is not None
+                else -1),
+               t.label.value, bool(t.is_silent))
+              for t in model.transitions),
+        tuple((c.name, c.protect.value, _fn_key(c.shadow_fn),
+               _fn_key(c.pallas_fn), _fn_key(c.kernel_inputs_fn),
+               c.factored_fn is not None, c.qt_fn is not None)
+              for c in model.calcs),
+        tuple((sp.span_state.id, sp.min_query, sp.max_query,
+               sp.min_target, sp.max_target) for sp in model.spans),
+        tuple((sh.name, sh.designation, sh.start,
+               _fn_key(sh.start_vec_fn),
+               tuple(s.id for s in sh.src_states),
+               tuple(t_ix[id(t)] for t in sh.dst_transitions))
+              for sh in model.shadows),
+        (model.start_state.state.id, model.start_state.scope.value,
+         model.end_state.state.id, model.end_state.scope.value),
+        model.total_shadow_designations,
+    )
+    model._fingerprint = fp
+    return fp
+
+
 class Model:
     """A declarative DP model (ref: C4_Model, src/c4/c4.h:172-194)."""
 
