@@ -31,22 +31,26 @@ _CACHE: dict = {}
 
 
 def _sharded_fn(model: Model, Q: int, T: int, mode: str, kinds: tuple,
-                mesh: Mesh, axis: str):
-    key = (id(model), Q, T, mode, kinds, id(mesh), axis)
+                mesh: Mesh, axis: str, shard_len: int):
+    """shard_len selects which axis's arrays pin to mesh[axis]:
+    Q+1 -> query-slab sharding (diagonal state vectors split over
+    chips; rolls lower to collective permutes), T+1 -> target-tiled
+    sharding (the per-target-position vectors — splice PSSM scores,
+    factored class indices — split over chips, the memory that scales
+    with chromosome length; per-diagonal window reads lower to
+    collectives over ICI)."""
+    key = (id(model), Q, T, mode, kinds, id(mesh), axis, shard_len)
     if key not in _CACHE:
         fn = wavefront.build_wavefront(model, Q, T, mode, kinds)
-        qsharding = NamedSharding(mesh, P(axis))
+        sharding = NamedSharding(mesh, P(axis))
 
         def run(inputs):
-            # pin query-axis arrays to the 'sp' slabs; SPMD propagation
-            # shards the scan carries to match and inserts the
-            # roll-permutes
             pinned = {}
             for k, v in inputs.items():
                 if hasattr(v, "ndim") and getattr(v, "ndim", 0) == 1 \
-                        and v.shape[0] == Q + 1:
+                        and v.shape[0] == shard_len:
                     pinned[k] = jax.lax.with_sharding_constraint(
-                        jax.numpy.asarray(v), qsharding)
+                        jax.numpy.asarray(v), sharding)
                 else:
                     pinned[k] = v
             return fn(pinned)
@@ -69,7 +73,35 @@ def find_region_sharded_pair(model: Model, region: Region, data,
     Tp = region.target_length
     inputs, kinds = wavefront.prepare_inputs(model, region, data,
                                              pad_to=(Qp, Tp))
-    fn = _sharded_fn(model, Qp, Tp, "region", kinds, mesh, axis)
+    fn = _sharded_fn(model, Qp, Tp, "region", kinds, mesh, axis,
+                     Qp + 1)
+    with mesh:
+        out = jax.tree_util.tree_map(
+            lambda x: np.asarray(x), fn(inputs))
+    return DPResult(score=int(out["score"]),
+                    query_end=int(out["query_end"]),
+                    target_end=int(out["target_end"]),
+                    query_start=int(out["query_start"]),
+                    target_start=int(out["target_start"]))
+
+
+def find_region_target_tiled(model: Model, region: Region, data,
+                             mesh: Mesh, axis: str = "sp") -> DPResult:
+    """FIND_REGION for ONE pair with the TARGET axis tiled over
+    mesh[axis] (SURVEY.md §2.13: chromosome-scale targets partitioned
+    across chips with halo exchange over ICI).  The target-position
+    vectors — splice-site PSSM scores, factored match class indices,
+    every O(T) input — live sharded, so a pair whose target outgrows
+    one chip's memory spans the slice; the DP recurrence is unchanged
+    and the result is exactly the single-device wavefront's."""
+    n = int(np.prod([s for name, s in zip(mesh.axis_names, mesh.devices.shape)
+                     if name == axis]) or 1)
+    Qp = region.query_length
+    Tp = _pad_to_multiple(region.target_length, max(n, 1))
+    inputs, kinds = wavefront.prepare_inputs(model, region, data,
+                                             pad_to=(Qp, Tp))
+    fn = _sharded_fn(model, Qp, Tp, "region", kinds, mesh, axis,
+                     Tp + 1)
     with mesh:
         out = jax.tree_util.tree_map(
             lambda x: np.asarray(x), fn(inputs))

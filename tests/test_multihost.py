@@ -145,3 +145,44 @@ def test_sharded_single_pair_est2genome_matches_single_device():
             sharded.query_end, sharded.target_end) == (
         single.query_start, single.target_start,
         single.query_end, single.target_end)
+
+
+def test_target_tiled_single_pair_matches_single_device():
+    """One pair's TARGET axis tiled over 'sp' (chromosome-scale memory
+    partition, SURVEY.md §2.13): exact full-result parity with the
+    single-device wavefront."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from exonerate_tpu.alphabet import Alphabet, AlphabetType
+    from exonerate_tpu.seqio import Sequence
+    from exonerate_tpu.model.est2genome import est2genome_create
+    from exonerate_tpu.model.data import AlignData, IntronArgs
+    from exonerate_tpu.engine.region import Region
+    from exonerate_tpu.engine import wavefront
+    from exonerate_tpu.parallel.sharded_pair import \
+        find_region_target_tiled
+
+    rng = np.random.default_rng(9)
+    dna = Alphabet(AlphabetType.DNA)
+    ex1 = "".join(rng.choice(list("ACGT"), 100))
+    ex2 = "".join(rng.choice(list("ACGT"), 100))
+    intr = "GT" + "".join(rng.choice(list("ACGT"), 60)) + "AG"
+    genome = ("".join(rng.choice(list("ACGT"), 40)) + ex1 + intr + ex2
+              + "".join(rng.choice(list("ACGT"), 40)))
+    q = Sequence("q", None, ex1 + ex2, dna)
+    t = Sequence("t", None, genome, dna)
+    ia = IntronArgs(min_intron=20, max_intron=1000)
+    model = est2genome_create(ia)
+    data = AlignData(q, t)
+    data.intron = ia
+    region = Region(0, 0, len(q), len(t))
+
+    single = wavefront.find_region(model, region, data)
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs.reshape(1, 4), ("dp", "sp"))
+    tiled = find_region_target_tiled(model, region, data, mesh)
+    assert (tiled.score, tiled.query_start, tiled.target_start,
+            tiled.query_end, tiled.target_end) == (
+        single.score, single.query_start, single.target_start,
+        single.query_end, single.target_end), (tiled, single)
