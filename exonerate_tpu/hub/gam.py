@@ -278,24 +278,46 @@ class GAM:
                 jobs.append((gpair, plan))
         outs = iter(sdp_hybrid.run_device_batch(self.model, jobs)
                     if jobs else [])
-        for meta in metas:
+
+        def result_loop(meta):
             if meta is None:
-                self.submit([])
-                continue
-            comp, data, gpair, plan = meta
+                return []
+            comp, data, gpair, plan = meta[:4]
             if plan == "host":
-                self.submit(self._run_sdp_loop(gpair, comp.query,
-                                               data))
-                continue
-            out = next(outs) if plan is not None else None
+                return self._run_sdp_loop(gpair, comp.query, data)
+            out = meta[4]
             hp = sdp_hybrid.HybridSDPPair(
                 self.model, comp, data, gpair.subopt, args,
                 device_out=out, plan=plan, gpair=gpair)
             try:
-                results = self._run_sdp_loop(hp, comp.query, data)
+                return self._run_sdp_loop(hp, comp.query, data)
             except sdp_hybrid.HybridFallback:
                 pair = SDPPair(self.model, comp, data, SubOpt(), args)
-                results = self._run_sdp_loop(pair, comp.query, data)
+                return self._run_sdp_loop(pair, comp.query, data)
+
+        # attach each device output to its meta before fan-out
+        metas = [meta if meta is None or meta[3] == "host"
+                 else meta + ((next(outs) if meta[3] is not None
+                               else None),)
+                 for meta in metas]
+        # the per-comparison walks are independent: host locus
+        # resolutions (the warm scan's largest remaining cost) run
+        # through ctypes calls that release the GIL, so a small thread
+        # pool overlaps them; submission stays in original order so
+        # output bytes are unchanged (the safe counterpart of the
+        # reference's disabled -c threads, ref: README.md:24-25,
+        # analysis.c:120-128)
+        import os as _os
+        n_workers = int(_os.environ.get(
+            "EXONERATE_TPU_RESOLVE_THREADS",
+            str(min(4, _os.cpu_count() or 1))))
+        if n_workers > 1 and sum(m is not None for m in metas) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                all_results = list(ex.map(result_loop, metas))
+        else:
+            all_results = [result_loop(m) for m in metas]
+        for results in all_results:
             self.submit(results)
 
     def _make_sdp_pair(self, comparison, data):
