@@ -243,7 +243,7 @@ def _ring_plan(model: Model, is_forward: bool):
 
 def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                      names: tuple, meta: dict, B: int, dropoff: int,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, shard_mesh=None):
     """fn(flat_tuple) -> {"colbest": (B, Wp+1), "live": (B,),
     "xband": (B,)} — colbest[b, v] = best forward end score whose end
     cell lies in compressed column v (NEG where none)."""
@@ -768,6 +768,25 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
             [col, live[:, None].astype(jnp.int32),
              xb[:, None].astype(jnp.int32)], axis=1)
 
+    if shard_mesh is not None:
+        # pod-scale scan scheduler: the comparison batch data-parallel
+        # over every mesh axis, each device running its shard's fused
+        # band scan with no cross-device traffic inside the DP
+        # (SURVEY.md §2.13: the reference's --querychunkid external
+        # concat, done as a shard_map)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(shard_mesh.shape.keys())
+        smapped = shard_map(core, mesh=shard_mesh,
+                            in_specs=tuple(P(axes) for _ in names),
+                            out_specs=P(axes), check_rep=False)
+
+        @jax.jit
+        def fn(flat_arrays):
+            return smapped(*flat_arrays)
+
+        return fn
+
     @jax.jit
     def fn(flat_arrays):
         return core(*flat_arrays)
@@ -780,14 +799,17 @@ _CACHE: dict = {}
 
 def get_kernel_fn(model: Model, Qp: int, Wp: int, kinds: tuple,
                   names: tuple, meta_key: tuple, meta: dict, B: int,
-                  dropoff: int, interpret: bool | None = None):
+                  dropoff: int, interpret: bool | None = None,
+                  shard_mesh=None):
     from ..model.ir import model_fingerprint
     key = (model_fingerprint(model), Qp, Wp, kinds, names, meta_key, B,
-           dropoff, bool(interpret), _INTERPRET)
+           dropoff, bool(interpret), _INTERPRET,
+           id(shard_mesh) if shard_mesh is not None else None)
     if key not in _CACHE:
         _CACHE[key] = build_sdp_kernel(model, Qp, Wp, kinds, names,
                                        meta, B, dropoff,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       shard_mesh=shard_mesh)
     return _CACHE[key]
 
 
@@ -812,12 +834,17 @@ def _max_batch(model: Model, Qp: int, Wp: int, n_tvec: int) -> int:
 
 
 def run_kernel(model: Model, jobs: list, dropoff: int,
-               interpret: bool | None = None) -> list:
+               interpret: bool | None = None, mesh=None) -> list:
     """jobs: [(pair, plan)] — batched per (shape, kinds) bucket.
     Returns per-job dicts {"band_end": [n_loci], "live": bool,
     "xband": bool} shaped like sdp_device's outputs (band_end indexed
-    by locus)."""
+    by locus).  ``mesh``: optional jax Mesh — the comparison batch runs
+    data-parallel over every mesh axis via shard_map (pod-scale scan
+    scheduling)."""
     from .wavefront import _bucket
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
     out: list = [None] * len(jobs)
     prepped = []
     for ix, (pair, plan) in enumerate(jobs):
@@ -836,14 +863,16 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
         p = 1
         while p * 2 <= cap:
             p *= 2
-        cap = p
+        cap = p * n_dev                 # per-device VMEM bound
         for k in range(0, len(items), cap):
             chunk = items[k:k + cap]
             b = 1
             while b < len(chunk):
                 b *= 2
-            # pad to a power of two with copies of the last job so the
-            # batch dim stays in a tiny compiled-shape set
+            b = max(b, n_dev)
+            # pad to a power of two (>= device count when meshed) with
+            # copies of the last job so the batch dim stays in a tiny
+            # compiled-shape set and shards evenly
             chunk = chunk + [chunk[-1]] * (b - len(chunk))
             chunked[(Qp, Wp, k)] = (items[k:k + cap], chunk)
     for (Qp, Wp, _k), (real_items, items) in chunked.items():
@@ -880,7 +909,8 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
         meta_key = tuple(sorted(
             (k, v) for k, v in meta.items() if k != "tnames"))
         fn = get_kernel_fn(model, Qp, Wp, kinds, names, meta_key,
-                           meta, B, dropoff, interpret=interpret)
+                           meta, B // n_dev, dropoff,
+                           interpret=interpret, shard_mesh=mesh)
         # content-addressed H2D: a scan re-dispatches identical input
         # stacks (cold->warm runs, bestn rescans); through a TPU tunnel
         # re-shipping them dominates, so reuse the wavefront engine's

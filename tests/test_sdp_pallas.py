@@ -166,3 +166,49 @@ def test_est2genome_randomized_fuzz():
             ts_ = int(rng.integers(0, max(1, len(t) - ln)))
             hsps.append((qs_, ts_, ln, int(rng.integers(30, 90))))
         _check("EST2GENOME", q, t, hsps)
+
+
+def test_kernel_mesh_sharded_batch_matches_single():
+    """The band-scan kernel under shard_map: comparison batch
+    data-parallel over an 8-device CPU mesh, outputs identical to the
+    unsharded run (pod-scale scan scheduling, SURVEY §2.13)."""
+    import jax
+    from jax.sharding import Mesh
+    os.environ["EXONERATE_TPU_SDP"] = "python"
+    model = get_model(ModelType.EST2GENOME, *DD)
+    jobs = []
+    for seed in (51, 52, 53):
+        r = np.random.default_rng(seed)
+        cdna = "".join("ACGT"[k] for k in r.integers(0, 4, 100))
+        t = ("".join("ACGT"[k] for k in r.integers(0, 4, 150))
+             + cdna
+             + "".join("ACGT"[k] for k in r.integers(0, 4, 150)))
+        q = list(cdna)
+        for _ in range(5):
+            q[int(r.integers(0, len(q)))] = "ACGT"[r.integers(0, 4)]
+        qs = Sequence("q", None, "".join(q))
+        ts = Sequence("t", None, t)
+        data = AlignData(qs, ts)
+        hl = [SimpleNamespace(query_start=20, target_start=170,
+                              length=40, score=60, cobs=20)]
+        hs = SimpleNamespace(qadv=1, tadv=1, hsps=hl)
+        comp = SimpleNamespace(query=qs, target=ts,
+                               hspsets=lambda h=hs: [h])
+        pair = SDPPair(model, comp, data, None, SdpArgs())
+        pair._find_starts()
+        pair._find_ends()
+        extents = [(s.hsp.target_start,
+                    s.hsp.target_start + s.hsp.length)
+                   for s in pair.seeds]
+        sw = max((sp.max_target for sp in model.spans), default=0)
+        plan = sdp_bands.plan_bands(extents, len(q), len(t),
+                                    margin=64, span_window=sw + 128)
+        jobs.append((pair, plan))
+    single = sdp_pallas.run_kernel(model, jobs, 50, interpret=True)
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs.reshape(8), ("dp",))
+    sharded = sdp_pallas.run_kernel(model, jobs, 50, interpret=True,
+                                    mesh=mesh)
+    for a, b in zip(single, sharded):
+        assert a["live"] == b["live"] and a["xband"] == b["xband"]
+        np.testing.assert_array_equal(a["band_end"], b["band_end"])
