@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..model.ir import (IMPOSSIBLY_LOW_SCORE, IMPOSSIBLY_HIGH_SCORE,
-                        Model, Protect)
+                        Model)
 from . import sdp_bands, sdp_device
 from .sdp_device import _plan_transitions, _span_plan
 
@@ -78,13 +78,6 @@ def kernel_supported(model: Model, use_boundary: bool, n_layers: int,
         return False            # track_sid attribution not implemented
     if n_layers > MAX_SEED_LAYERS:
         return False
-    if any(sp.max_query > 0 for sp in model.spans):
-        return False            # query/joint-span thaw: XLA scan only
-    for sp in model.spans:
-        st = sp.span_state
-        if any(t.is_silent and (t.input is st or t.output is st)
-               for t in model.transitions):
-            return False        # silent span edges: XLA scan only
     for c in model.calcs:
         if c.pallas_fn is not None:
             # pallas_fn calcs need their gather-free kernel inputs
@@ -550,10 +543,13 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
 
             for e in adv_plan:
                 eval_accept(e)
-            for e in silent_plan:
-                eval_accept(e)
 
             # --- span thaw + submit (forward only) ------------------
+            # runs BEFORE the silent sweep (mirroring sdp_device) so
+            # silent exits from span states — ner's `ner to match` —
+            # read the post-thaw value per the reference's per-cell
+            # transition order (ref: scheduler.c:891-985); supported
+            # models have no silent WRITES into span states
             xband_hit = None
             if is_forward and n_spans:
                 abs_tv = tslice("_abs_t", 0)
@@ -572,6 +568,75 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                              for lx in range(n_sh)]
                     cu_ln = [span_reg[spx, 8 + n_sh + lx]
                              for lx in range(n_sh)]
+                    if sp["max_target"] == 0:
+                        # query-only span: the reference submit is a
+                        # no-op (scheduler.c:619-641) — never thaws
+                        continue
+                    if sp["max_query"] > 0:
+                        # joint span (ner, genome2genome): the
+                        # reference's curr register walking the row is
+                        # a per-lane plane advanced ONE LANE per
+                        # diagonal (see sdp_device build_pass); pickup
+                        # only at thaw cells from the own-lane stored
+                        # seed, strictly-greater replacement
+                        shl = lambda v, fill: jnp.concatenate(
+                            [jnp.full((B, 1), fill, v.dtype),
+                             v[:, :-1]], axis=1)
+                        r_sc = shl(cu_sc, NEG)
+                        r_pm = shl(cu_pm, 0)
+                        r_te = shl(cu_te, 0)
+                        r_sg = shl(cu_sg, 0)
+                        r_ln = [shl(v, 0) for v in cu_ln]
+                        r_ok = (r_sc > NEG) & \
+                            ((r_te + sp["max_target"]) >= abs_tv)
+                        st_ok = (st_sc > NEG) & \
+                            ((st_te + sp["max_target"]) >= abs_tv)
+                        upd = thaw_row & st_ok & \
+                            (~r_ok | (r_sc < st_sc))
+                        r_sc = jnp.where(upd, st_sc,
+                                         jnp.where(r_ok, r_sc, NEG))
+                        r_pm = jnp.where(upd, st_pm, r_pm)
+                        r_te = jnp.where(upd, st_te, r_te)
+                        r_sg = jnp.where(upd, st_sg, r_sg)
+                        r_ln = [jnp.where(upd, st_ln[lx], r_ln[lx])
+                                for lx in range(n_sh)]
+                        th = thaw_row & (r_sc > NEG) & (sc[st] < r_sc)
+                        xb = th & (r_sg != seg_row)
+                        xband_hit = xb if xband_hit is None \
+                            else (xband_hit | xb)
+                        pre_sc, pre_pm = sc[st], pm[st]
+                        pre_ln = list(ln[st]) if has_lanes else None
+                        sc[st] = jnp.where(th, r_sc, sc[st])
+                        pm[st] = jnp.where(th, r_pm, pm[st])
+                        if has_lanes:
+                            for lx in range(n_sh):
+                                ln[st][lx] = jnp.where(
+                                    th, r_ln[lx], ln[st][lx])
+                        if sp["submit_post_thaw"]:
+                            sub_sc, sub_pm = sc[st], pm[st]
+                            sub_ln = ln[st] if has_lanes else None
+                        else:
+                            sub_sc, sub_pm = pre_sc, pre_pm
+                            sub_ln = pre_ln
+                        rep = cell_ok & (sub_sc >= 0) & \
+                            (sub_sc >= st_sc)
+                        span_reg[spx, 0] = jnp.where(rep, sub_sc,
+                                                     st_sc)
+                        span_reg[spx, 1] = jnp.where(rep, sub_pm,
+                                                     st_pm)
+                        span_reg[spx, 2] = jnp.where(rep, abs_tv,
+                                                     st_te)
+                        span_reg[spx, 3] = jnp.where(rep, seg_row,
+                                                     st_sg)
+                        span_reg[spx, 4] = r_sc
+                        span_reg[spx, 5] = r_pm
+                        span_reg[spx, 6] = r_te
+                        span_reg[spx, 7] = r_sg
+                        for lx in range(n_sh):
+                            span_reg[spx, 8 + lx] = jnp.where(
+                                rep, sub_ln[lx], st_ln[lx])
+                            span_reg[spx, 8 + n_sh + lx] = r_ln[lx]
+                        continue
                     # expire stored at thaw cells
                     in_w = (st_te + sp["max_target"]) >= abs_tv
                     expired = thaw_row & (st_sc > NEG) & ~in_w
@@ -622,6 +687,9 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                         span_reg[spx, 8 + lx] = jnp.where(
                             rep, sub_ln[lx], st_ln[lx])
                         span_reg[spx, 8 + n_sh + lx] = cu_ln[lx]
+
+            for e in silent_plan:
+                eval_accept(e)
 
             # --- finalize: mask invalid cells -----------------------
             for s in range(S):

@@ -212,3 +212,35 @@ def test_kernel_mesh_sharded_batch_matches_single():
     for a, b in zip(single, sharded):
         assert a["live"] == b["live"] and a["xband"] == b["xband"]
         np.testing.assert_array_equal(a["band_end"], b["band_end"])
+
+
+PP = (AlphabetType.PROTEIN, AlphabetType.PROTEIN)
+_AAS = list("ACDEFGHIKLMNPQRSTVWY")
+
+
+def test_ner_joint_span_kernel():
+    """ner on the fused kernel: joint span via the lane-shifted curr
+    plane + silent span exit via the pre-silent span phase."""
+    r = np.random.default_rng(41)
+    blockA = "".join(r.choice(_AAS, 60))
+    blockB = "".join(r.choice(_AAS, 60))
+    q = blockA + "".join(r.choice(_AAS, 25)) + blockB
+    t = blockA + "".join(r.choice(_AAS, 40)) + blockB
+    _check("NER", q, t, [(5, 5, 40, 220), (95, 110, 40, 220)],
+           margin=64, qt=PP)
+
+
+def test_genome2genome_kernel_gate():
+    """genome2genome's joint/query phase calcs carry ARRAY shadow
+    inputs (no gather-free kernel form), so the pair-level gate must
+    reject the kernel and route to the XLA scan — whose g2g parity is
+    covered by test_sdp_device."""
+    r = np.random.default_rng(42)
+    ex = "".join(r.choice(list("ACGT"), 120))
+    genome = ("".join(r.choice(list("ACGT"), 100)) + ex
+              + "".join(r.choice(list("ACGT"), 100)))
+    model, pair, plan = _pair_and_plan(
+        "GENOME2GENOME", ex, genome, [(10, 110, 60, 200)], margin=64)
+    n_layers = sdp_pallas.count_seed_layers(pair, plan)
+    assert not sdp_pallas.kernel_supported(
+        model, pair.use_boundary, n_layers, pair)
