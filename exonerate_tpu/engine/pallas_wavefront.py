@@ -1254,10 +1254,21 @@ _CACHE: dict = {}
 _DEV_CACHE: "dict[tuple, object]" = {}
 _DEV_CACHE_BYTES = [0]
 DEV_CACHE_LIMIT = 1 << 30
+# the pooled result loops dispatch refinement DPs from worker threads;
+# the content-addressed caches mutate shared dicts (including an
+# eviction sweep that iterates while deleting), so their critical
+# sections take this lock
+import threading as _threading
+_CACHE_LOCK = _threading.RLock()
 
 
 def _put_cached(flat: list) -> tuple:
     import hashlib
+    with _CACHE_LOCK:
+        return _put_cached_locked(flat, hashlib)
+
+
+def _put_cached_locked(flat, hashlib) -> tuple:
     out = []
     miss_np, miss_keys = [], []
     for a in flat:
@@ -1295,15 +1306,17 @@ PREP_CACHE_ENTRIES = 256
 def _prepare_cached(model: Model, region, data, Qp: int, Tp: int):
     key = (id(model), id(data), region.query_start, region.target_start,
            region.query_length, region.target_length, Qp, Tp)
-    hit = _PREP_CACHE.get(key)
-    if hit is not None and hit[0] is data:
-        return hit[1], hit[2]
+    with _CACHE_LOCK:
+        hit = _PREP_CACHE.get(key)
+        if hit is not None and hit[0] is data:
+            return hit[1], hit[2]
     inputs, kinds = wf.prepare_inputs(model, region, data,
                                       pad_to=(Qp, Tp), for_pallas=True)
-    if len(_PREP_ORDER) >= PREP_CACHE_ENTRIES:
-        _PREP_CACHE.pop(_PREP_ORDER.pop(0), None)
-    _PREP_CACHE[key] = (data, inputs, kinds)
-    _PREP_ORDER.append(key)
+    with _CACHE_LOCK:
+        if len(_PREP_ORDER) >= PREP_CACHE_ENTRIES:
+            _PREP_CACHE.pop(_PREP_ORDER.pop(0), None)
+        _PREP_CACHE[key] = (data, inputs, kinds)
+        _PREP_ORDER.append(key)
     return inputs, kinds
 
 
@@ -1320,19 +1333,22 @@ BATCH_CACHE_ENTRIES = 64
 def _pack_put_cached(model: Model, per_pair: list, kinds: tuple,
                      Qp: int, Tp: int):
     key = (id(model), tuple(map(id, per_pair)), kinds, Qp, Tp)
-    hit = _BATCH_CACHE.get(key)
-    if hit is not None and len(hit[0]) == len(per_pair) \
-            and all(a is b for a, b in zip(hit[0], per_pair)):
-        return hit[1:]
+    with _CACHE_LOCK:
+        hit = _BATCH_CACHE.get(key)
+        if hit is not None and len(hit[0]) == len(per_pair) \
+                and all(a is b for a, b in zip(hit[0], per_pair)):
+            return hit[1:]
     arrays, meta = pack_batched_inputs(model, per_pair, kinds, Qp, Tp)
     flat, names = _flatten(arrays)
     maxpos = meta.pop("maxpos", 0)
     minneg = meta.pop("minneg", 0)
     dev = _put_cached(flat)
-    if len(_BATCH_ORDER) >= BATCH_CACHE_ENTRIES:
-        _BATCH_CACHE.pop(_BATCH_ORDER.pop(0), None)
-    _BATCH_CACHE[key] = (list(per_pair), names, meta, maxpos, minneg, dev)
-    _BATCH_ORDER.append(key)
+    with _CACHE_LOCK:
+        if len(_BATCH_ORDER) >= BATCH_CACHE_ENTRIES:
+            _BATCH_CACHE.pop(_BATCH_ORDER.pop(0), None)
+        _BATCH_CACHE[key] = (list(per_pair), names, meta, maxpos,
+                             minneg, dev)
+        _BATCH_ORDER.append(key)
     return names, meta, maxpos, minneg, dev
 
 

@@ -11,12 +11,16 @@ a run got slower (VERDICT round 1, weak #6).
 from __future__ import annotations
 
 import sys
+import threading
 from collections import Counter
 
 verbosity = 0
 
 engine_counts: Counter = Counter()
 fallback_counts: Counter = Counter()
+# gam's pooled result loops run on a thread pool; counter updates are
+# read-modify-write and need the lock to stay exact
+_lock = threading.Lock()
 
 
 def set_verbosity(v: int) -> None:
@@ -32,11 +36,13 @@ def note(level: int, msg: str) -> None:
 
 def count_engine(engine: str, n: int = 1) -> None:
     """Record that `engine` computed n DP jobs."""
-    engine_counts[engine] += n
+    with _lock:
+        engine_counts[engine] += n
 
 
 def count_fallback(reason: str, n: int = 1) -> None:
-    fallback_counts[reason] += n
+    with _lock:
+        fallback_counts[reason] += n
     note(2, f"engine fallback: {reason} ({n} job{'s' if n != 1 else ''})")
 
 

@@ -377,6 +377,17 @@ CASES = [
     ("cd2g_gff_annot_bestn2", "exonerate",
      ["-m", "cdna2genome", "--annotation", _annot, "--bestn", "2",
       "--showtargetgff", "yes", _cdna_mut, _genome] + _VULG + _NOAL),
+    # round-3 probes: refine+GFF through the split-codon model, ner
+    # display with bestn, and codon-model target GFF
+    ("p2g_gff_refine_region", "exonerate",
+     ["-m", "protein2genome", "--refine", "region", "--bestn", "1",
+      "--showtargetgff", "yes", _calm_prot, _genome] + _VULG + _NOAL),
+    ("ner_bestn2_align", "exonerate",
+     ["-m", "ner", "--bestn", "2", _ner1, _ner2,
+      "--showalignment", "yes"] + _VULG),
+    ("c2c_gff", "exonerate",
+     ["-m", "coding2coding", "--showtargetgff", "yes", _cdna_mut,
+      _calm_dna] + _VULG + _NOAL),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
