@@ -10,6 +10,7 @@ normalizes comparisons before handing them to the GAM
 from __future__ import annotations
 
 import os
+import sys
 
 from dataclasses import dataclass, field
 from typing import Optional
@@ -182,6 +183,13 @@ class Analysis:
     # -- the drive ---------------------------------------------------------
 
     def process(self):
+        if not self.aas.use_exhaustive and not self.gam.model.is_local:
+            # (ref: GAM_create, gam.c:417-418: heuristics need local
+            # models; g_error aborts with a FATAL ERROR)
+            sys.stderr.write("** FATAL ERROR **: Cannot perform "
+                             "heuristic alignments using non-local "
+                             "models: use -E\nexiting ...\n")
+            raise SystemExit(1)
         if self.server_targets:
             from .client import run_client_analysis
             for hostport in self.server_targets:

@@ -386,7 +386,11 @@ class HspSet:
         self.hsps = out
 
     def _score_overlap(self, left: HSP, right: HSP) -> int:
-        """(ref: HSP_score_overlap, hspset.c:1164-1184)."""
+        """Sum of BOTH HSPs' match scores over the overlapped region
+        (ref: HSP_score_overlap, hspset.c:1164-1184: the left HSP's
+        positions walking back from its end, plus the right HSP's
+        positions walking forward from its start — the doubled total is
+        then compared against score_left + score_right)."""
         score = 0
         qp = left.query_end(self.qadv) - self.qadv
         tp = left.target_end(self.tadv) - self.tadv
@@ -394,6 +398,12 @@ class HspSet:
             score += self.score_at(qp, tp)
             qp -= self.qadv
             tp -= self.tadv
+        qp = right.query_start
+        tp = right.target_start
+        while qp < left.query_end(self.qadv) - self.qadv:
+            score += self.score_at(qp, tp)
+            qp += self.qadv
+            tp += self.tadv
         return score
 
 

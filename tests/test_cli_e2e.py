@@ -106,3 +106,19 @@ def test_batched_first_path_matches_sequential(tmp_path, monkeypatch):
     assert len([l for l in seq_text.splitlines()
                 if l.startswith("vulgar:")]) >= 2
     assert bat_text == seq_text
+
+
+def test_heuristic_nonlocal_model_fatal(capsys):
+    """(ref: GAM_create, gam.c:417-418): heuristic mode on a non-local
+    model must abort with the reference's FATAL ERROR, not silently run
+    a heuristic the reference refuses."""
+    import pytest
+    from exonerate_tpu.cli.exonerate import main
+    import io
+    with pytest.raises(SystemExit) as e:
+        main(["-m", "affine:global",
+              "/root/reference/test/data/cdna/calm.human.dna.fasta",
+              "/root/reference/test/data/cdna/calm.human.dna.fasta"],
+             out=io.StringIO())
+    assert e.value.code == 1
+    assert "Cannot perform heuristic alignments" in capsys.readouterr().err
