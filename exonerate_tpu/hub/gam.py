@@ -193,6 +193,15 @@ class GAM:
         from ..engine.sdp import SDPPair, SdpArgs
         if not comparison.has_hsps:
             return []
+        if self.geneseed_threshold:
+            # (ref: GAM_Result_heuristic_create, gam.c:1112-1121):
+            # geneseed raises the report threshold too, so low-scoring
+            # subopt alignments never emit
+            if self.gas.threshold < self.geneseed_threshold:
+                self.gas.threshold = self.geneseed_threshold
+            self._geneseed_filter(comparison)
+            if not comparison.has_hsps:
+                return []
         query, target = comparison.query, comparison.target
         data = self.make_data(query, target)
         if not self.gas.use_gapped_extension:
@@ -263,6 +272,13 @@ class GAM:
             if not comp.has_hsps:
                 metas.append(None)
                 continue
+            if self.geneseed_threshold:
+                if self.gas.threshold < self.geneseed_threshold:
+                    self.gas.threshold = self.geneseed_threshold
+                self._geneseed_filter(comp)
+                if not comp.has_hsps:
+                    metas.append(None)
+                    continue
             data = self.make_data(comp.query, comp.target)
             gpair = SDPPair(self.model, comp, data, SubOpt(), args)
             plan = (sdp_hybrid.make_plan(self.model, gpair)
@@ -319,6 +335,78 @@ class GAM:
             all_results = [result_loop(m) for m in metas]
         for results in all_results:
             self.submit(results)
+
+    def _geneseed_filter(self, comparison):
+        """HSP reachability filter (ref: GAM_Result_geneseed_filter,
+        gam.c:1044-1105): starting from every geneseed HSP (score >=
+        geneseed threshold), flood rectangle searches over the HSP
+        cobs points forward and backward; an HSP survives if marked in
+        EITHER direction.  Search ranges grow with the visited HSP's
+        extent past its cobs plus the global max-cobs HSP's leading
+        extent, padded by the model's span windows (gam.c:444-450).
+        The mark set is search-order independent, so a flat worklist
+        replaces the reference's recursive RangeTree walk; the tree's
+        first-point-wins dedup (same-cobs-point HSPs are unreachable
+        through the tree) is mirrored."""
+        import numpy as np
+        entries = []                    # (hspset, hsp, q_cobs, t_cobs)
+        points: dict = {}
+        max_cobs = None
+        for hs in comparison.hspsets():
+            for h in hs.hsps:
+                qc = h.query_start + h.cobs * hs.qadv
+                tc = h.target_start + h.cobs * hs.tadv
+                hid = len(entries)
+                entries.append((hs, h, qc, tc))
+                if (qc, tc) not in points:
+                    points[(qc, tc)] = hid
+                if max_cobs is None \
+                        or entries[max_cobs][1].cobs < h.cobs:
+                    max_cobs = hid
+        if not entries:
+            return
+        mq = max((sp.max_query for sp in self.model.spans), default=0)
+        mt = max((sp.max_target for sp in self.model.spans), default=0)
+        _mh_hs, mh, mh_qc, mh_tc = entries[max_cobs]
+        mq_off = mh_qc - mh.query_start
+        mt_off = mh_tc - mh.target_start
+        tree_ids = np.array(sorted(points.values()), np.int64)
+        tqc = np.array([entries[i][2] for i in tree_ids], np.int64)
+        ttc = np.array([entries[i][3] for i in tree_ids], np.int64)
+        fwd = [False] * len(entries)
+        rev = [False] * len(entries)
+        work = [(i, d)
+                for i, (hs, h, _q, _t) in enumerate(entries)
+                if h.score >= self.geneseed_threshold
+                for d in (True, False)]
+        while work:
+            hid, is_fwd = work.pop()
+            mark = fwd if is_fwd else rev
+            if mark[hid]:
+                continue
+            mark[hid] = True
+            hs, h, qc, tc = entries[hid]
+            qr = mq + ((h.query_start + h.length * hs.qadv - qc)
+                       + mq_off) * 2
+            tr = mt + ((h.target_start + h.length * hs.tadv - tc)
+                       + mt_off) * 2
+            if is_fwd:
+                sel = ((tqc >= qc) & (tqc < qc + qr)
+                       & (ttc >= tc) & (ttc < tc + tr))
+            else:
+                sel = ((tqc >= qc - qr) & (tqc < qc)
+                       & (ttc >= tc - tr) & (ttc < tc))
+            for j in tree_ids[np.nonzero(sel)[0]]:
+                if not (fwd if is_fwd else rev)[j]:
+                    work.append((int(j), is_fwd))
+        hid = 0
+        for hs in comparison.hspsets():
+            keep = []
+            for h in hs.hsps:
+                if fwd[hid] or rev[hid]:
+                    keep.append(h)
+                hid += 1
+            hs.hsps = keep
 
     def _make_sdp_pair(self, comparison, data):
         """Default SDP executor: the device-hybrid pair when a TPU is

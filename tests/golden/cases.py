@@ -395,6 +395,12 @@ CASES = [
     ("ungt_bestn3", "exonerate",
      ["-m", "ungapped:trans", "--bestn", "3", _cdna_mut, _calm_dna]
      + _VULG + _NOAL),
+    # geneseed at a threshold ABOVE a suboptimal alignment's score:
+    # locks the HSP reachability filter + the threshold raise
+    # (GAM_Result_heuristic_create, gam.c:1112-1121 + 1044-1105)
+    ("geneseed_120", "exonerate",
+     ["-m", "est2genome", "--geneseed", "120", _cdna_mut, _genome]
+     + _VULG + _NOAL),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
