@@ -1135,17 +1135,20 @@ class Bsdp:
         for pair in self._filter:
             if pair is None:
                 continue
-            for pq in pair:
-                # remove tie-breakers (ref: bsdp.c:466-486)
-                if pq.total > self.join_filter:
-                    pot = pq.pop()
-                    score = pot["score"]
-                    pot["refs"] -= 1
-                    while pq.total:
-                        top = pq.top()
-                        if top["score"] != score:
-                            break
-                        pq.pop()["refs"] -= 1
+            # remove tie-breakers from the SRC queues only — the
+            # reference's first initialise loop walks just
+            # src_edge_pqueue (bsdp.c:509-515); dst queues keep their
+            # N+1 entries and only gate survival via the ref count
+            pq = pair[0]
+            if pq.total > self.join_filter:
+                pot = pq.pop()
+                score = pot["score"]
+                pot["refs"] -= 1
+                while pq.total:
+                    top = pq.top()
+                    if top["score"] != score:
+                        break
+                    pq.pop()["refs"] -= 1
         for pair in self._filter:
             if pair is None:
                 continue

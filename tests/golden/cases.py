@@ -401,6 +401,11 @@ CASES = [
     ("geneseed_120", "exonerate",
      ["-m", "est2genome", "--geneseed", "120", _cdna_mut, _genome]
      + _VULG + _NOAL),
+    # BSDP joinfilter: tie-breaker removal runs on the SRC edge queues
+    # only (BSDP_initialise, bsdp.c:509-515)
+    ("bsdp_joinfilter2", "exonerate",
+     ["-m", "est2genome", "--gappedextension", "no", "--joinfilter",
+      "2", _cdna_mut, _genome] + _VULG + _NOAL),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
