@@ -309,8 +309,12 @@ class Analysis:
                         self._compare_exhaustive(qv, tv)
 
     def _compare_exhaustive(self, query: Sequence, target: Sequence):
-        q, t = self._normalize_pair(query, target)
-        results = self.gam.result_exhaustive(q, t)
+        # NO strand normalization here: only the seeded path's report
+        # callback flips (q-, t+) comparisons (analysis.c:102-138); the
+        # exhaustive pair loop aligns the revcomp'd QUERY as-is
+        # (Analysis_Pair_compare), and the pass structure shows in the
+        # output strands
+        results = self.gam.result_exhaustive(query, target)
         self.gam.submit(results)
 
     def _normalize_pair(self, query: Sequence, target: Sequence):

@@ -406,6 +406,12 @@ CASES = [
     ("bsdp_joinfilter2", "exonerate",
      ["-m", "est2genome", "--gappedextension", "no", "--joinfilter",
       "2", _cdna_mut, _genome] + _VULG + _NOAL),
+    # exhaustive strand passes: the pair loop aligns the revcomp'd
+    # QUERY as-is (no report-callback normalization) and the tight
+    # --dpmemory exercises checkpointed traceback
+    ("exhaustive_dpmem_revcomp", "exonerate",
+     ["-m", "affine:local", "-E", "yes", "-S", "no", "--dpmemory", "1",
+      _cdna_mut, _calm_dna] + _VULG + _NOAL),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
