@@ -147,6 +147,13 @@ def main():
         if sr is not None:
             extras.update(sr)
 
+    # --- section 4: the north-star model (BASELINE.json): 8 mutated
+    # CALM proteins x 1 Mb genome, protein2genome heuristic, bestn 1 --
+    if os.environ.get("EXONERATE_TPU_BENCH_P2G", "1") != "0":
+        pr = _retry("p2g", _p2g_scan_benchmark, extras)
+        if pr is not None:
+            extras.update(pr)
+
     value = gcups if gcups is not None else \
         (kr[1] if kr is not None else extras.get("scan_queries_per_sec"))
     line = {
@@ -200,6 +207,45 @@ def _scan_benchmark() -> dict:
         extra["scan_engines"] = engines
     if c_seconds:
         extra["scan_vs_c_heuristic"] = round(c_seconds / dt, 2)
+    return extra
+
+
+def _p2g_scan_benchmark() -> dict:
+    """protein2genome heuristic scan (the BASELINE.json north-star
+    model): 8 mutated CALM proteins x the 1 Mb genome, bestn 1,
+    end-to-end in-process, vs the measured single-core C time on the
+    identical workload (tools/refbuild/bench_baseline.py config 6)."""
+    import io
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "refbuild"))
+    from bench_baseline import p2g_scan_fixture
+    pf, tf, nq = p2g_scan_fixture()
+    from exonerate_tpu.cli.exonerate import main as exo_main
+    argv = ["-m", "protein2genome", "--bestn", "1",
+            "--maxintron", "20000", pf, tf,
+            "--showalignment", "no", "--showvulgar", "yes"]
+    t0 = time.perf_counter()
+    exo_main(list(argv), out=io.StringIO())
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = io.StringIO()
+    exo_main(list(argv), out=out)
+    dt = time.perf_counter() - t0
+    n_vulgar = sum(1 for ln in out.getvalue().splitlines()
+                   if ln.startswith("vulgar:"))
+    c_seconds = None
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.exists(measured):
+        with open(measured) as f:
+            m = json.load(f)
+        c_seconds = m["results"].get("p2g_genome_scan", {}).get("seconds")
+    extra = {"p2g_scan_cold_seconds": round(cold, 2),
+             "p2g_scan_seconds": round(dt, 2),
+             "p2g_scan_queries_per_sec": round(nq / dt, 2),
+             "p2g_scan_alignments": n_vulgar}
+    if c_seconds:
+        extra["p2g_scan_vs_c_heuristic"] = round(c_seconds / dt, 2)
     return extra
 
 

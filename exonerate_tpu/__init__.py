@@ -22,6 +22,24 @@ IMPOSSIBLY_LOW_SCORE = -987654321   # ref: src/c4/c4.h:29
 IMPOSSIBLY_HIGH_SCORE = 987654321   # ref: src/c4/c4.h:30
 
 
+def _apply_platform_override():
+    """Honor EXONERATE_TPU_PLATFORM=cpu|tpu in subprocesses (the axon
+    TPU plugin ignores JAX_PLATFORMS, so tests/fuzzers that shell out to
+    the CLI need a package-level override applied before any backend is
+    initialized)."""
+    import os
+    plat = os.environ.get("EXONERATE_TPU_PLATFORM")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+_apply_platform_override()
+
+
 def enable_compilation_cache():
     """Point JAX at a persistent compilation cache so kernel compiles
     (minutes for fresh Pallas shapes) survive across processes — the

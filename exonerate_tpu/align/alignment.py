@@ -209,9 +209,12 @@ class Alignment:
             t = op.transition
             if t.label != Label.MATCH:
                 continue
-            match = t.label_data
-            if match is None:
+            if t.label_data is None:
                 continue
+            # resolve through the run's AlignData: user submats must reach
+            # the %ps denominator (ref: Alignment_get_self_match_score uses
+            # the ArgumentSet-built Match vtable)
+            match = data.match(t.label_data.type)
             for k in range(op.length):
                 cq = qp + t.advance_query * k
                 if t.advance_query == 3:

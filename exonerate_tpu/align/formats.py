@@ -374,7 +374,12 @@ class _Displayer:
     def add_match(self, t, total, qpos, tpos):
         av = self.view
         self.last_match = t
-        match = t.label_data
+        # resolve through the run's AlignData so user --proteinsubmat/
+        # --dnasubmat reach the midline equivalence symbols (the reference
+        # Match vtable reads the global Match_ArgumentSet,
+        # ref: match.c:224-236, alignment.c:431-455)
+        match = (self.data.match(t.label_data.type)
+                 if t.label_data is not None else None)
         use_tla = self.args.use_aa_tla
         for _ in range(total):
             mx = max(t.advance_query, t.advance_target)

@@ -63,9 +63,12 @@ def match_type_find(query_type: AlphabetType, target_type: AlphabetType,
 
 
 def match_type_name(mt: MatchType) -> str:
+    """(ref: Match_Type_get_name, match.c:102-122 — CODON2CODON is
+    named plain "codon", which reaches the GFF source field through the
+    ungapped model name)."""
     return {"dna2dna": "dna2dna", "protein2protein": "protein2protein",
             "dna2protein": "dna2protein", "protein2dna": "protein2dna",
-            "codon2codon": "codon2codon"}[mt.value]
+            "codon2codon": "codon"}[mt.value]
 
 
 @dataclass

@@ -265,16 +265,19 @@ def phase_create(suffix, match: Match, on_query: bool, on_target: bool,
         pre1, post1 = (1, 1), (2, 2)
         pre2, post2 = (2, 2), (1, 1)
 
+    _mt = match.type
     phase1_calc = m.add_calc(
         f"phase1post to dst {full_suffix}", match.max_score(),
         grid_fn=_zero_grid,
         shadow_fn=_make_split_shadow_fn(match.type, 1, on_query, on_target),
-        shadow_inputs_fn=_phase_shadow_inputs)
+        shadow_inputs_fn=_phase_shadow_inputs,
+        max_score_fn=lambda data: data.match(_mt).max_score())
     phase2_calc = m.add_calc(
         f"phase2post to dst {full_suffix}", match.max_score(),
         grid_fn=_zero_grid,
         shadow_fn=_make_split_shadow_fn(match.type, 2, on_query, on_target),
-        shadow_inputs_fn=_phase_shadow_inputs)
+        shadow_inputs_fn=_phase_shadow_inputs,
+        max_score_fn=lambda data: data.match(_mt).max_score())
     q_is_dna = match.type in (MatchType.DNA2PROTEIN, MatchType.CODON2CODON)
     t_is_dna = match.type in (MatchType.PROTEIN2DNA, MatchType.CODON2CODON)
     for _pc, _ph in ((phase1_calc, 1), (phase2_calc, 2)):

@@ -28,7 +28,12 @@ def ungapped_create(match_type: MatchType) -> Model:
     match_state = m.add_state("match")
     match_calc = m.add_calc("match", match.max_score(),
                             grid_fn=make_match_grid_fn(match_type),
-                            factored_fn=make_match_factored_fn(match_type))
+                            factored_fn=make_match_factored_fn(match_type),
+                            # heuristic bound tracks the run's submat
+                            # (ref: calc max bound from the ArgumentSet
+                            # Match, ungapped.c:131-136)
+                            max_score_fn=lambda data:
+                            data.match(match_type).max_score())
     m.add_transition("start to match", None, match_state, 0, 0)
     m.add_transition("match to end", match_state, None, 0, 0)
     m.add_transition("match", match_state, match_state,

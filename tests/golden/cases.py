@@ -135,6 +135,20 @@ def make_fixtures(dirpath: str = FIXDIR) -> None:
     soft = calm[:third] + calm[third:2 * third].lower() + calm[2 * third:]
     _write_fasta(os.path.join(dirpath, "calm_soft.fa"), [("soft", soft)])
 
+    # custom splice PSSM files (the man page's own examples,
+    # ref: doc/man/man1/exonerate.1:1235-1273)
+    with open(os.path.join(dirpath, "splice5.pssm"), "w") as f:
+        f.write("# test 5' splice data\n# A C G T\n"
+                "28 40 17 14\n59 14 13 14\n8 5 81 6\nsplice\n"
+                "0 0 100 0\n0 0 0 100\n54 2 42 2\n74 8 11 8\n"
+                "5 6 85 4\n16 18 21 45\n")
+    with open(os.path.join(dirpath, "splice3.pssm"), "w") as f:
+        f.write("# test 3' splice data\n# A C G T\n"
+                "10 31 14 44\n8 36 14 43\n6 34 12 48\n6 34 8 52\n"
+                "9 37 9 45\n9 38 10 44\n8 44 9 40\n9 41 8 41\n"
+                "6 44 6 45\n6 40 6 48\n23 28 26 23\n2 79 1 18\n"
+                "100 0 0 0\n0 0 100 0\nsplice\n28 14 47 11\n")
+
 
 def _write_fasta(path, entries, width=60):
     with open(path, "w") as f:
@@ -412,6 +426,31 @@ CASES = [
     ("exhaustive_dpmem_revcomp", "exonerate",
      ["-m", "affine:local", "-E", "yes", "-S", "no", "--dpmemory", "1",
       _cdna_mut, _calm_dna] + _VULG + _NOAL),
+    # display submat parity (round-4 VERDICT weak #1): the human-display
+    # midline, %ps denominator, and heuristic bounds must use the USER's
+    # --proteinsubmat/--dnasubmat, not the default blosum62/nucleic
+    # (ref: match.c:224-236, alignment.c:431-455)
+    ("display_pam250_heuristic", "exonerate",
+     ["-m", "affine:local", "--proteinsubmat", "pam250", _prot1, _prot2,
+      "--showalignment", "yes", "--ryo", "ps=%ps pi=%pi\\n"] + _VULG),
+    ("display_pam250_exhaustive", "exonerate",
+     ["-m", "affine:local", "-E", "yes", "--proteinsubmat", "pam250",
+      _prot1, _prot2, "--showalignment", "yes"] + _VULG),
+    ("display_pam250_codon", "exonerate",
+     ["-m", "coding2coding", "--proteinsubmat", "pam250",
+      _short1, _short2, "--showalignment", "yes"] + _VULG),
+    ("display_pam250_p2g", "exonerate",
+     ["-m", "protein2genome", "--proteinsubmat", "pam250", "--bestn", "1",
+      _calm_prot, _genome, "--showalignment", "yes"] + _VULG),
+    ("display_dnasubmat_identity", "exonerate",
+     ["-m", "affine:local", "--dnasubmat", "identity", _cdna_mut,
+      _calm_dna, "--showalignment", "yes"] + _VULG),
+    # GFF source field uses the model name; the codon match type is
+    # named plain "codon" (ref: Match_Type_get_name, match.c:102-122)
+    # — found by the round-4 fuzzer
+    ("ungt_gff_model_name", "exonerate",
+     ["-m", "ungapped:trans", _cdna_mut, _calm_dna,
+      "--showtargetgff", "yes"] + _VULG + _NOAL),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)

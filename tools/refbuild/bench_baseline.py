@@ -61,6 +61,31 @@ def genome_scan_fixture(n_genes=8, n_queries=16, genome_mb=1.0, tmp="/tmp/bl"):
     return qf, tf, n_queries
 
 
+def p2g_scan_fixture(n_queries=8, tmp="/tmp/bl"):
+    """North-star workload (BASELINE.json): protein queries vs the 1 Mb
+    genome fixture, protein2genome heuristic defaults, bestn 1.
+    Queries are mutated copies (~5% aa) of CALM_HUMAN (149 aa), whose
+    coding exons the genome fixture embeds at every gene locus."""
+    qf, tf, _ = genome_scan_fixture(tmp=tmp)
+    import numpy as np
+    prot = []
+    with open(os.path.join(DATA, "protein", "calm.human.protein.fasta")) as f:
+        for ln in f:
+            if not ln.startswith(">"):
+                prot.append(ln.strip())
+    prot = "".join(prot)
+    rng = np.random.default_rng(13)
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    pf = os.path.join(tmp, "p.fa")
+    with open(pf, "w") as f:
+        for i in range(n_queries):
+            p = list(prot)
+            for _ in range(len(p) // 20):
+                p[int(rng.integers(0, len(p)))] = str(rng.choice(aas))
+            f.write(f">p{i}\n{''.join(p)}\n")
+    return pf, tf, n_queries
+
+
 def main():
     import cases
     cases.make_fixtures()
@@ -109,6 +134,16 @@ def main():
     nvulgar = sum(1 for ln in out.splitlines() if ln.startswith("vulgar:"))
     results["heuristic_genome_scan"] = {
         "seconds": dt, "queries": nq, "queries_per_sec": nq / dt,
+        "alignments": nvulgar}
+
+    # config 6 (north star): protein2genome heuristic scan — 8 mutated
+    # CALM proteins vs the same 1 Mb genome, bestn 1
+    pf, tf2, npq = p2g_scan_fixture()
+    dt, out = run([exo, "-m", "protein2genome", "--bestn", "1",
+                   "--maxintron", "20000", pf, tf2] + noal, reps=3)
+    nvulgar = sum(1 for ln in out.splitlines() if ln.startswith("vulgar:"))
+    results["p2g_genome_scan"] = {
+        "seconds": dt, "queries": npq, "queries_per_sec": npq / dt,
         "alignments": nvulgar}
 
     # headline kernel metric: exhaustive est2genome DP on the 2175x2175

@@ -1,61 +1,173 @@
 """Randomized CLI-config differential fuzzer vs the shim-built
 reference binary (tools/refbuild/build.sh).
 
-Samples (model, fixture, flag-set) combos and diffs normalized stdout
-byte-for-byte — the same methodology as the judge's adversarial probes.
-Round 3: 5 hand-picked probe batches + this fuzzer found 6 parity bugs
-(all fixed + golden-locked); the final sweep ran 24/24 clean.
+Samples (model, fixture, flag-set, display-set) combos and diffs
+normalized stdout byte-for-byte — the same methodology as the judge's
+adversarial probes.  Round 3: 5 hand-picked probe batches + this fuzzer
+found 6 parity bugs (all fixed + golden-locked); the final sweep ran
+24/24 clean.  Round 4 (VERDICT weak #7): axes widened to cover submats,
+genetic codes, custom splice PSSMs, display formats, ryo, exhaustive,
+dpmemory and wordambiguity — the round-3 pool never sampled submat or
+display flags, which is exactly where the round-3 parity bug hid.
 
 Usage: python tools/refbuild/fuzz_cli.py [seed] [n_trials]
+Also importable: run_fuzz(seed, n_trials) -> (n_bad, n_run)
+(wired into the slow pytest tier via tests/test_fuzz_cli.py).
 """
-import random, subprocess, sys
-random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 77)
+import os
+import random
+import subprocess
+import sys
+
 REF = "/root/repo/build/ref/bin/exonerate"
 D = "/root/repo/tests/golden/data"
 C = "/root/reference/test/data/cdna/calm.human.dna.fasta"
 P = "/root/reference/test/data/protein/calm.human.protein.fasta"
-MODELS = [("affine:local", D+"/cdna_mut.fa", C), ("est2genome", D+"/cdna_mut.fa", D+"/genome.fa"),
-          ("protein2dna", P, C), ("coding2genome", D+"/cdna_mut.fa", D+"/genome.fa"),
-          ("protein2genome", P, D+"/genome.fa"), ("ungapped", D+"/cdna_mut.fa", C),
-          ("cdna2genome", D+"/cdna_mut.fa", D+"/genome.fa"), ("ner", D+"/ner1.fa", D+"/ner2.fa")]
-FLAGS = [["--bestn", "2"], ["--bestn", "4"], ["--score", "150"], ["--percent", "25"],
-         ["--subopt", "no"], ["--refine", "region"], ["--geneseed", "110"],
-         ["--hspfilter", "12"], ["--wordjump", "2"], ["--gapopen", "-10"],
-         ["--gapextend", "-3"], ["--intronpenalty", "-40"], ["--minintron", "40"],
-         ["--dnahspthreshold", "60"], ["--proteinhspthreshold", "25"],
-         ["--gappedextension", "no"], ["--saturatethreshold", "3"],
-         ["--dnawordlen", "10"], ["--seedrepeat", "2"], ["--forcegtag", "yes"]]
+
+# (model, query, target, klass) — klass tags which conditional axes apply
+MODELS = [
+    ("affine:local", D + "/cdna_mut.fa", C, "dna"),
+    ("affine:local", P, P, "prot"),
+    ("est2genome", D + "/cdna_mut.fa", D + "/genome.fa", "intron"),
+    ("protein2dna", P, C, "trans"),
+    ("coding2genome", D + "/cdna_mut.fa", D + "/genome.fa", "intron-trans"),
+    ("protein2genome", P, D + "/genome.fa", "intron-trans"),
+    ("ungapped", D + "/cdna_mut.fa", C, "dna"),
+    ("cdna2genome", D + "/cdna_mut.fa", D + "/genome.fa", "intron-trans"),
+    ("ner", D + "/ner1.fa", D + "/ner2.fa", "prot"),
+    ("coding2coding", D + "/short1.fa", D + "/short2.fa", "trans"),
+    ("ungapped:trans", D + "/cdna_mut.fa", C, "trans"),
+]
+
+# always-applicable flag axes
+FLAGS = [
+    ["--bestn", "2"], ["--bestn", "4"], ["--score", "150"],
+    ["--percent", "25"], ["--subopt", "no"], ["--refine", "region"],
+    ["--refine", "full"], ["--geneseed", "110"], ["--hspfilter", "12"],
+    ["--wordjump", "2"], ["--gapopen", "-10"], ["--gapextend", "-3"],
+    ["--dnahspthreshold", "60"], ["--proteinhspthreshold", "25"],
+    ["--gappedextension", "no"], ["--saturatethreshold", "3"],
+    ["--dnawordlen", "10"], ["--seedrepeat", "2"], ["--dpmemory", "1"],
+    ["--wordambiguity", "4"], ["--forcescan", "query"],
+    ["--fsmmemory", "16"], ["--terminalrangeint", "6"],
+    ["--joinrangeext", "6"], ["--proteinwordlen", "5"],
+    ["--dnahspdropoff", "20"],
+    # submat axes (the round-3 blind spot).  NOTE --proteinsubmat
+    # identity is excluded: the REFERENCE binary itself blows up on it
+    # (multi-GB RSS in the ner heuristic; bounds degenerate at
+    # max_score 1)
+    ["--proteinsubmat", "pam250"],
+    ["--dnasubmat", "identity"], ["--dnasubmat", "iupac-identity"],
+    ["--softmaskquery", "yes"],
+]
+# axes valid only for intron-bearing models
+INTRON_FLAGS = [
+    ["--intronpenalty", "-40"], ["--minintron", "40"],
+    ["--maxintron", "5000"], ["--forcegtag", "yes"],
+    ["--splice5", D + "/splice5.pssm"], ["--splice3", D + "/splice3.pssm"],
+]
+# axes valid only for translated models
+TRANS_FLAGS = [
+    ["--geneticcode", "2"], ["--geneticcode", "5"],
+    ["--frameshift", "-20"],
+]
+# display sets (round 3 always used vulgar-only)
+DISPLAYS = [
+    ["--showvulgar", "yes", "--showalignment", "no"],
+    ["--showalignment", "yes", "--showvulgar", "yes"],
+    ["--showsugar", "yes", "--showcigar", "yes",
+     "--showalignment", "no", "--showvulgar", "no"],
+    ["--showtargetgff", "yes", "--showalignment", "no",
+     "--showvulgar", "yes"],
+    ["--showquerygff", "yes", "--showalignment", "no",
+     "--showvulgar", "no"],
+    ["--showalignment", "no", "--showvulgar", "no", "--ryo",
+     "R: %qi %ti %s %pi %ps %em %g {%Pqs|%Pts;}\\n"],
+    ["--showalignment", "yes", "--showvulgar", "no",
+     "--alignmentwidth", "50"],
+]
+
+
 def norm(b):
-    return "\n".join(l for l in b.decode(errors="replace").splitlines()
-                     if not (l.startswith("Command line") or l.startswith("Hostname")
-                             or l.startswith("##date")))
-bad = 0
-for trial in range(int(sys.argv[2]) if len(sys.argv) > 2 else 24):
-    m, q, t = random.choice(MODELS)
-    flags = []
-    for f in random.sample(FLAGS, random.randint(1, 3)):
-        flags += f
-    if m == "cdna2genome":
-        flags += ["--annotation", D + "/annot.txt"]
-    argv = ["-m", m, q, t, "--showvulgar", "yes", "--showalignment", "no"] + flags
-    try:
-        r1 = subprocess.run([REF] + argv, capture_output=True, timeout=240)
-    except subprocess.TimeoutExpired:
-        print(f"SKIP(ref-slow) {trial}: {' '.join(argv[:8])}"); continue
-    try:
-        r2 = subprocess.run([sys.executable, "-m", "exonerate_tpu.cli.exonerate"] + argv,
-                            capture_output=True, timeout=500, cwd="/root/repo")
-    except subprocess.TimeoutExpired:
-        print(f"OURS-TIMEOUT {trial}: {' '.join(argv)}"); bad += 1; continue
-    if (r1.returncode != 0) != (r2.returncode != 0):
-        print(f"RC-DIFF {trial} ({r1.returncode} vs {r2.returncode}): {' '.join(argv)}"); bad += 1; continue
-    if norm(r1.stdout) != norm(r2.stdout):
-        print(f"DIFF {trial}: {' '.join(argv)}")
-        a, b = norm(r1.stdout).splitlines(), norm(r2.stdout).splitlines()
-        for i in range(max(len(a), len(b))):
-            x = a[i] if i < len(a) else "<missing>"; y = b[i] if i < len(b) else "<missing>"
-            if x != y: print("  ref :", x[:110]); print("  ours:", y[:110]); break
-        bad += 1
-    else:
-        print(f"OK   {trial}: {m} {' '.join(flags)}")
-print(f"\n{bad} divergences")
+    return "\n".join(
+        l for l in b.decode(errors="replace").splitlines()
+        if not (l.startswith("Command line") or l.startswith("Hostname")
+                or l.startswith("##date") or l.startswith("##source-version")))
+
+
+def run_fuzz(seed=77, n_trials=24, verbose=True, ref=REF):
+    rng = random.Random(seed)
+    bad = run = 0
+    failures = []
+    for trial in range(n_trials):
+        m, q, t, klass = rng.choice(MODELS)
+        pool = list(FLAGS)
+        if "intron" in klass:
+            pool += INTRON_FLAGS
+        if "trans" in klass:
+            pool += TRANS_FLAGS
+        flags = []
+        for f in rng.sample(pool, rng.randint(1, 4)):
+            flags += f
+        if m == "cdna2genome":
+            flags += ["--annotation", D + "/annot.txt"]
+        # exhaustive only on small pairs (C-side cost)
+        if klass == "prot" and rng.random() < 0.3:
+            flags += ["-E", "yes"]
+        disp = rng.choice(DISPLAYS)
+        argv = ["-m", m, q, t] + disp + flags
+        try:
+            r1 = subprocess.run([ref] + argv, capture_output=True,
+                                timeout=240)
+        except subprocess.TimeoutExpired:
+            if verbose:
+                print(f"SKIP(ref-slow) {trial}: {' '.join(argv[:8])}")
+            continue
+        try:
+            # force the CPU backend in the child: differential fuzzing
+            # checks host-path parity; a TPU chip would add ~3 s startup
+            # + kernel compiles per trial (device parity has its own
+            # golden tier).  EXONERATE_TPU_PLATFORM is honored by the
+            # package because the axon plugin ignores JAX_PLATFORMS.
+            env = dict(os.environ)
+            env.setdefault("EXONERATE_TPU_PLATFORM", "cpu")
+            r2 = subprocess.run(
+                [sys.executable, "-m", "exonerate_tpu.cli.exonerate"] + argv,
+                capture_output=True, timeout=500, cwd="/root/repo", env=env)
+        except subprocess.TimeoutExpired:
+            print(f"OURS-TIMEOUT {trial}: {' '.join(argv)}")
+            bad += 1
+            failures.append(argv)
+            continue
+        run += 1
+        if (r1.returncode != 0) != (r2.returncode != 0):
+            print(f"RC-DIFF {trial} ({r1.returncode} vs {r2.returncode}):"
+                  f" {' '.join(argv)}")
+            bad += 1
+            failures.append(argv)
+            continue
+        if norm(r1.stdout) != norm(r2.stdout):
+            print(f"DIFF {trial}: {' '.join(argv)}")
+            a = norm(r1.stdout).splitlines()
+            b = norm(r2.stdout).splitlines()
+            for i in range(max(len(a), len(b))):
+                x = a[i] if i < len(a) else "<missing>"
+                y = b[i] if i < len(b) else "<missing>"
+                if x != y:
+                    print("  ref :", x[:110])
+                    print("  ours:", y[:110])
+                    break
+            bad += 1
+            failures.append(argv)
+        elif verbose:
+            print(f"OK   {trial}: {m} {' '.join(disp[:2])} {' '.join(flags)}")
+    if verbose:
+        print(f"\n{bad} divergences / {run} compared")
+    return bad, run
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 77
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    nbad, _ = run_fuzz(seed, n)
+    sys.exit(1 if nbad else 0)
