@@ -943,6 +943,11 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
             # compiled-shape set and shards evenly
             chunk = chunk + [chunk[-1]] * (b - len(chunk))
             chunked[(Qp, Wp, k)] = (items[k:k + cap], chunk)
+    # dispatch every chunk first, then fetch: through the TPU tunnel a
+    # fetch is ~0.3-0.5 s of round-trip latency, so sequential
+    # dispatch+fetch per chunk serializes dead time the device could
+    # spend computing the next chunk
+    pending = []
     for (Qp, Wp, _k), (real_items, items) in chunked.items():
         n_layers = max(x[3] for x in items)
         flats = []
@@ -984,7 +989,16 @@ def run_kernel(model: Model, jobs: list, dropoff: int,
         # re-shipping them dominates, so reuse the wavefront engine's
         # device-input cache
         from .pallas_wavefront import _put_cached
-        packed = np.asarray(fn(_put_cached(stacked)))
+        pending.append((fn(_put_cached(stacked)), Wp, items))
+    # fetch concurrently: each fetch is dominated by tunnel round-trip
+    # latency, so serial fetches of K chunks pay K x ~0.5 s
+    if len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(pending)) as ex:
+            fetched = list(ex.map(lambda p: np.asarray(p[0]), pending))
+    else:
+        fetched = [np.asarray(p[0]) for p in pending]
+    for packed, (_dev, Wp, items) in zip(fetched, pending):
         col = packed[:, :Wp + 1]
         live = packed[:, Wp + 1] != 0
         xb = packed[:, Wp + 2] != 0

@@ -85,7 +85,9 @@ class SpliceCache:
     def scores(self, site: str, forward: bool) -> np.ndarray:
         key = f"ss{site}_{'f' if forward else 'r'}"
         if key not in self._cache:
-            memo_key = (self._fingerprint(), id(self.sps), key)
+            # sps identity by CONTENT: each CLI invocation builds a new
+            # predictor set, so id() would defeat warm-process caches
+            memo_key = (self._fingerprint(), self.sps.fingerprint(), key)
             memo = SpliceCache._memo
             arr = memo.get(memo_key)
             if arr is None:

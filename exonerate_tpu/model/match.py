@@ -105,6 +105,7 @@ class Match:
         self.mas = mas or MatchArgs()
         self.advance_query, self.advance_target = _ADVANCE[mtype]
         self._mas = mas
+        self._row_cache: dict = {}
 
     @classmethod
     def find(cls, mtype: MatchType, mas: Optional[MatchArgs] = None) -> "Match":
@@ -126,9 +127,20 @@ class Match:
     # -- grid scoring ------------------------------------------------------
 
     def _row_indices(self, seq: Sequence, advance: int) -> np.ndarray:
+        # memoized per sequence: a genome-scan comparison slices dozens
+        # of locus windows from the same query/target, and the full
+        # gather over a 1 Mb sequence is ~1.5 ms a call (the value tuple
+        # keeps the Sequence alive so id() stays unambiguous)
+        key = (id(seq), advance)
+        hit = self._row_cache.get(key)
+        if hit is not None:
+            return hit[1]
         if advance == 3:
-            return _translated_indices(seq, self.mas.translate)
-        return SYMBOL_INDEX[seq.data]
+            out = _translated_indices(seq, self.mas.translate)
+        else:
+            out = SYMBOL_INDEX[seq.data]
+        self._row_cache[key] = (seq, out)
+        return out
 
     def swap(self) -> "Match":
         """Mirror of this match with query/target roles exchanged

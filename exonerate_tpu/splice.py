@@ -179,3 +179,11 @@ class SplicePredictorSet:
 
     def get(self, site: str, forward: bool) -> SplicePredictor:
         return getattr(self, f"ss{site}_{'forward' if forward else 'reverse'}")
+
+    def fingerprint(self) -> tuple:
+        """Content identity for cross-run memo keys (a fresh set is
+        built per CLI invocation; id() would defeat warm caches)."""
+        return tuple(
+            (p.splice_after, p.force_gtag, p.model.tobytes())
+            for p in (self.ss5_forward, self.ss5_reverse,
+                      self.ss3_forward, self.ss3_reverse))
