@@ -642,13 +642,20 @@ def esd2esi_main(argv, out):
                 A.parse_int, "wordlen"),
                (None, "translate", None, "Translate the database (6 frame)",
                 "FALSE", A.parse_boolean, "translate"),
+               (None, "saturatethreshold", "n",
+                "Word saturation threshold", "10",
+                A.parse_int, "saturatethreshold"),
+               (None, "wordjump", "n", "Jump between database words",
+                "1", A.parse_int, "wordjump"),
                (None, "memorylimit", "Mb", "Memory limit", "1024",
                 A.parse_int, "memorylimit")]).parse(argv)
     pos = v.get("_positional", [])
     esd = (v["fasta"] or (pos[0] if pos else None))
     output = v["output"] or (pos[1] if len(pos) > 1 else None)
     index_build(esd, output, wordlen=v["wordlen"],
-                translated=v["translate"])
+                translated=v["translate"],
+                saturate_threshold=v["saturatethreshold"],
+                word_jump=v["wordjump"])
     out.write(f"esd2esi: wrote [{output}]\n")
 
 

@@ -189,9 +189,8 @@ class Connection:
             if self.revcomp_target and not srv.index.translated:
                 pairs = [(q, len(target) - t - param.wordlen)
                          for q, t in pairs]
-            for qpos, tpos in qy_page_order(pairs, hs.qadv, hs.tadv,
-                                            len(target)):
-                hs.seed(qpos, tpos)
+            hs.seed_qy_sorted(qy_page_order(pairs, hs.qadv, hs.tadv,
+                                            len(target)))
             hs.finalise()
             if hs.hsps:
                 out[tid] = hs

@@ -37,18 +37,37 @@ def _pack_words(data: np.ndarray, codes: np.ndarray, W: int, nsym: int):
 
 
 def index_build(esd_path: str, out_path: str, wordlen: int = 12,
-                translated: bool = False):
+                translated: bool = False, saturate_threshold: int = 10,
+                word_jump: int = 1):
     """Build the word index over a Dataset.  With translated=True the
     six-frame translations are indexed (protein-vs-DNA serving,
-    ref: index.h:55-147)."""
+    ref: index.h:55-147).
+
+    saturate_threshold: words occurring >= (observed/alphabet^wordlen)
+    + threshold times ON A STRAND are removed entirely — the esd2esi
+    default is 10 (ref: Index_desaturate, index.c:352-381;
+    esd2esi.c:55-57).  Our single table serves both strands (revcomp'd
+    queries look up their complement words), which removes exactly the
+    same postings per strand as the reference's per-strand tables.
+    word_jump: index every Nth word position (ref: esd2esi --wordjump)."""
     ds = Dataset(esd_path)
     codes = member_codes(translated)
     nsym = len(PROTEIN_MEMBERS if translated else DNA_MEMBERS)
     words_all = []
     seq_ids = []
     positions = []
+    from ..alphabet import IS_SOFTMASKED
     for i in range(len(ds)):
         seq = ds.get_sequence(i)
+        # the reference indexes the MASKED view of every dataset
+        # sequence (Sequence_mask, ref: index.c:309): softmasked
+        # (lowercase) symbols become non-members so no word containing
+        # them is ever posted
+        sm = IS_SOFTMASKED[seq.data]
+        if sm.any():
+            seq = Sequence(seq.id, seq.definition,
+                           np.where(sm, np.uint8(ord("N")), seq.data),
+                           seq.alphabet, seq.strand)
         if translated:
             from ..translate import default_code
             for frame in (1, 2, 3, -1, -2, -3):
@@ -76,6 +95,32 @@ def index_build(esd_path: str, out_path: str, wordlen: int = 12,
         words = np.zeros(0, dtype=np.int64)
         sids = np.zeros(0, dtype=np.int32)
         poss = np.zeros(0, dtype=np.int64)
+    if word_jump > 1 and len(poss):
+        keep = ((poss >> 3) if translated else poss) % word_jump == 0
+        words, sids, poss = words[keep], sids[keep], poss[keep]
+    if saturate_threshold and len(words):
+        # desaturate per strand (ref: Index_desaturate, index.c:364-381;
+        # expect formula index.c:352-360).  Untranslated postings are
+        # forward-strand only and the revcomp lookup goes through the
+        # complement word, so per-table counts ARE the per-strand counts;
+        # translated postings carry the strand in the frame sign.
+        if translated:
+            # frame encoded as frame+3: {4,5,6} forward, {0,1,2} revcomp
+            strand = np.where((poss & 7) >= 4, 1, 0).astype(np.int8)
+        else:
+            strand = np.zeros(len(words), dtype=np.int8)
+        keep = np.ones(len(words), dtype=bool)
+        for s in np.unique(strand):
+            sel = strand == s
+            observed = int(sel.sum())
+            expect = int(observed / float(nsym ** wordlen)
+                         + saturate_threshold)
+            uw, inv, cnt = np.unique(words[sel], return_inverse=True,
+                                     return_counts=True)
+            bad = cnt >= expect
+            ksel = ~bad[inv]
+            keep[np.nonzero(sel)[0][~ksel]] = False
+        words, sids, poss = words[keep], sids[keep], poss[keep]
     order = np.lexsort((poss, sids, words))
     words, sids, poss = words[order], sids[order], poss[order]
     uniq, starts, counts = np.unique(words, return_index=True,

@@ -277,6 +277,48 @@ class HspSet:
         self._store(h)
         self._horizon[key] = (h.target_end(tadv), h_count, h_diag)
 
+    def seed_qy_sorted(self, pairs: list[tuple[int, int]]):
+        """Seed a server word-seed list with the page-horizon variant
+        (ref: HSPset_seed_all_qy_sorted, hspset.c:1322-1410).  Unlike
+        the streaming seed() horizon (sectioned modulo QUERY length,
+        keeps target ends), this one sections the diagonal modulo
+        TARGET length into 1024-wide pages, clears each slot when its
+        page changes (generation trick), and compares/stores HSP
+        *query* ends.  `pairs` must already be in qy_page_order."""
+        PAGE_BITS = 10                      # hspset.c:1240
+        qadv, tadv = self.qadv, self.tadv
+        tlen = len(self.target)
+        horizon: dict = {}                  # (page_pos,qf,tf) -> state
+        for query_start, target_start in pairs:
+            diag_pos = target_start * qadv - query_start * tadv
+            section = (diag_pos + tlen) % tlen
+            page = section >> PAGE_BITS
+            page_pos = section - (page << PAGE_BITS)
+            key = (page_pos, query_start % qadv, target_start % tadv)
+            val, last_page, rep = horizon.get(key, (0, -1, 0))
+            if last_page != page:
+                val, rep = 0, 0
+            if query_start < val:
+                horizon[key] = (val, page, rep)
+                continue
+            if self.param.seed_repeat > 1:
+                rep += 1
+                if rep < self.param.seed_repeat:
+                    horizon[key] = (val, page, rep)
+                    continue
+                rep = 0
+            h = HSP(query_start, target_start, self.param.seedlen, 0)
+            self._trim_ends(h)
+            self._init_score(h)
+            if self._forbid_masked:
+                self._extend(h, True)
+                if h.score < self.param.threshold:
+                    horizon[key] = (h.query_end(qadv), page, rep)
+                    continue
+            self._extend(h, False)
+            self._store(h)
+            horizon[key] = (h.query_end(qadv), page, rep)
+
     def seed_batch(self, seeds: list[tuple[int, int]]):
         """Process a presorted seed list, preferring the native C++
         seeding machine (native/seedlib.cpp) and falling back to the

@@ -268,3 +268,80 @@ def test_geneseed_two_tier_matches_c_server(tmp_path):
     o_hsps = hspset_lines(o_replies)
     assert c_hsps, c_replies
     assert o_hsps == c_hsps
+
+
+def test_softmask_and_desaturation_match_c_server(tmp_path):
+    """Index-build parity for genome-scale serving (round-4 fixes):
+    (a) softmasked (lowercase) target words are never posted — the
+    reference indexes the MASKED sequence view (Sequence_mask,
+    index.c:309); (b) words occurring >= expect+saturatethreshold
+    times per strand are removed entirely (Index_desaturate,
+    index.c:352-381; esd2esi default threshold 10).  Raw hspset: line
+    equality for forward and revcomp queries over a target exercising
+    both: repeated gene copies inside softmasked background."""
+    import numpy as np
+    from exonerate_tpu.cli.server import ExonerateServer
+    from exonerate_tpu.db.dataset import dataset_build
+    from exonerate_tpu.db.index import Index, index_build
+
+    rng = np.random.default_rng(23)
+    gene = "".join(rng.choice(list("ACGT"), 400).tolist())
+    # a 24-mer repeated twice per gene copy: 2*6 = 12 occurrences >=
+    # the desaturation expect (~10), while single-copy gene words (6
+    # occurrences) survive — so the motif words (and only they) must
+    # be removed from the index
+    motif = "".join(rng.choice(list("ACGT"), 24).tolist())
+    gene = gene[:100] + motif + gene[124:300] + motif + gene[324:]
+    chunks = []
+    for _ in range(6):
+        chunks.append("".join(rng.choice(list("acgt"), 500).tolist()))
+        chunks.append(gene)
+    target = "".join(chunks)
+    tfa = str(tmp_path / "t.fa")
+    with open(tfa, "w") as f:
+        f.write(">tseq\n")
+        for i in range(0, len(target), 60):
+            f.write(target[i:i + 60] + "\n")
+    q = list(gene)
+    for _ in range(8):
+        q[int(rng.integers(0, len(q)))] = "ACGT"[int(rng.integers(0, 4))]
+    q = "".join(q)
+
+    esd = str(tmp_path / "c.esd")
+    esi = str(tmp_path / "c.esi")
+    subprocess.run([os.path.join(REF_BIN, "fasta2esd"), tfa, esd],
+                   check=True, capture_output=True, timeout=300)
+    subprocess.run([os.path.join(REF_BIN, "esd2esi"), esd, esi],
+                   check=True, capture_output=True, timeout=300)
+    cport = _free_port()
+    proc = subprocess.Popen(
+        [os.path.join(REF_BIN, "exonerate-server"), esi,
+         "--port", str(cport)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    oesd = str(tmp_path / "o.esd.npz")
+    oesi = str(tmp_path / "o.esi.npz")
+    dataset_build([tfa], oesd)
+    index_build(oesd, oesi)
+    index = Index(oesi)
+    oport = _free_port()
+    srv = ExonerateServer(index.dataset, index, oport)
+    srv.start_background()
+
+    cmds = ["set query " + q, "get hsps", "revcomp query", "get hsps"]
+    try:
+        _wait_port(cport)
+        _wait_port(oport)
+        c_replies = _raw_session(cport, cmds)
+        o_replies = _raw_session(oport, cmds)
+    finally:
+        proc.kill()
+        proc.wait()
+        srv.shutdown()
+
+    c_hsps = [ln for r in c_replies for ln in r.splitlines()
+              if ln.startswith("hspset:")]
+    o_hsps = [ln for r in o_replies for ln in r.splitlines()
+              if ln.startswith("hspset:")]
+    assert any("empty" not in ln for ln in c_hsps), c_replies
+    assert o_hsps == c_hsps
