@@ -236,12 +236,27 @@ def _ring_plan(model: Model, is_forward: bool):
 
 def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                      names: tuple, meta: dict, B: int, dropoff: int,
-                     interpret: bool | None = None, shard_mesh=None):
+                     interpret: bool | None = None, shard_mesh=None,
+                     cross: bool = False):
     """fn(flat_tuple) -> {"colbest": (B, Wp+1), "live": (B,),
     "xband": (B,)} — colbest[b, v] = best forward end score whose end
-    cell lies in compressed column v (NEG where none)."""
+    cell lies in compressed column v (NEG where none).
+
+    cross=True builds the CROSS-CHIP variant (SURVEY §2.13 wavefront
+    sequence-parallelism; ref analogue: span carry across scheduler
+    rows, scheduler.h:111-129): the band's W axis is split into
+    contiguous per-chip chunks and each chunk's kernel exchanges a halo
+    with its neighbour — the carry values of the chunk-edge columns
+    (sc/pm/shadow-lane planes for every ring state at the last
+    max-advance-target columns) plus the forward span registers.  The
+    reverse pass relays right-to-left, the forward pass left-to-right;
+    run_kernel_cross_chip orchestrates the per-chip calls and places
+    each chunk on its own device.  Returns {"rev": fn, "fwd": fn}
+    operating on pre-expanded VLENW buffers."""
     if interpret is None:
         interpret = _INTERPRET
+    MAXAT = max((t.advance_target for t in model.transitions), default=1)
+    MAXAT = max(MAXAT, 1)
     S = len(model.states)
     n_sh = model.total_shadow_designations
     start_id = model.start_state.state.id
@@ -280,12 +295,32 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
             if is_forward:
                 bits_in = refs[nx]
                 nx += 1
+            e_sc_in = e_pm_in = e_ln_in = span_in = None
+            if cross:
+                e_sc_in, e_pm_in = refs[nx:nx + 2]
+                nx += 2
+                if has_lanes:
+                    e_ln_in = refs[nx]
+                    nx += 1
+                if is_forward and n_spans:
+                    span_in = refs[nx]
+                    nx += 1
             if is_forward:
                 colbest, live_o, xband_o = refs[nx:nx + 3]
                 nx += 3
             else:
                 bits_o, live_o = refs[nx:nx + 2]
                 nx += 2
+            e_sc_o = e_pm_o = e_ln_o = span_o = None
+            if cross:
+                e_sc_o, e_pm_o = refs[nx:nx + 2]
+                nx += 2
+                if has_lanes:
+                    e_ln_o = refs[nx]
+                    nx += 1
+                if is_forward and n_spans:
+                    span_o = refs[nx]
+                    nx += 1
             ring_sc = refs[nx]
             ring_pm = refs[nx + 1]
             nx += 2
@@ -308,14 +343,25 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                 if ring_ln is not None:
                     ring_ln[...] = jnp.zeros(ring_ln.shape, jnp.int32)
                 if span_reg is not None:
-                    z = jnp.zeros(span_reg.shape, jnp.int32)
-                    span_reg[...] = z
-                    # st_sc (row 0) and cu_sc (row 4) start at NEG
-                    neg = jnp.full((B, QV), NEG, jnp.int32)
-                    for spx in range(n_spans):
-                        span_reg[spx, 0] = neg
-                        span_reg[spx, 4] = neg
+                    if span_in is not None:
+                        # cross-chip: resume the left neighbour's final
+                        # span registers (chip 0 receives the canonical
+                        # init from the host)
+                        span_reg[...] = span_in[...]
+                    else:
+                        z = jnp.zeros(span_reg.shape, jnp.int32)
+                        span_reg[...] = z
+                        # st_sc (row 0) and cu_sc (row 4) start at NEG
+                        neg = jnp.full((B, QV), NEG, jnp.int32)
+                        for spx in range(n_spans):
+                            span_reg[spx, 0] = neg
+                            span_reg[spx, 4] = neg
                 live_o[...] = jnp.zeros(live_o.shape, jnp.int32)
+                if cross:
+                    e_sc_o[...] = jnp.full(e_sc_o.shape, NEG, jnp.int32)
+                    e_pm_o[...] = jnp.full(e_pm_o.shape, NEG, jnp.int32)
+                    if e_ln_o is not None:
+                        e_ln_o[...] = jnp.zeros(e_ln_o.shape, jnp.int32)
                 if is_forward:
                     colbest[...] = jnp.full(colbest.shape, NEG,
                                             jnp.int32)
@@ -440,6 +486,32 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                 if has_lanes:
                     s_ln = [shift_q(ring_ln[slot, lane_row[(r, lx)]],
                                     aq, 0) for lx in range(n_sh)]
+                at = adv - aq
+                if cross and at:
+                    # halo override: source column sj in the neighbour
+                    # chunk.  Forward: sj = d-i-at = -k  ->  lane
+                    # i = d-at+k; reverse: sj = d-i+at = wlen+k  ->
+                    # lane i = d+at-wlen-k.  Edge plane k-1 holds the
+                    # neighbour's cell values at that column, indexed
+                    # by the neighbour (= global) lane, so the same
+                    # aq-shift aligns them.
+                    for k in range(1, MAXAT + 1):
+                        if is_forward:
+                            zone = i == (d - at + k)
+                        else:
+                            zone = i == (d + at - wlen - k)
+                        ev_sc = shift_q(e_sc_in[ring_row[r], k - 1],
+                                        aq, NEG)
+                        ev_pm = shift_q(e_pm_in[ring_row[r], k - 1],
+                                        aq, NEG)
+                        s_sc = jnp.where(zone, ev_sc, s_sc)
+                        s_pm = jnp.where(zone, ev_pm, s_pm)
+                        if has_lanes:
+                            s_ln = [jnp.where(
+                                zone,
+                                shift_q(e_ln_in[lane_row[(r, lx)],
+                                                k - 1], aq, 0),
+                                s_ln[lx]) for lx in range(n_sh)]
                 out = (s_sc, s_pm, s_ln)
                 ring_memo[mkey] = out
                 return out
@@ -456,8 +528,16 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                     si, sj = i - aq, j - at
                 else:
                     si, sj = i + aq, j + at
-                m = cell_ok & (si >= 0) & (si <= qlen) \
-                    & (sj >= 0) & (sj <= wlen)
+                if cross:
+                    # halo columns: sources up to MAXAT columns into
+                    # the neighbour chunk are valid (their values come
+                    # from the edge planes in load_src)
+                    m = cell_ok & (si >= 0) & (si <= qlen) \
+                        & (sj >= (-MAXAT if is_forward else 0)) \
+                        & (sj <= (wlen if is_forward else wlen + MAXAT))
+                else:
+                    m = cell_ok & (si >= 0) & (si <= qlen) \
+                        & (sj >= 0) & (sj <= wlen)
                 if at:
                     # (abs_t[dst] - abs_t[src]) == at, evaluated at the
                     # larger-t column of the pair
@@ -745,6 +825,33 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
                 for (s, lx) in lane_slots:
                     ring_ln[slot, lane_row[(s, lx)]] = ln[s][lx]
 
+            # --- halo export ----------------------------------------
+            if cross:
+                # forward consumers read our columns wlen+1-k (k-th
+                # from the right); reverse consumers read our columns
+                # k-1 (k-th from the left).  One lane per diagonal per
+                # k; accumulate post-silent finalized values.
+                for k in range(1, MAXAT + 1):
+                    if is_forward:
+                        exp = (j == (wlen + 1 - k)) & cell_ok
+                    else:
+                        exp = (j == (k - 1)) & cell_ok
+                    for s in ring_states:
+                        row = ring_row[s]
+                        e_sc_o[row, k - 1] = jnp.where(
+                            exp, sc[s], e_sc_o[row, k - 1])
+                        e_pm_o[row, k - 1] = jnp.where(
+                            exp, pm[s], e_pm_o[row, k - 1])
+                    if has_lanes:
+                        for (s, lx) in lane_slots:
+                            lrow = lane_row[(s, lx)]
+                            e_ln_o[lrow, k - 1] = jnp.where(
+                                exp, ln[s][lx], e_ln_o[lrow, k - 1])
+                if span_o is not None:
+                    @pl.when(g == Dp - 1)
+                    def _dump_span():
+                        span_o[...] = span_reg[...]
+
         scratch = [pltpu.VMEM((R, NR, B, QV), jnp.int32),
                    pltpu.VMEM((R, NR, B, QV), jnp.int32)]
         if has_lanes:
@@ -752,15 +859,102 @@ def build_sdp_kernel(model: Model, Qp: int, Wp: int, kinds: tuple,
         if is_forward and n_spans:
             scratch.append(pltpu.VMEM((n_spans, n_span_rows, B, QV),
                                       jnp.int32))
-        return kernel, scratch
+        dims = {"NR": NR, "NL": NL, "nsr": n_span_rows,
+                "has_lanes": has_lanes}
+        return kernel, scratch, dims
 
-    rev_kernel, rev_scratch = make_kernel(False)
-    fwd_kernel, fwd_scratch = make_kernel(True)
+    rev_kernel, rev_scratch, rev_dims = make_kernel(False)
+    fwd_kernel, fwd_scratch, fwd_dims = make_kernel(True)
 
     def in_spec(name, a):
         return pl.BlockSpec(a.shape,
                             functools.partial(
                                 lambda nd, _d: (0,) * nd, len(a.shape)))
+
+    def full_spec(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape,
+                            functools.partial(
+                                lambda n, _g: (0,) * n, nd))
+
+    if cross:
+        # cross-chip variant: rev/fwd exposed separately, operating on
+        # PRE-EXPANDED VLENW buffers (the host writes neighbour-context
+        # columns into the tail positions tslice resolves for j<0 /
+        # j>wlen); edge planes + span registers relay between chips.
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(os.environ.get(
+                "EXONERATE_TPU_KERNEL_VMEM_MB", "100")) << 20)
+
+        def edge_shapes(dims, fwd):
+            shp = [jax.ShapeDtypeStruct((dims["NR"], MAXAT, B, QV),
+                                        jnp.int32)] * 2
+            if dims["has_lanes"]:
+                shp.append(jax.ShapeDtypeStruct(
+                    (dims["NL"], MAXAT, B, QV), jnp.int32))
+            if fwd and n_spans:
+                shp.append(jax.ShapeDtypeStruct(
+                    (n_spans, dims["nsr"], B, QV), jnp.int32))
+            return shp
+
+        @jax.jit
+        def rev_fn(flat_arrays, edges_in):
+            e_shapes = edge_shapes(rev_dims, False)
+            out = pl.pallas_call(
+                rev_kernel,
+                grid=(Dp,),
+                in_specs=[in_spec(n, a)
+                          for n, a in zip(names, flat_arrays)]
+                + [full_spec(e) for e in edges_in],
+                out_specs=[
+                    pl.BlockSpec((1, B, QV),
+                                 lambda g: ((Dp - 1 - g) // DPW, 0, 0)),
+                    pl.BlockSpec((B, QV), lambda g: (0, 0)),
+                ] + [full_spec(e) for e in e_shapes],
+                out_shape=[
+                    jax.ShapeDtypeStruct((NBLK, B, QV), jnp.int32),
+                    jax.ShapeDtypeStruct((B, QV), jnp.int32),
+                ] + e_shapes,
+                scratch_shapes=rev_scratch,
+                compiler_params=cp,
+                interpret=interpret,
+            )(*flat_arrays, *edges_in)
+            bits, live = out[0], out[1]
+            return bits, live, tuple(out[2:])
+
+        @jax.jit
+        def fwd_fn(flat_arrays, bits, edges_in):
+            e_shapes = edge_shapes(fwd_dims, True)
+            out = pl.pallas_call(
+                fwd_kernel,
+                grid=(Dp,),
+                in_specs=[in_spec(n, a)
+                          for n, a in zip(names, flat_arrays)]
+                + [pl.BlockSpec((1, B, QV), lambda g: (g // DPW, 0, 0))]
+                + [full_spec(e) for e in edges_in],
+                out_specs=[
+                    pl.BlockSpec((B, VLENW), lambda g: (0, 0)),
+                    pl.BlockSpec((B, QV), lambda g: (0, 0)),
+                    pl.BlockSpec((B, QV), lambda g: (0, 0)),
+                ] + [full_spec(e) for e in e_shapes],
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, VLENW), jnp.int32),
+                    jax.ShapeDtypeStruct((B, QV), jnp.int32),
+                    jax.ShapeDtypeStruct((B, QV), jnp.int32),
+                ] + e_shapes,
+                scratch_shapes=fwd_scratch,
+                compiler_params=cp,
+                interpret=interpret,
+            )(*flat_arrays, bits, *edges_in)
+            colbest_rev, live, xband = out[0], out[1], out[2]
+            col = jnp.flip(colbest_rev[:, PADF:PADF + Wp + 1], axis=1)
+            return col, live, xband, tuple(out[3:])
+
+        return {"rev": rev_fn, "fwd": fwd_fn,
+                "dims": {"rev": rev_dims, "fwd": fwd_dims,
+                         "MAXAT": MAXAT, "QV": QV, "VLENW": VLENW,
+                         "PADF": PADF, "Dp": Dp, "n_spans": n_spans}}
 
     def _expand(name, x):
         """Compact host form -> kernel layout (device-side): widen the
@@ -868,16 +1062,17 @@ _CACHE: dict = {}
 def get_kernel_fn(model: Model, Qp: int, Wp: int, kinds: tuple,
                   names: tuple, meta_key: tuple, meta: dict, B: int,
                   dropoff: int, interpret: bool | None = None,
-                  shard_mesh=None):
+                  shard_mesh=None, cross: bool = False):
     from ..model.ir import model_fingerprint
     key = (model_fingerprint(model), Qp, Wp, kinds, names, meta_key, B,
-           dropoff, bool(interpret), _INTERPRET,
+           dropoff, bool(interpret), _INTERPRET, cross,
            id(shard_mesh) if shard_mesh is not None else None)
     if key not in _CACHE:
         _CACHE[key] = build_sdp_kernel(model, Qp, Wp, kinds, names,
                                        meta, B, dropoff,
                                        interpret=interpret,
-                                       shard_mesh=shard_mesh)
+                                       shard_mesh=shard_mesh,
+                                       cross=cross)
     return _CACHE[key]
 
 
@@ -1020,5 +1215,138 @@ def _pow2(n: int) -> int:
     while p < n:
         p <<= 1
     return p
+
+
+def run_kernel_cross_chip(model: Model, pair, plan, dropoff: int,
+                          n_chips: int, interpret: bool | None = None,
+                          devices=None) -> dict:
+    """ONE comparison pair spanning chips through the fused band-scan
+    kernel (SURVEY §2.13 cross-chip sequence parallelism; VERDICT r3
+    missing #2).  The compressed W axis splits into contiguous per-chip
+    chunks; each chunk runs the SAME kernel with a halo interface: the
+    neighbour's last max-advance-target columns' carry values (sc/pm/
+    shadow-lane planes per ring state) plus the forward span registers
+    relay chip-to-chip (the reference analogue is the scheduler's span
+    carry across rows, ref: scheduler.h:111-129).  The reverse pass
+    relays right-to-left, the forward pass left-to-right.  With
+    ``devices`` given, chunk c's arrays live on devices[c] and the halo
+    is the only cross-device traffic (max_at * ring-states * QV int32s
+    per hop — ICI-sized).  Returns the same result dict as run_kernel
+    for a single job; byte-identical to the single-chip kernel."""
+    from .wavefront import _bucket
+    Q = pair.region.query_length
+    Qp = _bucket(Q)
+    W = plan.W
+    MAXAT = max((t.advance_target for t in model.transitions),
+                default=1) or 1
+    n_layers = count_seed_layers(pair, plan)
+    Wg = _pow2(max(W, 1023))
+    flat_g, kinds, meta = prepare_kernel_inputs(model, pair, plan, Qp,
+                                                Wg, n_layers)
+    names = tuple(sorted(flat_g))
+    tnames = set(meta["tnames"])
+    meta_key = tuple(sorted(
+        (k, v) for k, v in meta.items() if k != "tnames"))
+    chunk = -(-(W + 1) // n_chips)
+    Wpc = _pow2(chunk + MAXAT)
+    QV = _qv(Qp)
+    PADF = QV + 128
+    VLENW = PADF + Wpc + 1 + QV + 264
+    kern = get_kernel_fn(model, Qp, Wpc, kinds, names, meta_key, meta,
+                         1, dropoff, interpret=interpret, cross=True)
+    rev_fn, fwd_fn = kern["rev"], kern["fwd"]
+    dims = kern["dims"]
+    n_spans = dims["n_spans"]
+
+    # per-chip pre-expanded buffers
+    chips = []
+    no_seed = {f"_seedq{lx}" for lx in range(n_layers)} \
+        | {f"_seedv{lx}" for lx in range(n_layers)}
+    c = 0
+    while c * chunk <= W:
+        v0 = c * chunk
+        v1 = min(v0 + chunk - 1, W)
+        wlen = v1 - v0
+        arrs = []
+        for n in names:
+            g = np.asarray(flat_g[n])
+            if n == "_wlen":
+                a = np.full((1, 1), wlen, np.int32)
+            elif n in tnames:
+                vec = np.zeros(Wpc + 1, np.int32)
+                vec[:wlen + 1] = g[v0:v1 + 1]
+                if n not in no_seed:
+                    kr = min(MAXAT, W - v1)
+                    if kr > 0:
+                        vec[wlen + 1:wlen + 1 + kr] = g[v1 + 1:
+                                                        v1 + 1 + kr]
+                buf = np.zeros((1, VLENW), np.int32)
+                buf[0, PADF:PADF + Wpc + 1] = vec[::-1]
+                if n not in no_seed:
+                    kl = min(MAXAT, v0)
+                    for k in range(1, kl + 1):
+                        buf[0, PADF + Wpc + k] = g[v0 - k]
+                a = buf
+            elif g.ndim == 1 and g.shape[0] > 1:
+                a = np.zeros((1, QV), np.int32)
+                a[0, :g.shape[0]] = g
+            else:
+                a = g.reshape(1, -1).astype(np.int32)
+            arrs.append(a)
+        dev = devices[c % len(devices)] if devices else None
+        arrs = tuple(jax.device_put(jnp.asarray(a), dev) if dev
+                     else jnp.asarray(a) for a in arrs)
+        chips.append({"v0": v0, "v1": v1, "wlen": wlen, "arrs": arrs,
+                      "dev": dev})
+        c += 1
+    n_eff = len(chips)
+
+    def neg_edges(dims_d, fwd):
+        e = [jnp.full((dims_d["NR"], MAXAT, 1, QV), NEG, jnp.int32),
+             jnp.full((dims_d["NR"], MAXAT, 1, QV), NEG, jnp.int32)]
+        if dims_d["has_lanes"]:
+            e.append(jnp.zeros((dims_d["NL"], MAXAT, 1, QV), jnp.int32))
+        if fwd and n_spans:
+            sp0 = np.zeros((n_spans, dims_d["nsr"], 1, QV), np.int32)
+            sp0[:, 0] = NEG
+            sp0[:, 4] = NEG
+            e.append(jnp.asarray(sp0))
+        return tuple(e)
+
+    def _put(x, dev):
+        return jax.device_put(x, dev) if dev is not None else x
+
+    # reverse sweep: right -> left
+    bits_per_chip = [None] * n_eff
+    live_any = False
+    edges = neg_edges(dims["rev"], False)
+    for cx in range(n_eff - 1, -1, -1):
+        ch = chips[cx]
+        edges = jax.tree_util.tree_map(
+            lambda x: _put(x, ch["dev"]), edges)
+        bits, live, edges = rev_fn(ch["arrs"], edges)
+        bits_per_chip[cx] = bits
+        live_any = live_any or bool(np.asarray(live).max())
+
+    # forward sweep: left -> right
+    col_g = np.full(W + 1, NEG, np.int64)
+    xb_any = False
+    edges = neg_edges(dims["fwd"], True)
+    for cx in range(n_eff):
+        ch = chips[cx]
+        edges = jax.tree_util.tree_map(
+            lambda x: _put(x, ch["dev"]), edges)
+        col, live, xband, edges = fwd_fn(ch["arrs"],
+                                         bits_per_chip[cx], edges)
+        live_any = live_any or bool(np.asarray(live).max())
+        xb_any = xb_any or bool(np.asarray(xband).max())
+        col_np = np.asarray(col)[0, :ch["wlen"] + 1]
+        col_g[ch["v0"]:ch["v1"] + 1] = col_np.astype(np.int64)
+
+    n_loci = len(plan.loci)
+    band_end = np.full(max(n_loci, 1), NEG, np.int64)
+    if n_loci:
+        np.maximum.at(band_end, plan.locus_of_v, col_g)
+    return {"band_end": band_end, "live": live_any, "xband": xb_any}
 
 

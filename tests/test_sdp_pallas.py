@@ -244,3 +244,65 @@ def test_genome2genome_kernel_gate():
     n_layers = sdp_pallas.count_seed_layers(pair, plan)
     assert not sdp_pallas.kernel_supported(
         model, pair.use_boundary, n_layers, pair)
+
+
+def _cross_check(mtname, q, t, hsps, n_chips, **kw):
+    model, pair, plan = _pair_and_plan(mtname, q, t, hsps, **kw)
+    want = _kernel_out(model, pair, plan)
+    got = sdp_pallas.run_kernel_cross_chip(model, pair, plan,
+                                           pair.args.dropoff,
+                                           n_chips, interpret=True)
+    n_loci = len(plan.loci)
+    assert got["xband"] == want["xband"]
+    assert got["live"] == want["live"]
+    np.testing.assert_array_equal(got["band_end"][:n_loci],
+                                  want["band_end"][:n_loci])
+
+
+def test_cross_chip_est2genome_two_chips():
+    """ONE pair spanning chips through the band kernel (halo relay of
+    edge-column carries + span registers): byte-identical band_end to
+    the single-chip kernel with the intron crossing the chip cut."""
+    ex1, ex2 = _dna(90), _dna(90)
+    intron = "GT" + _dna(96) + "AG"
+    t = _dna(100) + ex1 + intron + ex2 + _dna(100)
+    q = _mutate(ex1 + ex2, 4)
+    _cross_check("EST2GENOME", q, t,
+                 [(10, 110, 50, 70), (100, 300, 50, 70)], 2)
+
+
+@pytest.mark.slow
+def test_cross_chip_est2genome_three_chips():
+    cdna = _dna(160)
+    t = _dna(200) + cdna + _dna(200)
+    q = _mutate(cdna, 6)
+    _cross_check("EST2GENOME", q, t, [(30, 230, 40, 60)], 3)
+
+
+@pytest.mark.slow
+def test_cross_chip_span_crosses_cut():
+    """Intron span frozen in one chunk, thawed in the next: the span
+    registers relay across the chip boundary (the kernel image of the
+    scheduler's span carry, ref: scheduler.h:111-129)."""
+    ex1, ex2 = _dna(80), _dna(80)
+    # long intron so the freeze (exon1 end) and thaw (exon2 start)
+    # land in different chunks of a 2-way split
+    intron = "GT" + _dna(1000) + "AG"
+    t = _dna(60) + ex1 + intron + ex2 + _dna(60)
+    q = _mutate(ex1 + ex2, 4)
+    _cross_check("EST2GENOME", q, t,
+                 [(10, 70, 40, 60), (90, 1220, 40, 60)], 2)
+
+
+@pytest.mark.slow
+def test_cross_chip_fuzz():
+    for trial in range(3):
+        n = int(rng.integers(80, 140))
+        cdna = _dna(n)
+        t = _dna(int(rng.integers(50, 200))) + cdna \
+            + _dna(int(rng.integers(50, 200)))
+        q = _mutate(cdna, int(rng.integers(2, 8)))
+        mid = len(t) // 2
+        _cross_check("EST2GENOME", q, t,
+                     [(10, mid - n // 2 + 10, 30, 50)],
+                     int(rng.integers(2, 5)))
