@@ -196,11 +196,17 @@ def fastasoftmask_main(argv, out):
             raise SystemExit(
                 f"fastasoftmask: no matching masked sequence for "
                 f"[{seq.id}]")
-        is_protein = seq.alphabet.type == AlphabetType.PROTEIN
-        maskchar = ord("X") if is_protein else ord("N")
-        data = seq.data.copy()
-        maskpos = m.data == maskchar
-        data[maskpos] = TO_LOWER[data[maskpos]]
+        # bug-for-bug with the reference (fastasoftmask.c:28-43):
+        # fasta_softmask_merge binds ms=get_str(UNMASKED) and
+        # us=get_str(MASKED) — names swapped — so the emitted sequence
+        # is the MASKED string, lowercased only where the UNMASKED one
+        # has N/n/X/x.  (Its own test can't tell: hardmasking either
+        # semantics reproduces the masked file.)
+        um = seq.data
+        data = m.data.copy()
+        swap = ((um == ord("N")) | (um == ord("n"))
+                | (um == ord("X")) | (um == ord("x")))
+        data[swap] = TO_LOWER[data[swap]]
         write_fasta(Sequence(seq.id, seq.definition, data, seq.alphabet),
                     out)
 
@@ -316,18 +322,38 @@ def fastasplit_main(argv, out):
                ("c", "chunk", None, "Number of chunks", "2",
                 A.parse_int, "chunk")]).parse(argv)
     paths = _input_paths(v)
-    seqs = list(FastaDB(paths))
-    total = len(seqs)
     nchunk = v["chunk"]
     stem = os.path.join(v["output"], os.path.basename(paths[0]))
-    pos = 0
+    # RAW byte-range chunking (ref: fasta_split, fastasplit.c:44-66):
+    # boundaries at the next sequence start at/after i*(size/chunks),
+    # chunk files copy the original bytes verbatim (no reformatting);
+    # empty chunks are not written
+    with open(paths[0], "rb") as fh:
+        data = fh.read()
+    total = len(data)
+    chunk_size = total // nchunk
+
+    def next_start(p):
+        # the next line-initial '>' at/after p (FastaDB_find_next_start,
+        # fastadb.c:241-252)
+        prev = b"\n"
+        while p < total:
+            ch = data[p:p + 1]
+            if ch == b">" and prev == b"\n":
+                return p
+            prev = ch
+            p += 1
+        return total
+
+    bounds = [0]
+    for i in range(1, nchunk):
+        bounds.append(next_start(i * chunk_size))
+    bounds.append(total)
     for i in range(nchunk):
-        count = total // nchunk + (1 if i < total % nchunk else 0)
-        chunk_path = f"{stem}_chunk_{i:07d}"
-        with open(chunk_path, "w") as fh:
-            for seq in seqs[pos:pos + count]:
-                write_fasta(seq, fh)
-        pos += count
+        if bounds[i] == bounds[i + 1]:
+            continue
+        with open(f"{stem}_chunk_{i:07d}", "wb") as fh:
+            fh.write(data[bounds[i]:bounds[i + 1]])
 
 
 def fastaexplode_main(argv, out):
@@ -336,8 +362,12 @@ def fastaexplode_main(argv, out):
         extra=[("d", "directory", "path", "Output directory", ".",
                 A.parse_string, "directory")]).parse(argv)
     for seq in FastaDB(_input_paths(v)):
-        safe = seq.id.replace("/", "_").replace(":", "_")
-        with open(os.path.join(v["directory"], safe + ".fa"), "w") as fh:
+        # raw id as filename (ref: fastaexplode.c:23-25 — the C tool
+        # concatenates the id verbatim and g_errors if it exists)
+        path = os.path.join(v["directory"], seq.id + ".fa")
+        if os.path.exists(path):
+            raise SystemExit(f"File [{path}] already exists")
+        with open(path, "w") as fh:
             write_fasta(seq, fh)
 
 

@@ -135,6 +135,21 @@ def make_fixtures(dirpath: str = FIXDIR) -> None:
     soft = calm[:third] + calm[third:2 * third].lower() + calm[2 * third:]
     _write_fasta(os.path.join(dirpath, "calm_soft.fa"), [("soft", soft)])
 
+    # fastasoftmask inputs: unmasked + N-hardmasked pair (the
+    # reference's own test data shape, test/util/
+    # fastasoftmask.fastahardmask.test.sh)
+    calm_upper = calm.upper()
+    nm = list(calm_upper)
+    rng2 = np.random.default_rng(31)
+    for _ in range(12):
+        p = int(rng2.integers(0, len(nm) - 30))
+        ln = int(rng2.integers(5, 30))
+        nm[p:p + ln] = ["N"] * ln
+    _write_fasta(os.path.join(dirpath, "soft_unmask.fa"),
+                 [("smt", calm_upper)])
+    _write_fasta(os.path.join(dirpath, "soft_nmask.fa"),
+                 [("smt", "".join(nm))])
+
     # custom splice PSSM files (the man page's own examples,
     # ref: doc/man/man1/exonerate.1:1235-1273)
     with open(os.path.join(dirpath, "splice5.pssm"), "w") as f:
@@ -451,11 +466,58 @@ CASES = [
     ("ungt_gff_model_name", "exonerate",
      ["-m", "ungapped:trans", _cdna_mut, _calm_dna,
       "--showtargetgff", "yes"] + _VULG + _NOAL),
+    # file-producing utilities (VERDICT r3 weak #6): multi-step script
+    # cases — produced file NAMES and raw CONTENTS are the contract
+    ("util_fastasoftmask", "fastasoftmask",
+     [os.path.join(FIXDIR, "soft_unmask.fa"),
+      os.path.join(FIXDIR, "soft_nmask.fa")]),
+    # byte-range chunking preserving original formatting
+    # (ref: fasta_split, fastasplit.c:44-66)
+    ("util_fastasplit3", "script",
+     [["fastasplit", "-f", os.path.join(FIXDIR, "all4.fa"),
+       "-o", "{TMP}", "--chunk", "3"],
+      ["@cat", "{TMP}/*_chunk_*"]]),
+    ("util_fastaexplode", "script",
+     [["fastaexplode", "-f", os.path.join(FIXDIR, "all4.fa"),
+       "-d", "{TMP}"],
+      ["@cat", "{TMP}/*.fa"]]),
+    # each side builds its OWN index format; the fetched sequences and
+    # the miss exit behavior are the contract
+    # (ref: test/util/fastaindex.fastafetch.test.sh)
+    ("util_fastaindex_fetch", "script",
+     [["fastaindex", os.path.join(FIXDIR, "all4.fa"), "{TMP}/idx"],
+      ["fastafetch", os.path.join(FIXDIR, "all4.fa"), "{TMP}/idx",
+       "EMBL:K03199"],
+      ["fastafetch", os.path.join(FIXDIR, "all4.fa"), "{TMP}/idx",
+       "EMBL:M59501"]]),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
 _HOSTNAME_RE = re.compile(r"^Hostname: \[.*\]$", re.M)
 _GFFDATE_RE = re.compile(r"^##date \d{4}-\d{2}-\d{2}$", re.M)
+
+
+def run_script(steps, run_step, tmpdir) -> str:
+    """Execute a multi-step utility case (index-then-fetch,
+    split-then-cat): each step is an argv whose '{TMP}' tokens resolve
+    to a fresh per-case directory.  '@cat' steps dump the (sorted,
+    glob-expanded) files with a '== <basename> ==' header so produced
+    FILE NAMES are part of the golden contract too.  run_step(tool,
+    argv) -> stdout runs one tool (the reference binary in gen_golden,
+    the exonerate_tpu CLI in the parity test)."""
+    import glob as _glob
+    out = []
+    for step in steps:
+        argv = [a.replace("{TMP}", tmpdir) for a in step]
+        if argv[0] == "@cat":
+            for pat in argv[1:]:
+                for path in sorted(_glob.glob(pat)):
+                    out.append(f"== {os.path.basename(path)} ==\n")
+                    with open(path) as f:
+                        out.append(f.read())
+        else:
+            out.append(run_step(argv[0], argv[1:]))
+    return "".join(out)
 
 
 def normalize(text: str) -> str:

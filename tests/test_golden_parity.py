@@ -38,6 +38,24 @@ def fixtures_present():
 @pytest.mark.parametrize("name,prog,argv", _golden_cases())
 def test_golden(name, prog, argv):
     buf = io.StringIO()
+    if prog == "script":
+        import tempfile
+        from exonerate_tpu.cli.fastautils import main as util_main
+
+        def run_step(tool, step_argv):
+            b = io.StringIO()
+            try:
+                rc = util_main([tool] + list(step_argv), out=b)
+            except SystemExit as e:
+                rc = 1 if e.code else 0
+            return b.getvalue() + (f"[exit {rc}]\n" if rc else "")
+
+        with tempfile.TemporaryDirectory() as tmp:
+            got = cases.normalize(cases.run_script(argv, run_step, tmp))
+        with open(os.path.join(cases.OUTDIR, name + ".txt")) as f:
+            want = f.read()
+        assert got == want, _diff(name, want, got)
+        return
     if prog == "exonerate":
         from exonerate_tpu.cli.exonerate import main
         rc = main(list(argv), out=buf)

@@ -345,3 +345,55 @@ def test_softmask_and_desaturation_match_c_server(tmp_path):
               if ln.startswith("hspset:")]
     assert any("empty" not in ln for ln in c_hsps), c_replies
     assert o_hsps == c_hsps
+
+
+def test_customserver_both_directions(tmp_path):
+    """--customserver sends one raw pre-command line expecting an ok:
+    reply (ref: analysis.c:55-58, 487-491): our client against the C
+    server and the C client against our server, both with the flag —
+    results must equal the flagless runs."""
+    from exonerate_tpu.cli.server import ExonerateServer
+    from exonerate_tpu.db.dataset import dataset_build
+    from exonerate_tpu.db.index import Index, index_build
+
+    esd = str(tmp_path / "c.esd")
+    esi = str(tmp_path / "c.esi")
+    subprocess.run([os.path.join(REF_BIN, "fasta2esd"), CALM, esd],
+                   check=True, capture_output=True, timeout=300)
+    subprocess.run([os.path.join(REF_BIN, "esd2esi"), esd, esi],
+                   check=True, capture_output=True, timeout=300)
+    cport = _free_port()
+    proc = subprocess.Popen(
+        [os.path.join(REF_BIN, "exonerate-server"), esi,
+         "--port", str(cport)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    custom = ["--customserver", "set param seedrepeat 1"]
+    try:
+        _wait_port(cport)
+        ours_plain = _our_cli(ARGS + [CALM, f"localhost:{cport}"])
+        ours_custom = _our_cli(ARGS + custom
+                               + [CALM, f"localhost:{cport}"])
+    finally:
+        proc.kill()
+        proc.wait()
+    assert _vulgar(ours_custom) == _vulgar(ours_plain)
+    assert any("10875" in ln for ln in _vulgar(ours_custom))
+
+    oesd = str(tmp_path / "o.esd.npz")
+    oesi = str(tmp_path / "o.esi.npz")
+    dataset_build([CALM], oesd)
+    index_build(oesd, oesi)
+    index = Index(oesi)
+    oport = _free_port()
+    srv = ExonerateServer(index.dataset, index, oport)
+    srv.start_background()
+    try:
+        _wait_port(oport)
+        r = subprocess.run(
+            [os.path.join(REF_BIN, "exonerate")] + ARGS + custom
+            + [CALM, f"localhost:{oport}"],
+            capture_output=True, text=True, timeout=300)
+    finally:
+        srv.shutdown()
+    assert r.returncode == 0, r.stderr[-300:]
+    assert any("10875" in ln for ln in _vulgar(r.stdout))
