@@ -292,16 +292,37 @@ class GAM:
             metas.append((comp, data, gpair, plan))
             if plan is not None:
                 jobs.append((gpair, plan))
-        outs = iter(sdp_hybrid.run_device_batch(self.model, jobs)
-                    if jobs else [])
+        # dispatch the device batch on a worker so the host-route
+        # comparisons (sub-floor minus strands) overlap the kernel's
+        # compute + fetch round-trips; result submission order is
+        # unchanged (everything joins before submit)
+        dev_fut = None
+        if jobs:
+            from concurrent.futures import ThreadPoolExecutor
+            _dev_pool = ThreadPoolExecutor(max_workers=1)
+            dev_fut = _dev_pool.submit(sdp_hybrid.run_device_batch,
+                                       self.model, jobs)
+            _dev_pool.shutdown(wait=False)
 
-        def result_loop(meta):
+        # device-output slot per meta (resolved lazily inside the
+        # fan-out, so host-route loops can start before the device
+        # batch lands)
+        job_ix = 0
+        job_of_meta = {}
+        for mx, meta in enumerate(metas):
+            if meta is not None and meta[3] not in ("host", None):
+                job_of_meta[mx] = job_ix
+                job_ix += 1
+
+        def result_loop(mx_meta):
+            mx, meta = mx_meta
             if meta is None:
                 return []
             comp, data, gpair, plan = meta[:4]
             if plan == "host":
                 return self._run_sdp_loop(gpair, comp.query, data)
-            out = meta[4]
+            out = (dev_fut.result()[job_of_meta[mx]]
+                   if mx in job_of_meta else None)
             hp = sdp_hybrid.HybridSDPPair(
                 self.model, comp, data, gpair.subopt, args,
                 device_out=out, plan=plan, gpair=gpair)
@@ -311,11 +332,13 @@ class GAM:
                 pair = SDPPair(self.model, comp, data, SubOpt(), args)
                 return self._run_sdp_loop(pair, comp.query, data)
 
-        # attach each device output to its meta before fan-out
-        metas = [meta if meta is None or meta[3] == "host"
-                 else meta + ((next(outs) if meta[3] is not None
-                               else None),)
-                 for meta in metas]
+        # host-route metas first in the worker queue: they overlap the
+        # in-flight device batch; submission order is restored below
+        metas = list(enumerate(metas))
+        order = sorted(
+            range(len(metas)),
+            key=lambda mx: 0 if (metas[mx][1] is not None
+                                 and metas[mx][1][3] == "host") else 1)
         # the per-comparison walks are independent: host locus
         # resolutions (the warm scan's largest remaining cost) run
         # through ctypes calls that release the GIL, so a small thread
@@ -327,10 +350,14 @@ class GAM:
         n_workers = int(_os.environ.get(
             "EXONERATE_TPU_RESOLVE_THREADS",
             str(min(4, _os.cpu_count() or 1))))
-        if n_workers > 1 and sum(m is not None for m in metas) > 1:
+        if n_workers > 1 and sum(m is not None for _, m in metas) > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=n_workers) as ex:
-                all_results = list(ex.map(result_loop, metas))
+                ordered = list(ex.map(result_loop,
+                                      [metas[mx] for mx in order]))
+            all_results = [None] * len(metas)
+            for mx, res in zip(order, ordered):
+                all_results[mx] = res
         else:
             all_results = [result_loop(m) for m in metas]
         for results in all_results:

@@ -126,20 +126,37 @@ class Match:
 
     # -- grid scoring ------------------------------------------------------
 
+    # module-wide: Match instances are per-AlignData, but the row
+    # indices depend only on (sequence, advance, genetic code) — a
+    # genome scan re-derives the same 1 Mb gather for every query's
+    # comparison and locus re-run otherwise (the value tuple keeps the
+    # Sequence alive so id() stays unambiguous)
+    _ROW_MEMO: dict = {}
+    _ROW_CAP = 64
+
     def _row_indices(self, seq: Sequence, advance: int) -> np.ndarray:
-        # memoized per sequence: a genome-scan comparison slices dozens
-        # of locus windows from the same query/target, and the full
-        # gather over a 1 Mb sequence is ~1.5 ms a call (the value tuple
-        # keeps the Sequence alive so id() stays unambiguous)
-        key = (id(seq), advance)
-        hit = self._row_cache.get(key)
+        if advance == 3:
+            code = self.mas.translate
+            ck = getattr(code, "_memo_key", None)
+            if ck is None:
+                ck = hash(code.trans.tobytes())
+                try:
+                    code._memo_key = ck
+                except Exception:
+                    pass
+        else:
+            ck = 0
+        key = (id(seq), advance, ck)
+        hit = Match._ROW_MEMO.get(key)
         if hit is not None:
             return hit[1]
         if advance == 3:
             out = _translated_indices(seq, self.mas.translate)
         else:
             out = SYMBOL_INDEX[seq.data]
-        self._row_cache[key] = (seq, out)
+        if len(Match._ROW_MEMO) > Match._ROW_CAP:
+            Match._ROW_MEMO.clear()
+        Match._ROW_MEMO[key] = (seq, out)
         return out
 
     def swap(self) -> "Match":
