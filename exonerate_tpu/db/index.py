@@ -225,11 +225,27 @@ class Index:
                                 sids_all[bounds[k]:bounds[k + 1]],
                                 poss_all[bounds[k]:bounds[k + 1]],
                                 revcomp_target, intervals)
-        else:
-            for qpos, w in qw:
-                sids, poss = self.lookup_word(w)
-                self._bin_seeds(out, qpos, sids, poss,
-                                revcomp_target, intervals)
+        elif qw:
+            # one vectorized searchsorted join for the whole query
+            # (a 1.2 kb query probes ~2.4k words; per-word lookups were
+            # ~1.5 s of a 16-query serving stream)
+            words = np.asarray([w for _, w in qw],
+                               dtype=self.word_table.dtype)
+            nt = len(self.word_table)
+            if nt:
+                ix = np.searchsorted(self.word_table, words)
+                ixc = np.minimum(ix, nt - 1)
+                found = self.word_table[ixc] == words
+                starts = self.word_starts[ixc]
+                counts = self.word_counts[ixc]
+                for k, (qpos, _w) in enumerate(qw):
+                    if not found[k]:
+                        continue
+                    s = int(starts[k])
+                    c = int(counts[k])
+                    self._bin_seeds(out, qpos, self.post_seq[s:s + c],
+                                    self.post_pos[s:s + c],
+                                    revcomp_target, intervals)
         # order = (query word, posting) append order, matching the C
         # server's per-target bins (ref: index.c:1358-1366); the page
         # binning in the qy_sorted seeding then fixes emission order

@@ -100,6 +100,24 @@ class HSP:
         return self.target_start * qadv - self.query_start * tadv
 
 
+_SM_MEMO: dict = {}
+
+
+def _softmask_of(seq) -> np.ndarray:
+    """Memoized IS_SOFTMASKED gather (an HspSet is built per
+    (query, target, class) — re-gathering a 1 Mb target per query was
+    ~0.25 s of a serving stream)."""
+    key = id(seq)
+    hit = _SM_MEMO.get(key)
+    if hit is not None and hit[0] is seq:
+        return hit[1]
+    v = IS_SOFTMASKED[seq.data]
+    if len(_SM_MEMO) > 64:
+        _SM_MEMO.clear()
+    _SM_MEMO[key] = (seq, v)
+    return v
+
+
 class HspSet:
     """A set of HSPs for one (query, target, match-class)
     (ref: HSPset, hspset.h:191-224)."""
@@ -122,8 +140,8 @@ class HspSet:
         self._qi = m._row_indices(query, m.advance_query)
         self._ti = m._row_indices(target, m.advance_target)
         self._mat = m.submat.matrix
-        self._q_mask = IS_SOFTMASKED[query.data]
-        self._t_mask = IS_SOFTMASKED[target.data]
+        self._q_mask = _softmask_of(query)
+        self._t_mask = _softmask_of(target)
         self._forbid_masked = (m.mas.softmask_query
                                or m.mas.softmask_target)
         ann = query.annotation
