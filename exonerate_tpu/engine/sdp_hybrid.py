@@ -93,7 +93,7 @@ class HybridSDPPair:
             return
         if self.plan is None or self.device_out is None:
             plan = make_plan(self.model, pair)
-            if not device_worthwhile(plan):
+            if not device_worthwhile(plan, pair.region.query_length):
                 observe.count_fallback(
                     "sdp device->host: below device size floor")
                 raise HybridFallback()
@@ -217,15 +217,26 @@ def make_plan(model: Model, pair: SDPPair) -> sdp_bands.BandPlan:
 # amortize; small comparisons only take the device path when the user
 # forces it (EXONERATE_TPU_SDP=device / EXONERATE_TPU_SDP_KERNEL=1)
 DEVICE_MIN_W = 16384
+# ... and below this many band cells (Q x W) the host scheduler's
+# sparse-live-cell walk beats the kernel's fixed dispatch+fetch
+# latency even at genome-scale W: a 149 aa protein2genome query
+# compresses to W<=46k but only ~7M cells (~30 ms host), while one
+# est2genome plus-strand comparison is >=35M cells (measured round 4)
+DEVICE_MIN_CELLS = 16_000_000
 
 
-def device_worthwhile(plan) -> bool:
+def device_worthwhile(plan, query_length: int = None) -> bool:
     """Size gate for the DEFAULT (non-forced) device routing: tiny
     comparisons stay on the host scheduler."""
     import os
     if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
         return True
-    return plan is not None and plan.W >= DEVICE_MIN_W
+    if plan is None or plan.W < DEVICE_MIN_W:
+        return False
+    if query_length is not None \
+            and (query_length + 1) * (plan.W + 1) < DEVICE_MIN_CELLS:
+        return False
+    return True
 
 
 def _kernel_usable(model: Model, pair: SDPPair, plan) -> bool:

@@ -284,7 +284,8 @@ class GAM:
             plan = (sdp_hybrid.make_plan(self.model, gpair)
                     if gpair.seeds else None)
             if plan is not None \
-                    and not sdp_hybrid.device_worthwhile(plan):
+                    and not sdp_hybrid.device_worthwhile(
+                        plan, gpair.region.query_length):
                 # tiny comparison: host scheduler directly (no device
                 # dispatch, no first-time kernel compile)
                 metas.append((comp, data, gpair, "host"))

@@ -76,11 +76,8 @@ class SpliceCache:
     _MEMO_CAP = 16
 
     def _fingerprint(self) -> tuple:
-        data = self.seq.data
-        n = len(data)
-        step = max(1, n // 64)
-        return (self.seq.head_id, self.seq.strand, n,
-                data[::step][:64].tobytes())
+        from ..seqio import seq_ckey
+        return seq_ckey(self.seq)
 
     def scores(self, site: str, forward: bool) -> np.ndarray:
         key = f"ss{site}_{'f' if forward else 'r'}"

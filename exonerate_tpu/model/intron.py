@@ -16,19 +16,53 @@ from .ir import IMPOSSIBLY_LOW_SCORE, Label, Model, Protect
 from .data import AlignData
 
 
+_SPLICE_WIN_MEMO: dict = {}
+
+
 def _splice_vector(data: AlignData, region: Region, on_query: bool,
                    site: str, forward: bool) -> np.ndarray:
-    """Per-source-position splice scores as a broadcastable grid."""
+    """Per-source-position splice scores as a broadcastable grid.
+    The padded window slice memoizes per (scores array, window): every
+    query of a scan (and every locus re-run) re-slices the same
+    target-side vector; the value keeps `scores` alive so id() stays
+    unambiguous.  Entries are read-only."""
     cache = data.splice_cache(on_query)
     scores = cache.scores(site, forward)
     if on_query:
         lo, n = region.query_start, region.query_length
     else:
         lo, n = region.target_start, region.target_length
+    key = (id(scores), lo, n, on_query)
+    hit = _SPLICE_WIN_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
     out = np.zeros(n + 1, dtype=np.int32)
     take = scores[lo:lo + n]
     out[:len(take)] = take
-    return out[:, None] if on_query else out[None, :]
+    out = out[:, None] if on_query else out[None, :]
+    if len(_SPLICE_WIN_MEMO) > 256:
+        _SPLICE_WIN_MEMO.clear()
+    _SPLICE_WIN_MEMO[key] = (scores, out)
+    return out
+
+
+_GRID_MEMO: dict = {}
+
+
+def _grid_memo(parts: list, extra: int, builder):
+    """Memoize composed intron grids per (input windows, penalty): the
+    input windows are themselves memoized (stable id while alive), so
+    the sum/astype over a 1 Mb window runs once per scan, not once per
+    query.  The value keeps the inputs alive; entries are read-only."""
+    key = tuple(id(p) for p in parts) + (extra,)
+    hit = _GRID_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    out = builder()
+    if len(_GRID_MEMO) > 256:
+        _GRID_MEMO.clear()
+    _GRID_MEMO[key] = (parts, out)
+    return out
 
 
 def _make_pre_grid(on_query: bool, on_target: bool,
@@ -36,27 +70,41 @@ def _make_pre_grid(on_query: bool, on_target: bool,
     """5'-side calc: intron open penalty + splice score(s) at the source
     position (ref: Intron_CalcFunc is_pre, src/model/intron.c:138-160)."""
     def grid_fn(region: Region, data: AlignData):
-        total = None
+        parts = []
         if on_query:
-            total = _splice_vector(data, region, True, site_q, forward)
+            parts.append(_splice_vector(data, region, True, site_q,
+                                        forward))
         if on_target:
-            v = _splice_vector(data, region, False, site_t, forward)
-            total = v if total is None else total + v
-        return (total + np.int32(data.intron.intron_open_penalty)
-                ).astype(np.int32)
+            parts.append(_splice_vector(data, region, False, site_t,
+                                        forward))
+        pen = int(data.intron.intron_open_penalty)
+
+        def build():
+            total = parts[0]
+            for v in parts[1:]:
+                total = total + v
+            return (total + np.int32(pen)).astype(np.int32)
+        return _grid_memo(parts, pen, build)
     return grid_fn
 
 
 def _make_post_grid(on_query: bool, on_target: bool,
                     site_q: str, site_t: str, forward: bool):
     def grid_fn(region: Region, data: AlignData):
-        total = None
+        parts = []
         if on_query:
-            total = _splice_vector(data, region, True, site_q, forward)
+            parts.append(_splice_vector(data, region, True, site_q,
+                                        forward))
         if on_target:
-            v = _splice_vector(data, region, False, site_t, forward)
-            total = v if total is None else total + v
-        return total.astype(np.int32)
+            parts.append(_splice_vector(data, region, False, site_t,
+                                        forward))
+
+        def build():
+            total = parts[0]
+            for v in parts[1:]:
+                total = total + v
+            return total.astype(np.int32)
+        return _grid_memo(parts, None, build)
     return grid_fn
 
 

@@ -127,14 +127,15 @@ class Match:
     # -- grid scoring ------------------------------------------------------
 
     # module-wide: Match instances are per-AlignData, but the row
-    # indices depend only on (sequence, advance, genetic code) — a
-    # genome scan re-derives the same 1 Mb gather for every query's
-    # comparison and locus re-run otherwise (the value tuple keeps the
-    # Sequence alive so id() stays unambiguous)
+    # indices depend only on (sequence content, advance, genetic code)
+    # — a genome scan re-derives the same 1 Mb gather for every query's
+    # comparison and locus re-run otherwise, and warm runs re-derive it
+    # per invocation under id() keys
     _ROW_MEMO: dict = {}
     _ROW_CAP = 64
 
     def _row_indices(self, seq: Sequence, advance: int) -> np.ndarray:
+        from ..seqio import seq_ckey
         if advance == 3:
             code = self.mas.translate
             ck = getattr(code, "_memo_key", None)
@@ -146,17 +147,17 @@ class Match:
                     pass
         else:
             ck = 0
-        key = (id(seq), advance, ck)
+        key = (seq_ckey(seq), advance, ck)
         hit = Match._ROW_MEMO.get(key)
         if hit is not None:
-            return hit[1]
+            return hit
         if advance == 3:
             out = _translated_indices(seq, self.mas.translate)
         else:
             out = SYMBOL_INDEX[seq.data]
         if len(Match._ROW_MEMO) > Match._ROW_CAP:
             Match._ROW_MEMO.clear()
-        Match._ROW_MEMO[key] = (seq, out)
+        Match._ROW_MEMO[key] = out
         return out
 
     def swap(self) -> "Match":

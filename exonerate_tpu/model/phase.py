@@ -26,16 +26,17 @@ _SEQV_MEMO: dict = {}
 
 def _seq_vecs(seq):
     """Per-sequence nt4/symbol gathers, shared across every AlignData
-    of a scan (each comparison builds its own AlignData; re-gathering
-    a 1 Mb target per query was ~0.1 s/scan)."""
-    key = id(seq)
+    of a scan AND across warm runs in one process (content-keyed: each
+    CLI run / serving query re-parses its FASTA, so id() keys miss)."""
+    from ..seqio import seq_ckey
+    key = seq_ckey(seq)
     hit = _SEQV_MEMO.get(key)
-    if hit is not None and hit[0] is seq:
-        return hit[1]
+    if hit is not None:
+        return hit
     v = (NT4[seq.data.astype(np.int32)], SYMBOL_INDEX[seq.data])
     if len(_SEQV_MEMO) > 64:
         _SEQV_MEMO.clear()
-    _SEQV_MEMO[key] = (seq, v)
+    _SEQV_MEMO[key] = v
     return v
 
 
@@ -75,20 +76,21 @@ def _code_key(data: AlignData) -> int:
 
 
 def _tvec_memo(seq, key, builder):
-    """Memoize target-side derived vectors per (sequence, region,
-    variant): a genome scan re-derives identical 1 Mb-wide packed
-    codon/class vectors for every query and pass against the same
-    target (the round-4 p2g profile showed ~3.4 s of a 6.9 s scan in
-    these builders).  The value tuple keeps the Sequence alive so id()
-    stays unambiguous; entries are treated as read-only."""
-    mkey = (id(seq),) + key
+    """Memoize target-side derived vectors per (sequence content,
+    region, variant): a genome scan re-derives identical 1 Mb-wide
+    packed codon/class vectors for every query and pass against the
+    same target (the round-4 p2g profile showed ~3.4 s of a 6.9 s scan
+    in these builders), and warm runs re-derive them per invocation
+    under id() keys.  Entries are treated as read-only."""
+    from ..seqio import seq_ckey
+    mkey = (seq_ckey(seq),) + key
     hit = _TVEC_MEMO.get(mkey)
     if hit is not None:
-        return hit[1]
+        return hit
     out = builder()
     if len(_TVEC_MEMO) > _TVEC_CAP:
         _TVEC_MEMO.clear()
-    _TVEC_MEMO[mkey] = (seq, out)
+    _TVEC_MEMO[mkey] = out
     return out
 
 

@@ -40,7 +40,7 @@ class Sequence:
 
     __slots__ = ("id", "definition", "_data", "_loader", "_length",
                  "alphabet", "strand", "annotation", "head_id",
-                 "_revcomp_of")
+                 "_revcomp_of", "_ckey")
 
     def __init__(self, sid: str, definition: Optional[str],
                  data: np.ndarray | str | bytes,
@@ -61,6 +61,7 @@ class Sequence:
         self.annotation = annotation
         self.head_id = sid  # original id before view transforms
         self._revcomp_of = None
+        self._ckey = None
 
     @classmethod
     def create_lazy(cls, sid: str, definition: Optional[str], length: int,
@@ -82,6 +83,7 @@ class Sequence:
         self.annotation = None
         self.head_id = sid
         self._revcomp_of = None
+        self._ckey = None
         return self
 
     @property
@@ -194,6 +196,22 @@ class Sequence:
 
     def __repr__(self):
         return f"Sequence({self.id!r}, len={len(self.data)})"
+
+
+def seq_ckey(seq: Sequence) -> tuple:
+    """Exact content identity for cross-run memo keys.  Every CLI run
+    and every serving query re-parses its FASTA into fresh Sequence
+    objects, so id()-keyed memos can never hit across runs; keying on
+    the residue bytes makes warm processes (bench warm runs, the
+    resident server) reuse all derived target-side vectors.  Hashed
+    once per object; call sites already touch .data, so this adds no
+    lazy materialization."""
+    k = seq._ckey
+    if k is None:
+        d = seq.data
+        k = (d.shape[0], hash(d.tobytes()))
+        seq._ckey = k
+    return k
 
 
 # -- FASTA reading ---------------------------------------------------------

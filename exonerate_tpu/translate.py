@@ -91,7 +91,17 @@ class GeneticCode:
         else:
             raise ValueError(f"could not use genetic code {spec!r}")
         self.code = code  # internal GATC-bit-order 64-codon string
-        self._build_tables()
+        # the 4096-entry ambiguity table is a pure function of the
+        # 64-codon string and costs ~60 ms to enumerate; every CLI run
+        # rebuilds a GeneticCode, so share tables per code string
+        hit = GeneticCode._TABLE_MEMO.get(code)
+        if hit is not None:
+            self.trans, self.revtrans = hit
+        else:
+            self._build_tables()
+            GeneticCode._TABLE_MEMO[code] = (self.trans, self.revtrans)
+
+    _TABLE_MEMO: dict = {}
 
     def _build_tables(self):
         aa2d = {ch: i for i, ch in enumerate(AA_SET_PIMA)}
