@@ -431,6 +431,14 @@ class ExonerateServer:
                     if reply is None:
                         self.wfile.write(b"ok: exiting\n")
                         break
+                    # multi-line replies are framed with a linecount:
+                    # header exactly like the reference Socket_send
+                    # (ref: src/general/socket.c:160-172): the value
+                    # counts the reply's lines plus the header itself,
+                    # letting clients read without timeouts
+                    n = reply.count("\n")
+                    if n > 1:
+                        self.wfile.write(f"linecount: {n + 1}\n".encode())
                     self.wfile.write(reply.encode())
                     self.wfile.flush()
 

@@ -42,34 +42,32 @@ class AnalysisClient:
                 f"could not connect to server [{hostport}]: {last}")
         self.rfile = self.sock.makefile("rb")
 
+    def _read_reply(self, command: str) -> list[str]:
+        """Read one framed reply: a single line, or — when the first
+        line is a `linecount: N` header (ref: SocketConnection_read,
+        src/general/socket.c:109-146; N counts the header itself) —
+        the N-1 lines that follow.  No timeouts, no peeking."""
+        first = self.rfile.readline().decode().rstrip("\n")
+        if first.startswith("linecount:"):
+            n = int(first.split()[1])
+            lines = [self.rfile.readline().decode().rstrip("\n")
+                     for _ in range(n - 1)]
+        else:
+            lines = [first]
+        for line in lines:
+            if line.startswith("error:"):
+                raise RuntimeError(
+                    f"server error for [{command}]: {line}")
+        return lines
+
     def send(self, command: str) -> str:
         self.sock.sendall((command + "\n").encode())
-        reply = self.rfile.readline().decode().rstrip("\n")
-        if reply.startswith("error:"):
-            raise RuntimeError(f"server error for [{command}]: {reply}")
-        return reply
+        return self._read_reply(command)[0]
 
     def send_multi(self, command: str) -> list[str]:
         """Commands whose reply may span lines (get hsps)."""
         self.sock.sendall((command + "\n").encode())
-        lines = []
-        while True:
-            line = self.rfile.readline().decode().rstrip("\n")
-            if line.startswith("error:"):
-                raise RuntimeError(f"server error: {line}")
-            lines.append(line)
-            # peek: more hspset lines follow only for get hsps; stop when
-            # the socket has no buffered data
-            self.sock.settimeout(0.05)
-            try:
-                peek = self.sock.recv(1, socket.MSG_PEEK)
-                if not peek:
-                    break
-            except (TimeoutError, socket.timeout):
-                break
-            finally:
-                self.sock.settimeout(None)
-        return lines
+        return self._read_reply(command)
 
     def dbinfo(self):
         parts = self.send("dbinfo").split()

@@ -344,12 +344,12 @@ class HspSet:
         if not len(seeds):
             return
         if self.param.filter_threshold or self.is_finalised:
-            for q, t in seeds:
+            for q, t in np.asarray(seeds, dtype=np.int64).tolist():
                 self.seed(q, t)
             return
         from .. import native
         if native.get_lib() is None or self.hsps or self._horizon:
-            for q, t in seeds:
+            for q, t in np.asarray(seeds, dtype=np.int64).tolist():
                 self.seed(q, t)
             return
         arr = np.asarray(seeds, dtype=np.int64)

@@ -85,6 +85,8 @@ class _Loader:
         # packed word -> list of neighbour packed words (wordhood)
         self.neighbours: dict[int, list[int]] = {}
         self._wj_ctr = 0
+        self._rev = 0               # bumped per add_query (CSR validity)
+        self._csr = None            # (rev, known, off, qidx, qpos)
 
     # -- word packing -----------------------------------------------------
 
@@ -113,6 +115,7 @@ class _Loader:
     def add_query(self, qidx: int, query: Sequence, match: Match,
                   wordhood=None):
         """(ref: Seeder_insert_query, seeder.c:478-559)."""
+        self._rev += 1
         softmask = (match.mas.softmask_query
                     and not self.query_is_translated)
         frames = [0]
@@ -145,9 +148,49 @@ class _Loader:
                         if nb != w:
                             self.neighbours.setdefault(nb, []).append(w)
 
-    def scan_target(self, target: Sequence, match: Match, emit: Callable):
+    def _emission_table(self):
+        """CSR over the sorted known-word array: for word k, rows
+        off[k]..off[k+1] are the (qidx, qpos) pairs emit_word would
+        produce for one target hit, in exact emission order (own
+        entries LIFO, then each neighbour source's entries LIFO) —
+        the vectorized form of the per-seed Python loop."""
+        if self._csr is not None and self._csr[0] == self._rev:
+            return self._csr[1:]
+        if not (self.words or self.neighbours):
+            self._csr = (self._rev, np.zeros(0, np.int64),
+                         np.zeros(1, np.int64),
+                         np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return self._csr[1:]
+        known = np.fromiter(set(self.words) | set(self.neighbours),
+                            dtype=np.int64)
+        known.sort()
+        off = np.zeros(len(known) + 1, dtype=np.int64)
+        qidxs: list[int] = []
+        qposs: list[int] = []
+        for k, w in enumerate(known):
+            w = int(w)
+            entry = self.words.get(w)
+            if entry:
+                for qi, qp in reversed(entry):
+                    qidxs.append(qi)
+                    qposs.append(qp)
+            for src in self.neighbours.get(w, ()):
+                for qi, qp in reversed(self.words.get(src, ())):
+                    qidxs.append(qi)
+                    qposs.append(qp)
+            off[k + 1] = len(qidxs)
+        self._csr = (self._rev, known, off,
+                     np.asarray(qidxs, dtype=np.int64),
+                     np.asarray(qposs, dtype=np.int64))
+        return self._csr[1:]
+
+    def scan_target(self, target: Sequence, match: Match, emit: Callable,
+                    emit_batch: Optional[Callable] = None):
         """(ref: Seeder_add_target + VFSM traverse, seeder.c:696-716,
-        852-915).  emit(loader, qidx, qpos, tpos) per seed."""
+        852-915).  emit(loader, qidx, qpos, tpos) per seed, or —
+        when emit_batch is given and no ambiguity expansion applies —
+        emit_batch(loader, qidx_arr, qpos_arr, tpos_arr) per frame in
+        the same order."""
         softmask = (match.mas.softmask_target
                     and not self.target_is_translated)
         frames = [0]
@@ -161,11 +204,11 @@ class _Loader:
         # known query word (or neighbour) reach the Python emit loop —
         # the equivalent of the VFSM rejecting non-query words in-state
         # (ref: seeder.c:696-716)
-        known = None
-        if self.words or self.neighbours:
-            known = np.fromiter(
-                set(self.words) | set(self.neighbours), dtype=np.int64)
-            known.sort()
+        known, csr_off, csr_qidx, csr_qpos = self._emission_table()
+        if not len(known):
+            known = None
+        ambig = (self.args.word_ambiguity > 1
+                 and not self.is_protein_words)
         # the per-frame hit list depends only on (target content, word
         # parameters, query word-set content) — identical across warm
         # runs and across serving queries with the same word set, so
@@ -173,9 +216,7 @@ class _Loader:
         # ambiguity expansion, which needs the raw window arrays)
         from ..seqio import seq_ckey
         memo_base = None
-        if known is not None and len(known) and not (
-                self.args.word_ambiguity > 1
-                and not self.is_protein_words):
+        if known is not None and not ambig:
             memo_base = (seq_ckey(target), self.wordlen, softmask,
                          self.nsym, self.target_is_translated,
                          hash(known.tobytes()))
@@ -214,10 +255,29 @@ class _Loader:
                     for qidx, qpos in reversed(self.words.get(src, ())):
                         emit(self, qidx, qpos, target_pos)
 
+            if emit_batch is not None and not ambig:
+                # CSR gather replacing the ~100k-call Python emit loop,
+                # preserving emission order exactly (hits ascending;
+                # per hit, the word's CSR payload)
+                hits, pw = hit_pw
+                if len(hits):
+                    pos = np.searchsorted(known, pw)
+                    starts = csr_off[pos]
+                    cnt = csr_off[pos + 1] - starts
+                    total = int(cnt.sum())
+                    if total:
+                        reset = starts - np.concatenate(
+                            ([0], np.cumsum(cnt)[:-1]))
+                        flat = np.repeat(reset, cnt) + np.arange(total)
+                        end = hits + self.wordlen - 1
+                        tpos = end * 3 + frame - 1 if frame else end
+                        emit_batch(self, csr_qidx[flat], csr_qpos[flat],
+                                   np.repeat(tpos - self.tpos_modifier,
+                                             cnt))
+                continue
             for i, w in zip(hit_pw[0], hit_pw[1]):
                 emit_word(int(w), int(i))
-            if (self.args.word_ambiguity > 1
-                    and not self.is_protein_words):
+            if ambig:
                 for i, w in self._ambiguous_words(seq, valid):
                     emit_word(w, i)
 
@@ -338,29 +398,54 @@ class Seeder:
     def add_target(self, target: Sequence):
         # collect seeds per (query, match-class) in emission order, then
         # run each batch through the (native) seeding machine
-        batches: dict[tuple[int, str], list[tuple[int, int]]] = {}
+        batches: dict[tuple[int, str], list] = {}
         active: list[int] = []
+        seen: set[int] = set()
 
         def emit(loader: _Loader, qidx: int, qpos: int, tpos: int):
             key = (qidx, loader.kind)
             if key not in batches:
                 batches[key] = []
-                if qidx not in active:
+                if qidx not in seen:
+                    seen.add(qidx)
                     active.append(qidx)
-            batches[key].append((qpos, tpos))
+            batches[key].append(np.asarray([[qpos, tpos]],
+                                           dtype=np.int64))
+
+        def emit_batch(loader: _Loader, qidx_arr, qpos_arr, tpos_arr):
+            # split one frame's vectorized seed stream by query,
+            # preserving per-query emission order and first-encounter
+            # query order
+            if not len(qidx_arr):
+                return
+            uniq, first = np.unique(qidx_arr, return_index=True)
+            for qidx in uniq[np.argsort(first)]:
+                qidx = int(qidx)
+                mask = qidx_arr == qidx
+                key = (qidx, loader.kind)
+                if key not in batches:
+                    batches[key] = []
+                    if qidx not in seen:
+                        seen.add(qidx)
+                        active.append(qidx)
+                batches[key].append(
+                    np.stack([qpos_arr[mask], tpos_arr[mask]], axis=1))
 
         # scan with each loader (dna first, then protein, then codon —
         # construction order, matching the reference loader order)
         for kind in ("dna", "protein", "codon"):
             loader = self.loaders.get(kind)
             if loader is not None:
-                loader.scan_target(target, loader.hsp_param.match, emit)
+                loader.scan_target(target, loader.hsp_param.match, emit,
+                                   emit_batch)
         for qidx in active:
             comp = self._make_comparison(self.queries[qidx], target)
             for kind in ("dna", "protein", "codon"):
                 seeds = batches.get((qidx, kind))
                 if seeds:
-                    getattr(comp, f"{kind}_hspset").seed_batch(seeds)
+                    arr = (seeds[0] if len(seeds) == 1
+                           else np.concatenate(seeds))
+                    getattr(comp, f"{kind}_hspset").seed_batch(arr)
             if comp.has_hsps:
                 comp.finalise()
                 self.report_func(comp)
