@@ -30,6 +30,9 @@ PROTEIN_MEMBERS = "ARNDCQEGHILKMFPSTWYUV*"
 # identical join for every warm run / serving query (see scan_target)
 _SCAN_MEMO: dict = {}
 
+# loader content signature -> CSR emission table (see _emission_table)
+_CSR_MEMO: dict = {}
+
 
 @dataclass
 class SeederArgs:
@@ -87,6 +90,12 @@ class _Loader:
         self._wj_ctr = 0
         self._rev = 0               # bumped per add_query (CSR validity)
         self._csr = None            # (rev, known, off, qidx, qpos)
+        # content signature of everything that shapes words/neighbours:
+        # folds in each add_query's (qidx, residue content, softmask,
+        # annotation, wordhood content); lets warm runs reuse the CSR
+        # emission table across processes' identical query sets
+        self._sig = hash((kind, self.wordlen, self.nsym,
+                          args.word_jump, args.word_ambiguity))
 
     # -- word packing -----------------------------------------------------
 
@@ -118,6 +127,15 @@ class _Loader:
         self._rev += 1
         softmask = (match.mas.softmask_query
                     and not self.query_is_translated)
+        from ..seqio import seq_ckey
+        ann = query.annotation
+        self._sig = hash((
+            self._sig, qidx, seq_ckey(query), softmask,
+            (ann.cds_start, ann.cds_length, ann.strand)
+            if ann is not None else None,
+            None if wordhood is None else (
+                wordhood.members, wordhood.limit, wordhood.use_dropoff,
+                wordhood.wordlen, hash(wordhood.m.tobytes()))))
         frames = [0]
         seqs = [query]
         if self.query_is_translated:
@@ -156,6 +174,10 @@ class _Loader:
         the vectorized form of the per-seed Python loop."""
         if self._csr is not None and self._csr[0] == self._rev:
             return self._csr[1:]
+        hit = _CSR_MEMO.get(self._sig)
+        if hit is not None:
+            self._csr = (self._rev,) + hit
+            return hit
         if not (self.words or self.neighbours):
             self._csr = (self._rev, np.zeros(0, np.int64),
                          np.zeros(1, np.int64),
@@ -182,6 +204,9 @@ class _Loader:
         self._csr = (self._rev, known, off,
                      np.asarray(qidxs, dtype=np.int64),
                      np.asarray(qposs, dtype=np.int64))
+        if len(_CSR_MEMO) > 32:
+            _CSR_MEMO.clear()
+        _CSR_MEMO[self._sig] = self._csr[1:]
         return self._csr[1:]
 
     def scan_target(self, target: Sequence, match: Match, emit: Callable,
@@ -360,6 +385,10 @@ class Seeder:
         self.queries: list[Sequence] = []
         self.saturate_threshold = saturate_threshold
         self.total_query_length = 0
+        # saturation numbing reshapes the word table deterministically
+        # from the add_query stream, so it belongs in the CSR signature
+        for loader in self.loaders.values():
+            loader._sig = hash((loader._sig, saturate_threshold))
 
     def _expect(self, loader, length: int) -> int:
         """(ref: Seeder_get_expect, seeder.c:454-459)."""

@@ -216,9 +216,47 @@ def seq_ckey(seq: Sequence) -> tuple:
 
 # -- FASTA reading ---------------------------------------------------------
 
+# (abspath, mtime_ns, size, alphabet-type) -> [template Sequence]:
+# re-parsing the same file every warm run / serving query costs ~40 ms
+# per 1 Mb; clones share the immutable residue array (nothing in the
+# package writes into Sequence.data) and the cached content key, while
+# per-clone attributes (strand, annotation) stay independent
+_FASTA_MEMO: dict = {}
+
+
+def _clone_seq(t: Sequence) -> Sequence:
+    s = Sequence.__new__(Sequence)
+    s.id = t.id
+    s.definition = t.definition
+    s._data = t._data
+    s._loader = None
+    s._length = t._length
+    s.alphabet = t.alphabet
+    s.strand = t.strand
+    s.annotation = t.annotation
+    s.head_id = t.head_id
+    s._revcomp_of = None
+    s._ckey = t._ckey
+    return s
+
+
 def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
                ) -> Iterator[Sequence]:
     """Stream sequences from one FASTA file."""
+    key = None
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+               alphabet.type if alphabet is not None else None)
+    except OSError:
+        pass
+    if key is not None:
+        hit = _FASTA_MEMO.get(key)
+        if hit is not None:
+            for t in hit:
+                yield _clone_seq(t)
+            return
+    out = []
     sid = None
     definition = None
     chunks: list[bytes] = []
@@ -227,7 +265,8 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
             line = raw.rstrip(b"\r\n")
             if line.startswith(b">"):
                 if sid is not None:
-                    yield _make_seq(sid, definition, chunks, alphabet)
+                    out.append(_make_seq(sid, definition, chunks,
+                                         alphabet))
                 header = line[1:].split(None, 1)
                 sid = header[0].decode() if header else ""
                 definition = header[1].decode() if len(header) > 1 else None
@@ -235,7 +274,15 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
             elif line and sid is not None:
                 chunks.append(line)
     if sid is not None:
-        yield _make_seq(sid, definition, chunks, alphabet)
+        out.append(_make_seq(sid, definition, chunks, alphabet))
+    if key is not None:
+        if len(_FASTA_MEMO) > 16:
+            _FASTA_MEMO.clear()
+        for t in out:
+            seq_ckey(t)        # hash once; every clone inherits it
+        _FASTA_MEMO[key] = out
+    for t in out:
+        yield _clone_seq(t)
 
 
 def _make_seq(sid, definition, chunks, alphabet) -> Sequence:
