@@ -21,48 +21,79 @@ class SubOpt:
     def __init__(self):
         self.points: set[tuple[int, int]] = set()
         self.by_row: dict[int, set[int]] = {}
-        self.path_ids: dict[tuple[int, int], int] = {}
         self.path_count = 0
+        # per-path point arrays in add order; path_ids (first writer
+        # wins) is derived lazily — only the BSDP walk reads it, while
+        # the hot Waterman-Eggert loops only touch points/by_row
+        self._paths: list[tuple[np.ndarray, np.ndarray]] = []
+        self._path_ids: dict[tuple[int, int], int] | None = {}
 
     def add_alignment(self, alignment: Alignment):
-        """(ref: SubOpt_add_alignment, subopt.c:126-143)."""
+        """(ref: SubOpt_add_alignment, subopt.c:126-143).  Match-run
+        points are generated vectorially (the per-point Python loop was
+        ~0.2 s of a genome scan) and merged into points/by_row in bulk;
+        semantics are identical to the reference's per-position adds."""
         qp = alignment.region.query_start
         tp = alignment.region.target_start
+        qs_parts: list[np.ndarray] = []
+        ts_parts: list[np.ndarray] = []
         for op in alignment.ops:
             t = op.transition
-            if t.label == Label.MATCH:
+            if t.label == Label.MATCH and op.length:
                 g = gcd(t.advance_query, t.advance_target)
                 q_move = t.advance_query // g
                 t_move = t.advance_target // g
-                cq, ct = qp, tp
-                for _ in range(op.length):
-                    q_limit = cq + t.advance_query
-                    t_limit = ct + t.advance_target
-                    x, y = cq, ct
-                    while x < q_limit:
-                        self._add(x, y)
-                        x += q_move
-                        y += t_move
-                    cq, ct = q_limit, t_limit
+                # run points: per step k of L, sub-positions m of g
+                steps = np.arange(op.length, dtype=np.int64)
+                subs = np.arange(g, dtype=np.int64)
+                qs_parts.append(
+                    ((qp + steps * t.advance_query)[:, None]
+                     + subs[None, :] * q_move).ravel())
+                ts_parts.append(
+                    ((tp + steps * t.advance_target)[:, None]
+                     + subs[None, :] * t_move).ravel())
                 # block lead-in positions before the run (codon models:
                 # the partial diagonal steps entering the first cell;
                 # ref: SubOpt_add_AlignmentOperation, subopt.c:100-122)
-                x = qp - t.advance_query + q_move
-                y = tp - t.advance_target + t_move
-                while x < qp:
-                    if x >= 0 and y >= 0:
-                        self._add(x, y)
-                    x += q_move
-                    y += t_move
+                if g > 1:
+                    lead = np.arange(1, g, dtype=np.int64)
+                    lx = qp - t.advance_query + lead * q_move
+                    ly = tp - t.advance_target + lead * t_move
+                    ok = (lx >= 0) & (ly >= 0)
+                    qs_parts.append(lx[ok])
+                    ts_parts.append(ly[ok])
             qp += t.advance_query * op.length
             tp += t.advance_target * op.length
+        if qs_parts:
+            qs = np.concatenate(qs_parts)
+            ts = np.concatenate(ts_parts)
+            self._paths.append((qs, ts, self.path_count))
+            self._path_ids = None
+            order = np.lexsort((qs, ts))
+            ts_s, qs_s = ts[order], qs[order]
+            rows, starts = np.unique(ts_s, return_index=True)
+            bounds = np.append(starts[1:], len(ts_s))
+            for r, a, b in zip(rows.tolist(), starts.tolist(),
+                               bounds.tolist()):
+                self.by_row.setdefault(r, set()).update(
+                    qs_s[a:b].tolist())
+            self.points.update(zip(qs.tolist(), ts.tolist()))
         self.path_count += 1
 
-    def _add(self, q: int, t: int):
-        if (q, t) not in self.points:
-            self.points.add((q, t))
-            self.by_row.setdefault(t, set()).add(q)
-            self.path_ids[(q, t)] = self.path_count
+    @property
+    def path_ids(self) -> dict[tuple[int, int], int]:
+        """(q, t) -> 0-based id of the FIRST path that blocked it (the
+        path_count value at add time, matching the eager per-point
+        assignment this replaces; ref: SubOpt point payloads feeding
+        SubOpt_find)."""
+        if self._path_ids is None:
+            ids: dict[tuple[int, int], int] = {}
+            for qs, ts, pid in self._paths:
+                for p in zip(qs.tolist(), ts.tolist()):
+                    if p not in ids:
+                        ids[p] = pid
+            self._path_ids = ids
+        return self._path_ids
 
     def find(self, region: Region, fn) -> bool:
         """First-match search over stored points inside the half-open
@@ -73,12 +104,13 @@ class SubOpt:
         q_hi = region.query_start + region.query_length
         t_lo = region.target_start
         t_hi = region.target_start + region.target_length
+        path_ids = self.path_ids
         for t in range(t_lo, t_hi):
             row = self.by_row.get(t)
             if not row:
                 continue
             for q in sorted(row):
-                if q_lo <= q < q_hi and fn(q, t, self.path_ids[(q, t)]):
+                if q_lo <= q < q_hi and fn(q, t, path_ids[(q, t)]):
                     return True
         return False
 
