@@ -86,3 +86,57 @@ def test_calm_selfalign_native():
     hs = HspSet(calm, calm, param)
     hs.seed_batch(seeds)
     assert max(h.score for h in hs.hsps) == 10875
+
+
+def _scan_seed_stream(query, target):
+    """All (qidx, qpos, tpos) seeds a Seeder emits for one target."""
+    from exonerate_tpu.seeds.seeder import Seeder
+    from exonerate_tpu.seeds.hsp import Comparison
+    param = HspParam(Match(MatchType.DNA2DNA, MatchArgs()), HspArgs())
+    got = []
+    comps = []
+    seeder = Seeder({"dna": param}, comps.append)
+    seeder.add_query(query)
+    # capture the raw emission through the batch interface
+    loader = seeder.loaders["dna"]
+    orig_scan = loader.scan_target
+
+    def spy(target_seq, match, emit, emit_batch=None):
+        def spy_emit(ld, qidx, qpos, tpos):
+            got.append((qidx, int(qpos), int(tpos)))
+            emit(ld, qidx, qpos, tpos)
+
+        def spy_batch(ld, qidx_arr, qpos_arr, tpos_arr):
+            got.extend(zip(qidx_arr.tolist(), qpos_arr.tolist(),
+                           tpos_arr.tolist()))
+            if emit_batch is not None:
+                emit_batch(ld, qidx_arr, qpos_arr, tpos_arr)
+
+        return orig_scan(target_seq, match, spy_emit,
+                         spy_batch if emit_batch is not None else None)
+
+    loader.scan_target = spy
+    seeder.add_target(target)
+    return got
+
+
+def test_scan_memo_content_keyed():
+    """The seeder's cross-run memo must key on residue CONTENT: a
+    same-length target differing in one base yields different seeds,
+    and identical content (fresh objects) yields identical seeds."""
+    q, t = make_pair()
+    first = _scan_seed_stream(q, t)
+    assert first
+    # fresh objects, same content: identical stream (memo hit or not)
+    q2 = Sequence("q", None, str(q), q.alphabet)
+    t2 = Sequence("t", None, str(t), t.alphabet)
+    assert _scan_seed_stream(q2, t2) == first
+    # one mutated base inside a seeded region: stream must change
+    data = bytearray(str(t), "ascii")
+    pos = 320
+    data[pos] = ord("A") if data[pos] != ord("A") else ord("C")
+    t3 = Sequence("t", None, bytes(data).decode(), t.alphabet)
+    assert _scan_seed_stream(q, t3) != first
+    # vectorized emission matches the brute-force word join
+    expect = [(0, qp, tp) for qp, tp in collect_seeds(q, t)]
+    assert sorted(first) == sorted(expect)

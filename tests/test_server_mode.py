@@ -64,3 +64,47 @@ def test_customserver_command(server):
             "no", "--customserver", "version", CALM, server]
     text = run_cli(args)
     assert _vulgar(text)
+
+
+def test_linecount_framing(server):
+    """Multi-line replies carry the reference's linecount: header
+    (ref: Socket_send, src/general/socket.c:160-172: value = reply
+    lines + the header itself); single-line replies are bare.  The
+    client reads framed replies without timeouts."""
+    host, port = server.split(":")
+    sock = socket.create_connection((host, int(port)), timeout=30)
+    rfile = sock.makefile("rb")
+    try:
+        # single-line reply: no header
+        sock.sendall(b"dbinfo\n")
+        first = rfile.readline().decode()
+        assert first.startswith("dbinfo:"), first
+        # multi-line reply (help): linecount matches the line total
+        sock.sendall(b"help\n")
+        head = rfile.readline().decode()
+        assert head.startswith("linecount:"), head
+        n = int(head.split()[1])
+        lines = [rfile.readline().decode() for _ in range(n - 1)]
+        assert len(lines) == n - 1 and all(
+            ln.endswith("\n") for ln in lines)
+        # nothing left unread: the next command answers immediately
+        sock.sendall(b"dbinfo\n")
+        again = rfile.readline().decode()
+        assert again.startswith("dbinfo:"), again
+    finally:
+        sock.close()
+
+
+def test_client_reads_framed_replies(server):
+    from exonerate_tpu.hub.client import AnalysisClient
+    client = AnalysisClient(server)
+    try:
+        assert client.send("dbinfo").startswith("dbinfo:")
+        lines = client.send_multi("help")
+        assert len(lines) > 1
+        # framing header is consumed, not surfaced
+        assert not any(ln.startswith("linecount:") for ln in lines)
+        # stream still in sync
+        assert client.send("dbinfo").startswith("dbinfo:")
+    finally:
+        client.close()
