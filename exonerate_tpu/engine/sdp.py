@@ -61,9 +61,35 @@ class _TB:
         self.prev = prev
 
 
-def _tb_ops(tb: Optional[_TB]) -> list[tuple[Transition, int]]:
+class _ArenaTB:
+    """Lazy traceback head into a native arena: the per-seed chains
+    are only ever walked for EMITTED seeds, so rebuilding every arena
+    entry into _TB objects per pass (~17k nodes/run on the p2g scan)
+    is deferred to _tb_ops."""
+    __slots__ = ("transitions", "arena", "idx")
+
+    def __init__(self, transitions, arena, idx: int):
+        self.transitions = transitions
+        self.arena = arena
+        self.idx = idx
+
+    def ops(self) -> list[tuple[Transition, int]]:
+        tb_trans, tb_len, tb_prev = self.arena
+        ops = []
+        i = self.idx
+        while i >= 0:
+            ops.append((self.transitions[int(tb_trans[i])],
+                        int(tb_len[i])))
+            i = int(tb_prev[i])
+        ops.reverse()
+        return ops
+
+
+def _tb_ops(tb) -> list[tuple[Transition, int]]:
     """Chain -> [(transition, length)] ordered far-to-near reversed, i.e.
     earliest op first (ref: STraceback_List_create)."""
+    if isinstance(tb, _ArenaTB):
+        return tb.ops()
     ops = []
     while tb is not None:
         ops.append((tb.transition, tb.length))
@@ -667,27 +693,6 @@ class SDPPair:
                 return None
         return self._native_desc
 
-    def _tb_chains(self, arena, idxs):
-        """Rebuild shared _TB chains from the native arena."""
-        tb_trans, tb_len, tb_prev = arena
-        trans = self.model.transitions
-        memo: dict[int, _TB] = {}
-
-        def build(i):
-            # iterative: collect un-built ancestors, then link
-            chain = []
-            j = i
-            while j >= 0 and j not in memo:
-                chain.append(j)
-                j = int(tb_prev[j])
-            prev = memo.get(j) if j >= 0 else None
-            for j in reversed(chain):
-                prev = memo[j] = _TB(trans[int(tb_trans[j])],
-                                     int(tb_len[j]), prev)
-            return memo[i] if i >= 0 else None
-
-        return [build(int(i)) if i >= 0 else None for i in idxs]
-
     # (ref: SDP_Pair_find_start_points)
     def _find_starts(self):
         # reverse seeds at mirrored cobs with +hsp.score/2
@@ -707,13 +712,16 @@ class SDPPair:
                 # forward pass consumes them as numpy arrays
                 self.boundary = ("native", boundary)
             else:
-                chains = self._tb_chains(arena, t_tb)
+                trans = self.model.transitions
                 for s in self.seeds:
                     sc = int(t_score[s.seed_id])
                     if sc > NEG:
+                        head = int(t_tb[s.seed_id])
                         s.max_start = _Terminal(
                             sc, int(t_q[s.seed_id]),
-                            int(t_t[s.seed_id]), chains[s.seed_id])
+                            int(t_t[s.seed_id]),
+                            _ArenaTB(trans, arena, head)
+                            if head >= 0 else None)
             return
         p = self._new_pass(False)
         if not self.use_boundary:
@@ -754,13 +762,15 @@ class SDPPair:
                 seeds=seeds, n_reg_seeds=len(self.seeds),
                 want_start=False, want_end=True,
                 n_shadow=self.model.total_shadow_designations)
-            chains = self._tb_chains(arena, t_tb)
+            trans = self.model.transitions
             for s in self.seeds:
                 sc = int(t_score[s.seed_id])
                 if sc > NEG:
+                    head = int(t_tb[s.seed_id])
                     s.max_end = _Terminal(sc, int(t_q[s.seed_id]),
                                           int(t_t[s.seed_id]),
-                                          chains[s.seed_id])
+                                          _ArenaTB(trans, arena, head)
+                                          if head >= 0 else None)
             return
         p = self._new_pass(True)
 
