@@ -527,15 +527,31 @@ class _Pass:
     # -- spans (ref: scheduler.c:567-645) -----------------------------------
 
     def _span_submit(self, span, cell, ip, src_q, src_t):
-        seed = _SpanSeed(cell.score[ip], cell.pmax[ip], cell.seed[ip],
-                         cell.shadow[ip] if cell.shadow is not None
-                         else None,
-                         cell.tb[ip], src_q, src_t)
-        if span.max_target:
-            key = (span.id, src_q)
-            stored = self.span_cache.get(key)
-            if stored is None or stored.score <= seed.score:
-                self.span_cache[key] = seed
+        if not span.max_target:
+            return
+        key = (span.id, src_q)
+        stored = self.span_cache.get(key)
+        if stored is None:
+            self.span_cache[key] = _SpanSeed(
+                cell.score[ip], cell.pmax[ip], cell.seed[ip],
+                cell.shadow[ip] if cell.shadow is not None else None,
+                cell.tb[ip], src_q, src_t)
+        elif stored.score <= cell.score[ip]:
+            # IN-PLACE copy into the stored seed, exactly like
+            # Scheduler_SpanSeed_copy into the cached struct
+            # (scheduler.c:631-638): span_data->curr_span_seed is a
+            # POINTER to this struct in the reference, so a
+            # tie-replacing submit is visible through curr — a fresh
+            # object here would leave curr stale and shift the
+            # freeze/thaw split of the crossing (ner cigar parity)
+            stored.score = cell.score[ip]
+            stored.pmax = cell.pmax[ip]
+            stored.seed = cell.seed[ip]
+            stored.shadow = (list(cell.shadow[ip])
+                             if cell.shadow is not None else None)
+            stored.tb = cell.tb[ip]
+            stored.q_entry = src_q
+            stored.t_entry = src_t
 
     def _span_thaw(self, span, cell, ip, q_pos, t_pos):
         curr = self.span_curr[span.id]

@@ -278,8 +278,7 @@ class Pass {
     std::unordered_map<int32_t, int32_t> span_by_state_;
     // span freeze cache: key = span_id * 2^40 + (q + 2^38)
     std::unordered_map<int64_t, SpanSeed> span_cache_;
-    std::vector<int64_t> span_curr_;  // index into span_curr_store_
-    std::vector<SpanSeed> span_curr_store_;
+    std::vector<int64_t> span_curr_;  // per-span curr cache KEY (-1 = none)
 
     Row* get_row(int64_t pt) {
         auto it = rows_.find(pt);
@@ -530,46 +529,59 @@ class Pass {
     void span_thaw(int32_t span_i, Cell* cell, int32_t ip,
                    int64_t q_pos, int64_t t_pos) {
         const SpanDesc& sp = d_.spans[span_i];
-        int64_t curr = span_curr_[span_i];
+        // curr is the KEY of a live cache slot (-1 = none): the
+        // reference's span_data->curr_span_seed is a POINTER into the
+        // cache and submits copy IN PLACE (Scheduler_SpanSeed_copy,
+        // scheduler.c:631-638), so a tie-replacing re-freeze is
+        // visible through curr — a value copy here left curr stale and
+        // shifted the freeze/thaw split of ner crossings (cigar-level
+        // parity; vulgar/score unaffected)
+        int64_t curr_key = span_curr_[span_i];
+        SpanSeed* curr = nullptr;
+        if (curr_key >= 0) {
+            auto itc = span_cache_.find(curr_key);
+            if (itc != span_cache_.end()) curr = &itc->second;
+            else curr_key = -1;
+        }
         // expire curr (ref: Scheduler_SpanData_get_curr)
-        if (curr >= 0) {
-            const SpanSeed& c = span_curr_store_[curr];
-            if (c.q_entry > q_pos || c.q_entry + sp.max_q < q_pos ||
-                c.t_entry + sp.max_t < t_pos)
-                curr = -1;
+        if (curr && (curr->q_entry > q_pos ||
+                     curr->q_entry + sp.max_q < q_pos ||
+                     curr->t_entry + sp.max_t < t_pos)) {
+            curr = nullptr;
+            curr_key = -1;
         }
         int64_t key = ((int64_t)span_i << 40) | (q_pos + (1LL << 38));
         auto it = span_cache_.find(key);
         if (it != span_cache_.end()) {
             if (it->second.t_entry + sp.max_t >= t_pos) {
-                if (curr < 0 ||
-                    span_curr_store_[curr].score < it->second.score) {
-                    span_curr_store_.push_back(it->second);
-                    curr = (int64_t)span_curr_store_.size() - 1;
+                if (!curr || curr->score < it->second.score) {
+                    curr = &it->second;
+                    curr_key = key;
                 }
             } else {
+                if (curr_key == key) {
+                    curr = nullptr;
+                    curr_key = -1;
+                }
                 span_cache_.erase(it);
             }
         }
-        span_curr_[span_i] = curr;
-        if (curr >= 0) {
-            const SpanSeed& c = span_curr_store_[curr];
-            if (cell->score[ip] < c.score) {
-                cell->score[ip] = c.score;
-                cell->pmax[ip] = c.pmax;
-                cell->seed[ip] = c.seed;
-                int64_t tb = c.tb;
-                int64_t qdiff = q_pos - c.q_entry;
-                int64_t tdiff = t_pos - c.t_entry;
-                if (qdiff) tb = tb_add(sp.qloop_orig, qdiff, tb);
-                if (tdiff) tb = tb_add(sp.tloop_orig, tdiff, tb);
-                cell->tb[ip] = tb;
-                if (d_.n_shadow && !c.shadow.empty())
-                    std::memcpy(
-                        cell->shadow + (int64_t)ip * d_.n_shadow,
-                        c.shadow.data(),
-                        sizeof(int64_t) * d_.n_shadow);
-            }
+        span_curr_[span_i] = curr_key;
+        if (curr && cell->score[ip] < curr->score) {
+            cell->score[ip] = curr->score;
+            cell->pmax[ip] = curr->pmax;
+            cell->seed[ip] = curr->seed;
+            int64_t tb = curr->tb;
+            int64_t qdiff = q_pos - curr->q_entry;
+            int64_t tdiff = t_pos - curr->t_entry;
+            if (qdiff) tb = tb_add(sp.qloop_orig, qdiff, tb);
+            if (tdiff) tb = tb_add(sp.tloop_orig, tdiff, tb);
+            cell->tb[ip] = tb;
+            if (d_.n_shadow && !curr->shadow.empty())
+                std::memcpy(
+                    cell->shadow + (int64_t)ip * d_.n_shadow,
+                    curr->shadow.data(),
+                    sizeof(int64_t) * d_.n_shadow);
         }
     }
 

@@ -490,6 +490,14 @@ CASES = [
        "EMBL:K03199"],
       ["fastafetch", os.path.join(FIXDIR, "all4.fa"), "{TMP}/idx",
        "EMBL:M59501"]]),
+    # round-4 fuzz lock: the NER crossing's cigar D/I split depends on
+    # span-seed curr ALIASING the cache slot (a tie-replacing re-freeze
+    # must be visible through curr, Scheduler_SpanSeed_copy in place,
+    # scheduler.c:631-638) — cigar is the only format that exposes it
+    ("ner_span_alias_cigar", "exonerate",
+     ["-m", "ner", _ner1, _ner2, "--showsugar", "yes", "--showcigar",
+      "yes", "--showalignment", "no", "--showvulgar", "no",
+      "--score", "150", "--bestn", "4", "--gapopen", "-10"]),
 ]
 
 _CMDLINE_RE = re.compile(r"^Command line: \[.*?\]$", re.M | re.S)
