@@ -22,11 +22,13 @@ class SubOpt:
         self.points: set[tuple[int, int]] = set()
         self.by_row: dict[int, set[int]] = {}
         self.path_count = 0
-        # per-path point arrays in add order; path_ids (first writer
-        # wins) is derived lazily — only the BSDP walk reads it, while
-        # the hot Waterman-Eggert loops only touch points/by_row
-        self._paths: list[tuple[np.ndarray, np.ndarray]] = []
-        self._path_ids: dict[tuple[int, int], int] | None = {}
+        # per-path (qs, ts, path_id) arrays in add order; path_ids
+        # (first writer wins) is derived lazily and extended
+        # incrementally — only the BSDP walk reads it, while the hot
+        # Waterman-Eggert loops only touch points/by_row
+        self._paths: list[tuple[np.ndarray, np.ndarray, int]] = []
+        self._path_ids: dict[tuple[int, int], int] = {}
+        self._path_ids_done = 0      # paths already folded in
 
     def add_alignment(self, alignment: Alignment):
         """(ref: SubOpt_add_alignment, subopt.c:126-143).  Match-run
@@ -68,7 +70,6 @@ class SubOpt:
             qs = np.concatenate(qs_parts)
             ts = np.concatenate(ts_parts)
             self._paths.append((qs, ts, self.path_count))
-            self._path_ids = None
             order = np.lexsort((qs, ts))
             ts_s, qs_s = ts[order], qs[order]
             rows, starts = np.unique(ts_s, return_index=True)
@@ -85,15 +86,16 @@ class SubOpt:
         """(q, t) -> 0-based id of the FIRST path that blocked it (the
         path_count value at add time, matching the eager per-point
         assignment this replaces; ref: SubOpt point payloads feeding
-        SubOpt_find)."""
-        if self._path_ids is None:
-            ids: dict[tuple[int, int], int] = {}
-            for qs, ts, pid in self._paths:
-                for p in zip(qs.tolist(), ts.tolist()):
-                    if p not in ids:
-                        ids[p] = pid
-            self._path_ids = ids
-        return self._path_ids
+        SubOpt_find).  Extended incrementally so interleaved add/find
+        (the BSDP clash checks) costs O(new points) per add."""
+        ids = self._path_ids
+        while self._path_ids_done < len(self._paths):
+            qs, ts, pid = self._paths[self._path_ids_done]
+            for p in zip(qs.tolist(), ts.tolist()):
+                if p not in ids:
+                    ids[p] = pid
+            self._path_ids_done += 1
+        return ids
 
     def find(self, region: Region, fn) -> bool:
         """First-match search over stored points inside the half-open

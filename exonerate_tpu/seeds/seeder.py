@@ -93,8 +93,12 @@ class _Loader:
         # content signature of everything that shapes words/neighbours:
         # folds in each add_query's (qidx, residue content, softmask,
         # annotation, wordhood content); lets warm runs reuse the CSR
-        # emission table across processes' identical query sets
-        self._sig = hash((kind, self.wordlen, self.nsym,
+        # emission table across processes' identical query sets.  The
+        # match type matters beyond (kind, nsym): it selects query
+        # translation and the _word_is_valid veto mode
+        self._sig = hash((kind, match.type, self.wordlen, self.nsym,
+                          self.query_is_translated,
+                          self.target_is_translated,
                           args.word_jump, args.word_ambiguity))
 
     # -- word packing -----------------------------------------------------
@@ -432,14 +436,15 @@ class Seeder:
         seen: set[int] = set()
 
         def emit(loader: _Loader, qidx: int, qpos: int, tpos: int):
+            # scalar path (ambiguity expansion etc.): plain tuples,
+            # converted to arrays once per batch at assembly time
             key = (qidx, loader.kind)
             if key not in batches:
                 batches[key] = []
                 if qidx not in seen:
                     seen.add(qidx)
                     active.append(qidx)
-            batches[key].append(np.asarray([[qpos, tpos]],
-                                           dtype=np.int64))
+            batches[key].append((qpos, tpos))
 
         def emit_batch(loader: _Loader, qidx_arr, qpos_arr, tpos_arr):
             # split one frame's vectorized seed stream by query,
@@ -472,8 +477,22 @@ class Seeder:
             for kind in ("dna", "protein", "codon"):
                 seeds = batches.get((qidx, kind))
                 if seeds:
-                    arr = (seeds[0] if len(seeds) == 1
-                           else np.concatenate(seeds))
+                    # chunks are (N,2) arrays from emit_batch and/or
+                    # tuples from emit, in emission order
+                    parts: list[np.ndarray] = []
+                    buf: list[tuple[int, int]] = []
+                    for c in seeds:
+                        if isinstance(c, tuple):
+                            buf.append(c)
+                        else:
+                            if buf:
+                                parts.append(np.asarray(buf, np.int64))
+                                buf = []
+                            parts.append(c)
+                    if buf:
+                        parts.append(np.asarray(buf, np.int64))
+                    arr = (parts[0] if len(parts) == 1
+                           else np.concatenate(parts))
                     getattr(comp, f"{kind}_hspset").seed_batch(arr)
             if comp.has_hsps:
                 comp.finalise()

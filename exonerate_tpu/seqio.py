@@ -199,17 +199,24 @@ class Sequence:
 
 
 def seq_ckey(seq: Sequence) -> tuple:
-    """Exact content identity for cross-run memo keys.  Every CLI run
-    and every serving query re-parses its FASTA into fresh Sequence
-    objects, so id()-keyed memos can never hit across runs; keying on
-    the residue bytes makes warm processes (bench warm runs, the
-    resident server) reuse all derived target-side vectors.  Hashed
-    once per object; call sites already touch .data, so this adds no
-    lazy materialization."""
+    """Content identity for cross-run memo keys: (length, head bytes,
+    tail bytes, 64-bit content hash).  Every CLI run and every serving
+    query re-parses its FASTA into fresh Sequence objects, so
+    id()-keyed memos can never hit across runs; keying on the residue
+    bytes makes warm processes (bench warm runs, the resident server)
+    reuse all derived target-side vectors.  Computed once per object;
+    call sites already touch .data, so this adds no lazy
+    materialization.  Not cryptographically exact — a 64-bit hash
+    collision between same-length sequences sharing 32 boundary bytes
+    would alias, which is why the literal head/tail bytes are included
+    to rule out the realistic near-miss cases (same file re-read,
+    windows of one genome, point mutants near either end are all
+    distinguished structurally)."""
     k = seq._ckey
     if k is None:
         d = seq.data
-        k = (d.shape[0], hash(d.tobytes()))
+        b = d.tobytes()
+        k = (d.shape[0], b[:16], b[-16:], hash(b))
         seq._ckey = k
     return k
 
@@ -240,14 +247,22 @@ def _clone_seq(t: Sequence) -> Sequence:
     return s
 
 
+# files above this size stream without caching: the memo's value is
+# warm re-runs of scan-sized inputs, not pinning whole chromosomes in
+# RAM for the process lifetime (FastaDB routes very large files through
+# EXTMEM anyway)
+_FASTA_MEMO_MAX_BYTES = 64 << 20
+
+
 def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
                ) -> Iterator[Sequence]:
     """Stream sequences from one FASTA file."""
     key = None
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
-               alphabet.type if alphabet is not None else None)
+        if st.st_size <= _FASTA_MEMO_MAX_BYTES:
+            key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+                   alphabet.type if alphabet is not None else None)
     except OSError:
         pass
     if key is not None:
@@ -256,7 +271,7 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
             for t in hit:
                 yield _clone_seq(t)
             return
-    out = []
+    out = [] if key is not None else None
     sid = None
     definition = None
     chunks: list[bytes] = []
@@ -265,8 +280,12 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
             line = raw.rstrip(b"\r\n")
             if line.startswith(b">"):
                 if sid is not None:
-                    out.append(_make_seq(sid, definition, chunks,
-                                         alphabet))
+                    seq = _make_seq(sid, definition, chunks, alphabet)
+                    if out is not None:
+                        out.append(seq)
+                        yield _clone_seq(seq)
+                    else:
+                        yield seq      # large file: plain streaming
                 header = line[1:].split(None, 1)
                 sid = header[0].decode() if header else ""
                 definition = header[1].decode() if len(header) > 1 else None
@@ -274,15 +293,18 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
             elif line and sid is not None:
                 chunks.append(line)
     if sid is not None:
-        out.append(_make_seq(sid, definition, chunks, alphabet))
-    if key is not None:
+        seq = _make_seq(sid, definition, chunks, alphabet)
+        if out is not None:
+            out.append(seq)
+            yield _clone_seq(seq)
+        else:
+            yield seq
+    if out is not None:
         if len(_FASTA_MEMO) > 16:
             _FASTA_MEMO.clear()
         for t in out:
             seq_ckey(t)        # hash once; every clone inherits it
         _FASTA_MEMO[key] = out
-    for t in out:
-        yield _clone_seq(t)
 
 
 def _make_seq(sid, definition, chunks, alphabet) -> Sequence:
