@@ -43,6 +43,13 @@ from .region import Region
 
 NEG = IMPOSSIBLY_LOW_SCORE
 
+# EXONERATE_TPU_SDP_TRACE=1 prints every accepted cell assignment in the
+# same shape as the reference's (commented-out) Scheduler_Cell_assign
+# g_message, for side-by-side parity debugging against a tracing build
+# of the reference scheduler.
+import os as _os
+_TRACE_ASSIGN = bool(_os.environ.get("EXONERATE_TPU_SDP_TRACE"))
+
 
 @dataclass
 class SdpArgs:
@@ -103,7 +110,12 @@ class _Cell:
 
     def __init__(self, n_states: int, n_shadow: int, thaw: bool):
         self.score = [NEG] * n_states
-        self.pmax = [NEG] * n_states
+        # the reference memsets cells then writes only score[.][0]=NEG:
+        # an unset state's path-max (score[1]) and seed id (score[2])
+        # read as ZERO (scheduler.c:690,710-711) — visible when a
+        # wrap-resurrected path (see can_wrap) passes the dropoff test
+        # against max=0 and credits seed 0
+        self.pmax = [0] * n_states
         self.seed = [0] * n_states
         self.shadow = ([[0] * n_shadow for _ in range(n_states)]
                        if n_shadow else None)
@@ -242,6 +254,24 @@ class _Pass:
                         gmode, grid = 1, g
                     else:
                         gmode, grid = 2, g
+            # The reference never skips IMPOSSIBLY_LOW source states —
+            # normally the dropoff prunes them, but a calc stacking two
+            # splice penalties (joint introns under --forcegtag) makes
+            # NEG + calc wrap past INT32_MIN into a large POSITIVE gint,
+            # resurrecting the path (scheduler.c:1019 has no skip).  Our
+            # fast path skips NEG sources, so flag the transitions whose
+            # minimum calc value can wrap and process NEG sources there.
+            if gmode == 6:
+                _min_calc = int(np.min(grid[0])) + int(np.min(grid[1]))
+            elif gmode == 4:
+                _min_calc = int(np.min(grid[0]))
+            elif gmode == 0:
+                _min_calc = gval
+            elif grid is not None:
+                _min_calc = int(np.min(grid))
+            else:
+                _min_calc = 0
+            can_wrap = _min_calc < (-(1 << 31) - NEG)
             self.tinfo.append((
                 t, t.advance_query, t.advance_target, is_span_loop,
                 t.input.id, t.output.id, t.calc,
@@ -253,6 +283,7 @@ class _Pass:
                 and bool(t.calc.protect & Protect.OVERFLOW),
                 t.label == Label.MATCH,
                 bool(t.dst_shadows) if not is_forward else False,
+                can_wrap,
             ))
         # per-transition shadow starts, resolved for the assign path:
         # (designation, starts_on_query, start_vec_fn, shadow)
@@ -389,7 +420,7 @@ class _Pass:
         rqs = region.query_start
         for (trans, aq, at, is_span_loop, in_id, out_id, calc, gmode,
              gval, grid, has_shadow_fn, p_under, p_over, is_match,
-             rev_shadowed) in self.tinfo:
+             rev_shadowed, can_wrap) in self.tinfo:
             # span transitions never walk cell-by-cell (ref:
             # scheduler.c:891-922)
             if is_span_loop:
@@ -417,7 +448,8 @@ class _Pass:
                 ip, op = out_id, in_id
                 calc_q, calc_t = dst_q, dst_t
             src_score = score[ip]
-            if src_score <= NEG:
+            if src_score <= NEG and not (can_wrap
+                                         and not rev_shadowed):
                 continue
             # transition score
             if calc is None:
@@ -455,14 +487,23 @@ class _Pass:
                         region.target_start + calc_t))
             max_score = pmax[ip]
             seed_id = seed[ip]
-            dst_score = src_score + tscore
+            # C4_Score is a 32-bit gint: the reference's adds and the
+            # dropoff subtraction WRAP, and the UNDERFLOW clamp tests
+            # the wrapped value — two stacked splice penalties (e.g.
+            # --forcegtag non-gt..ag joint introns at -987654336 per
+            # site) wrap POSITIVE and sail past the clamp, poisoning
+            # the DP exactly as the reference does
+            # (ref: scheduler.c:1019, C4_IMPOSSIBLY_LOW_SCORE=-987654321)
+            dst_score = (src_score + tscore + 0x80000000 & 0xFFFFFFFF) \
+                - 0x80000000
             if p_under and dst_score < NEG:
                 dst_score = NEG
             if p_over and dst_score > -NEG:
                 dst_score = -NEG
             if is_forward and dst_score < 0:
                 continue
-            if (max_score - dst_score) > dropoff:
+            if ((max_score - dst_score + 0x80000000 & 0xFFFFFFFF)
+                    - 0x80000000) > dropoff:
                 continue
             if is_match and blocked is not None \
                     and (rqs + src_q) in blocked:
@@ -484,6 +525,12 @@ class _Pass:
                 continue
             # assign, inlined (ref: Scheduler_Cell_assign,
             # scheduler.c:763-830)
+            if _TRACE_ASSIGN:
+                import sys as _sys
+                print(f"Assign {'fwd' if is_forward else 'rev'} "
+                      f"src({src_q},{src_t})->dst({dst_q},{dst_t}) "
+                      f"dst_score[{dst_score}] seed[{seed_id}] "
+                      f"[{trans.name}]", file=_sys.stderr)
             dcell.score[op] = dst_score
             dcell.seed[op] = seed_id
             if self.has_traceback:
@@ -584,6 +631,40 @@ class _Pass:
             cell.tb[ip] = tb
             if cell.shadow is not None and curr.shadow is not None:
                 cell.shadow[ip] = list(curr.shadow)
+
+
+def _qsort_by_score(seeds):
+    """Order seeds best-end-first with the REAL libc qsort and the
+    reference's comparator `b->score - a->score` computed as a wrapping
+    32-bit gint (ref: SDP_compare_SDP_Seed_by_score, sdp.c:735-741).
+    The subtraction OVERFLOWS when garbage wrap-positive scores (e.g.
+    genome2genome --forcegtag) meet IMPOSSIBLY_LOW pristine seeds,
+    making the comparator inconsistent — the resulting permutation is
+    then whatever glibc's qsort does with it, which a well-founded sort
+    cannot reproduce; calling the same qsort with the same comparator
+    values does."""
+    import ctypes
+    n = len(seeds)
+    if n < 2:
+        return list(seeds)
+    scores = [s.max_end.score for s in seeds]
+    if all(-(1 << 30) < sc < (1 << 30) for sc in scores):
+        # comparator consistent (glibc qsort is a stable mergesort
+        # here): plain stable sort matches
+        return sorted(seeds, key=lambda s: -s.max_end.score)
+    libc = ctypes.CDLL(None, use_errno=True)
+    arr = (ctypes.c_int64 * n)(*range(n))
+    cmp_t = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                             ctypes.c_void_p)
+
+    def cmp(pa, pb):
+        a = ctypes.cast(pa, ctypes.POINTER(ctypes.c_int64))[0]
+        b = ctypes.cast(pb, ctypes.POINTER(ctypes.c_int64))[0]
+        d = scores[b] - scores[a]
+        return ((d + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+    libc.qsort(arr, ctypes.c_size_t(n), ctypes.c_size_t(8), cmp_t(cmp))
+    return [seeds[arr[i]] for i in range(n)]
 
 
 class SDPPair:
@@ -864,8 +945,7 @@ class SDPPair:
             self._find_starts()
             self._find_ends()
             if self.args.single_pass:
-                self.single_pass_order = sorted(
-                    self.seeds, key=lambda s: -s.max_end.score)
+                self.single_pass_order = _qsort_by_score(self.seeds)
                 self.single_pass_pos = 0
         alignment = None
         best_seed = None

@@ -89,7 +89,7 @@ SK_NONE = 0
 SK_INTRON_WINDOW = 1
 SK_SPLIT_CODON = 2
 
-_TMETA_STRIDE = 26
+_TMETA_STRIDE = 27
 
 
 def _lane_for(trans, prefix: str) -> Optional[int]:
@@ -288,6 +288,22 @@ class _TransTables:
                         m[24] = span_index[id(sp)]
                         break
             m[25] = orig_index[id(t)]
+            # m[26]: minimum calc value can wrap an IMPOSSIBLY_LOW
+            # source past INT32_MIN into a large positive gint (stacked
+            # splice penalties, e.g. --forcegtag joint introns); the
+            # native pass must then process NEG sources like the
+            # reference (see sdplib.cpp TransDesc.can_wrap)
+            min_calc = 0
+            if c is not None:
+                if qt is not None and id(c) in qt:
+                    min_calc = (int(np.min(qt[id(c)][0]))
+                                + int(np.min(qt[id(c)][1])))
+                elif id(c) in factored:
+                    min_calc = int(np.min(factored[id(c)][0]))
+                else:
+                    g = grids[id(c)]
+                    min_calc = int(np.min(g))
+            m[26] = 1 if min_calc < (-(1 << 31) + 987654321) else 0
         self.tmeta = k.add(self.tmeta)
         self.starts_des = k.add(np.asarray(starts_des, dtype=np.int32))
         self.starts_onq = k.add(np.asarray(starts_onq, dtype=np.int32))

@@ -41,22 +41,25 @@ class SubOpt:
         ts_parts: list[np.ndarray] = []
         for op in alignment.ops:
             t = op.transition
-            if t.label == Label.MATCH and op.length:
+            if t.label == Label.MATCH:
                 g = gcd(t.advance_query, t.advance_target)
                 q_move = t.advance_query // g
                 t_move = t.advance_target // g
-                # run points: per step k of L, sub-positions m of g
-                steps = np.arange(op.length, dtype=np.int64)
-                subs = np.arange(g, dtype=np.int64)
-                qs_parts.append(
-                    ((qp + steps * t.advance_query)[:, None]
-                     + subs[None, :] * q_move).ravel())
-                ts_parts.append(
-                    ((tp + steps * t.advance_target)[:, None]
-                     + subs[None, :] * t_move).ravel())
+                if op.length:
+                    # run points: per step k of L, sub-positions m of g
+                    steps = np.arange(op.length, dtype=np.int64)
+                    subs = np.arange(g, dtype=np.int64)
+                    qs_parts.append(
+                        ((qp + steps * t.advance_query)[:, None]
+                         + subs[None, :] * q_move).ravel())
+                    ts_parts.append(
+                        ((tp + steps * t.advance_target)[:, None]
+                         + subs[None, :] * t_move).ravel())
                 # block lead-in positions before the run (codon models:
-                # the partial diagonal steps entering the first cell;
-                # ref: SubOpt_add_AlignmentOperation, subopt.c:100-122)
+                # the partial diagonal steps entering the first cell) —
+                # the reference emits these for EVERY match op, even a
+                # degenerate zero-length one
+                # (ref: SubOpt_add_AlignmentOperation, subopt.c:100-122)
                 if g > 1:
                     lead = np.arange(1, g, dtype=np.int64)
                     lx = qp - t.advance_query + lead * q_move

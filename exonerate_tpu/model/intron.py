@@ -225,4 +225,17 @@ def intron_create(suffix: str, on_query: bool, on_target: bool,
         m.add_shadow(f"query intron {suffix}", None, None, "query_pos")
     if on_target:
         m.add_shadow(f"target intron {suffix}", None, None, "target_pos")
+    # The reference CLOSES the intron submodel before it is inserted
+    # (ref: src/model/intron.c:695) — the close's topological sort
+    # REVERSES the advancing-transition list, and C4_Model_insert copies
+    # that reversed order into the composed model.  The composed model's
+    # own close reverses again, so the net per-cell evaluation order of
+    # [5'ss, loops, 3'ss] depends on how many open/close cycles each
+    # submodel went through.  This ordering is parity-critical: in the
+    # forward boundary pass it decides whether a cell's span-loop SUBMIT
+    # sees the pre- or post-THAW intron score, which controls whether
+    # span seeds can chain (re-freeze at later entry points) across a
+    # semi-alignable intron interior (genome2genome minus/minus judge
+    # probe: 1118 vs 1108).
+    m.close()
     return m

@@ -57,11 +57,19 @@ class Protect(enum.IntFlag):
 
 
 class State:
-    __slots__ = ("name", "id")
+    # in_add/out_add mirror the reference's per-state
+    # input/output_transition_lists: append-only in ADD order, never
+    # reordered by close() (unlike Model.transitions).  C4_Model_select
+    # iterates THESE lists, so derived-model construction order — and
+    # with it every Viterbi tie-break inside BSDP terminals/joins —
+    # depends on them (ref: c4.c:444-445, 2247-2275).
+    __slots__ = ("name", "id", "in_add", "out_add")
 
     def __init__(self, name: str):
         self.name = name
         self.id = -1
+        self.in_add = []
+        self.out_add = []
 
     def __repr__(self):
         return f"State({self.name!r})"
@@ -336,6 +344,8 @@ class Model:
         t = Transition(name, input, output, advance_query, advance_target,
                        calc, label, label_data)
         self.transitions.append(t)
+        input.out_add.append(t)
+        output.in_add.append(t)
         return t
 
     def add_shadow(self, name, src: Optional[State],
@@ -769,16 +779,41 @@ class DerivedModel:
         m = Model(f"derived:{original.name}:{src.name}:{dst.name}")
         o_start = original.start_state.state
         o_end = original.end_state.state
-        interior: dict[int, State] = {}
-
-        def interior_of(s: State) -> Optional[State]:
-            if s is o_start or s is o_end:
-                return None
-            if id(s) not in interior:
-                interior[id(s)] = m.add_state(s.name)
-            return interior[id(s)]
-
+        # Faithful port of C4_Model_select (ref: c4.c:2217-2290): add
+        # order is (1) src's output transitions in per-state ADD order
+        # filtered on path-to-dst, (2) dst's input transitions filtered
+        # on path-from-src, (3) a DFS flood from every mapped state over
+        # output ADD order, skipping only transitions into the original
+        # END.  The same original transition may be copied several times
+        # (e.g. a src->dst transition becomes both START->dstcopy and
+        # srccopy->END) and the flood keeps forward-reachable states
+        # even when they cannot reach dst — both quirks shape the
+        # derived close()'s transition order and with it every
+        # BSDP terminal/join Viterbi tie-break.
+        state_map: dict[int, State] = {}
         calc_map: dict[int, Calc] = {}
+        # proto shadows (ref: C4_ProtoShadow): per original shadow,
+        # the new src states / dst transitions in encounter order
+        proto: dict[int, tuple[list, list]] = {}
+
+        def proto_of(sh):
+            if id(sh) not in proto:
+                proto[id(sh)] = ([], [])
+            return proto[id(sh)]
+
+        shadows_of_state: dict[int, list] = {}
+        for sh in original.shadows:
+            for st in sh.src_states:
+                shadows_of_state.setdefault(id(st), []).append(sh)
+
+        def reuse_state(s: State) -> None:
+            # (ref: C4_Model_segment_reuse_state, c4.c:2045-2069)
+            if s is o_start or s is o_end or id(s) in state_map:
+                return
+            ns = m.add_state(s.name)
+            state_map[id(s)] = ns
+            for sh in shadows_of_state.get(id(s), ()):
+                proto_of(sh)[0].append(ns)
 
         def map_calc(c):
             if c is None:
@@ -793,113 +828,88 @@ class DerivedModel:
             return calc_map[id(c)]
 
         self.transition_map: dict[int, Transition] = {}
-        new_of_old: dict[int, list[Transition]] = {}
 
-        def add(orig_t: Transition, new_in, new_out):
-            nt = m.add_transition(orig_t.name, new_in, new_out,
-                                  orig_t.advance_query,
-                                  orig_t.advance_target,
-                                  map_calc(orig_t.calc), orig_t.label,
-                                  orig_t.label_data)
-            self.transition_map[id(nt)] = orig_t
-            new_of_old.setdefault(id(orig_t), []).append(nt)
+        def seg_add(t: Transition, from_start: bool, to_end: bool):
+            # (ref: C4_Model_segment_add_transition, c4.c:2071-2120)
+            if not from_start:
+                reuse_state(t.input)
+            if not to_end:
+                reuse_state(t.output)
+            nt = m.add_transition(
+                t.name,
+                None if from_start else state_map[id(t.input)],
+                None if to_end else state_map[id(t.output)],
+                t.advance_query, t.advance_target,
+                map_calc(t.calc), t.label, t.label_data)
+            self.transition_map[id(nt)] = t
+            for sh in t.dst_shadows:
+                proto_of(sh)[1].append(nt)
             return nt
 
-        reach_dst = self._reaches(original, dst, forward=False)
-        reach_src = self._reaches(original, src, forward=True)
-        # transitions from src -> new START's outputs
-        for t in original.output_transitions(src):
-            if t.output is dst:
-                add(t, None, None)
-                if t.output is not o_end and id(t.output) in reach_dst \
-                        and t.input is t.output:
-                    pass
-            if id(t.output) not in reach_dst and t.output is not dst:
+        def path_possible(a: State, b: State) -> bool:
+            # (ref: C4_Model_path_is_possible, c4.c:1307-1340): plain
+            # forward reachability a->b; a==b needs a real cycle
+            seen = {id(a)}
+            stack = [a]
+            while stack:
+                s = stack.pop()
+                for t in s.out_add:
+                    if t.output is b:
+                        return True
+                    if id(t.output) not in seen:
+                        seen.add(id(t.output))
+                        stack.append(t.output)
+            return False
+
+        # shadows rooted at src propagate from the new START
+        # (ref: c4.c:2241-2246)
+        for sh in shadows_of_state.get(id(src), ()):
+            proto_of(sh)[0].append(m.start_state.state)
+        # transitions from src
+        for t in src.out_add:
+            if not path_possible(t.output, dst):
                 continue
-            out = (interior_of(t.output) if t.output is not o_end
-                   else None)
-            if t.output is dst and t.output is not o_end:
-                out = interior_of(t.output)
-            if out is not None:
-                add(t, None, out)
-        # transitions into dst -> new END's inputs
-        for t in original.input_transitions(dst):
-            if id(t.input) not in reach_src and t.input is not src:
+            seg_add(t, True, False)
+        # transitions to dst
+        for t in dst.in_add:
+            if not path_possible(src, t.input):
                 continue
-            inp = (interior_of(t.input) if t.input is not o_start
-                   else None)
-            if t.input is src and t.input is not o_start:
-                inp = interior_of(t.input)
-            if inp is not None:
-                add(t, inp, None)
-        # interior transitions (everything not touching original
-        # terminals, both endpoints on some src->dst path)
-        for t in original.transitions:
-            if t.input is o_start or t.output is o_end:
-                continue
-            if id(t.input) not in reach_src or \
-                    id(t.input) not in reach_dst:
-                continue
-            if id(t.output) not in reach_src or \
-                    id(t.output) not in reach_dst:
-                continue
-            add(t, interior_of(t.input), interior_of(t.output))
-        # prune interior states with no inputs or no outputs (dead ends)
-        changed = True
-        while changed:
-            changed = False
-            for sid, st in list(interior.items()):
-                if (not m.input_transitions(st)
-                        or not m.output_transitions(st)):
-                    m.transitions = [t for t in m.transitions
-                                     if t.input is not st
-                                     and t.output is not st]
-                    m.states.remove(st)
-                    del interior[sid]
-                    changed = True
-        self.transition_map = {tid: o for tid, o in
-                               self.transition_map.items()
-                               if any(id(nt) == tid
-                                      for nts in new_of_old.values()
-                                      for nt in nts
-                                      if nt in m.transitions)}
-        # shadows whose src states / dst transitions survive
+            seg_add(t, False, True)
+        # other transitions: DFS flood (ref: C4_Model_segment_recur)
+        visited: set[int] = set()
+
+        def recur(s: State) -> None:
+            if id(s) not in state_map or id(s) in visited:
+                return
+            if s is o_start or s is o_end:
+                return
+            visited.add(id(s))
+            for t in s.out_add:
+                if t.output is o_end:
+                    continue
+                seg_add(t, False, False)
+                recur(t.output)
+
+        for s in list(original.states):
+            recur(s)
+        # generate shadows in original shadow order
+        # (ref: C4_ProtoShadow_generate, c4.c:2019-2042; the reference
+        # asserts both sides nonempty — a one-sided proto never occurs
+        # there.  We keep a one-sided lane alive rather than crash: a
+        # setter with no interior consumer still records positions that
+        # cross a span boundary, and a consumer with no setter reads the
+        # lane seeded from the init cell (ref: heuristic.c:412-443).)
         for sh in original.shadows:
-            new_sh = Shadow(sh.name, start=sh.start, start_vec_fn=sh.start_vec_fn)
-            for st in sh.src_states:
-                if st is src:
-                    new_sh.src_states.append(m.start_state.state)
-                if id(st) in interior:
-                    new_sh.src_states.append(interior[id(st)])
-            for t in sh.dst_transitions:
-                for nt in new_of_old.get(id(t), []):
-                    if nt in m.transitions:
-                        new_sh.dst_transitions.append(nt)
-            # keep the lane when either side survives: a setter with no
-            # interior consumer still records positions that cross a
-            # span boundary (read after Heuristic_Span integration), and
-            # a consumer with no interior setter reads the lane seeded
-            # from the init cell (ref: heuristic.c:412-443)
-            if new_sh.src_states or new_sh.dst_transitions:
-                m.shadows.append(new_sh)
+            p = proto.get(id(sh))
+            if p is None:
+                continue
+            states, dts = p
+            new_sh = Shadow(sh.name, start=sh.start,
+                            start_vec_fn=sh.start_vec_fn)
+            new_sh.src_states = list(states)
+            new_sh.dst_transitions = list(dts)
+            m.shadows.append(new_sh)
         m.configure_start(start_scope)
         m.configure_end(end_scope)
         m.close()
         self.derived = m
-
-    @staticmethod
-    def _reaches(model: Model, anchor: State, forward: bool) -> set:
-        """States from which `anchor` is reachable (forward=False) or
-        reachable from `anchor` (forward=True); includes anchor."""
-        seen = {id(anchor)}
-        frontier = [anchor]
-        while frontier:
-            s = frontier.pop()
-            ts = (model.output_transitions(s) if forward
-                  else model.input_transitions(s))
-            for t in ts:
-                nxt = t.output if forward else t.input
-                if id(nxt) not in seen:
-                    seen.add(id(nxt))
-                    frontier.append(nxt)
-        return seen

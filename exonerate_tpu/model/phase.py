@@ -441,4 +441,7 @@ def phase_create(suffix, match: Match, on_query: bool, on_target: bool,
             phase2_calc.pallas_fn = _make_split_pallas_fn(2)
             phase2_calc.kernel_inputs_fn = _make_split_kernel_inputs(
                 match.type, 2)
+    # closed before insertion, like the reference (ref: phase.c:544) —
+    # see the ordering note in intron.intron_create
+    m.close()
     return m

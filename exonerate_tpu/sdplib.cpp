@@ -73,6 +73,11 @@ struct TransDesc {
     int32_t span_id;
     // original model-order transition index (for traceback export)
     int32_t orig_idx;
+    // minimum calc value can wrap NEG sources past INT32_MIN into a
+    // large positive gint (stacked splice penalties, e.g. joint introns
+    // under --forcegtag); such transitions must process IMPOSSIBLY_LOW
+    // sources like the reference does (scheduler.c:1019 has no skip)
+    int32_t can_wrap;
 };
 
 struct SpanDesc {
@@ -174,7 +179,7 @@ class CellPool {
         free_.pop_back();
         for (int k = 0; k < n_states_; k++) {
             c->score[k] = kNeg;
-            c->pmax[k] = kNeg;
+            c->pmax[k] = 0;  // ref memset: unset pmax reads 0
             c->seed[k] = 0;
             c->tb[k] = -1;
         }
@@ -625,7 +630,10 @@ class Pass {
                 calc_t = dst_t;
             }
             int64_t src_score = cell->score[ip];
-            if (src_score <= kNeg) continue;
+            if (src_score <= kNeg &&
+                !(t.can_wrap &&
+                  !(!is_forward && (t.flags & F_REV_SHADOWED))))
+                continue;
             int64_t tscore;
             if (t.gmode == G_NONE ||
                 (!is_forward && (t.flags & F_REV_SHADOWED))) {
@@ -679,13 +687,19 @@ class Pass {
             }
             int64_t max_score = cell->pmax[ip];
             int64_t seed_id = cell->seed[ip];
-            int64_t dst_score = src_score + tscore;
+            // C4_Score is a 32-bit gint: the add and the dropoff
+            // subtraction WRAP, and the clamps test the wrapped value
+            // (ref: scheduler.c:1019-1024) — two stacked splice
+            // penalties wrap POSITIVE past the UNDERFLOW clamp
+            int64_t dst_score =
+                (int64_t)(int32_t)(uint32_t)(src_score + tscore);
             if ((t.flags & F_P_UNDER) && dst_score < kNeg)
                 dst_score = kNeg;
             if ((t.flags & F_P_OVER) && dst_score > -kNeg)
                 dst_score = -kNeg;
             if (is_forward && dst_score < 0) continue;
-            if (max_score - dst_score > d_.dropoff) continue;
+            if ((int64_t)(int32_t)(uint32_t)(max_score - dst_score)
+                > d_.dropoff) continue;
             if ((t.flags & F_MATCH) && is_blocked(d_.rqs + src_q))
                 continue;
             int64_t dpq = pq + t.aq;
@@ -932,7 +946,7 @@ int64_t c4_viterbi(
     std::vector<TransDesc> trans(d.n_trans);
     int64_t mta = 1;
     for (int32_t i = 0; i < d.n_trans; i++) {
-        const int32_t* m = tmeta + (int64_t)i * 26;
+        const int32_t* m = tmeta + (int64_t)i * 27;
         TransDesc& t = trans[i];
         t.aq = m[0]; t.at = m[1]; t.in_id = m[2]; t.out_id = m[3];
         t.flags = m[4]; t.gmode = m[5]; t.gval = m[6]; t.dim = m[7];
@@ -944,7 +958,7 @@ int64_t c4_viterbi(
         t.sc_t_is_dna = m[17]; t.sc_on_q = m[18]; t.sc_on_t = m[19];
         t.sc_lane_q = m[20]; t.sc_lane_t = m[21];
         t.n_starts = m[22]; t.starts_off = m[23];
-        t.span_id = m[24]; t.orig_idx = m[25];
+        t.span_id = m[24]; t.orig_idx = m[25]; t.can_wrap = m[26];
         t.qvec = t_qvec[i]; t.tvec = t_tvec[i]; t.table = t_table[i];
         t.q_idx = t_qidx[i]; t.t_idx = t_tidx[i]; t.q_over = t_qover[i];
         if (t.at > mta) mta = t.at;
@@ -1172,7 +1186,7 @@ SdpResult* sdp_run_pass(
     d.psub_dim = (int32_t)params[24];
     res->trans.resize(d.n_trans);
     for (int32_t i = 0; i < d.n_trans; i++) {
-        const int32_t* m = tmeta + (int64_t)i * 26;
+        const int32_t* m = tmeta + (int64_t)i * 27;
         TransDesc& t = res->trans[i];
         t.aq = m[0];
         t.at = m[1];
@@ -1200,6 +1214,7 @@ SdpResult* sdp_run_pass(
         t.starts_off = m[23];
         t.span_id = m[24];
         t.orig_idx = m[25];
+        t.can_wrap = m[26];
         t.qvec = t_qvec[i];
         t.tvec = t_tvec[i];
         t.table = t_table[i];

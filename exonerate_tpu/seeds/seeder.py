@@ -178,7 +178,13 @@ class _Loader:
         the vectorized form of the per-seed Python loop."""
         if self._csr is not None and self._csr[0] == self._rev:
             return self._csr[1:]
-        hit = _CSR_MEMO.get(self._sig)
+        # structural fields alongside the chained hash: a 64-bit hash
+        # collision alone must not alias two different emission tables
+        # (counts pin the table's shape; cheap vs. the table build)
+        memo_key = (self._sig, self.wordlen, len(self.words),
+                    len(self.neighbours),
+                    sum(len(v) for v in self.words.values()))
+        hit = _CSR_MEMO.get(memo_key)
         if hit is not None:
             self._csr = (self._rev,) + hit
             return hit
@@ -210,7 +216,7 @@ class _Loader:
                      np.asarray(qposs, dtype=np.int64))
         if len(_CSR_MEMO) > 32:
             _CSR_MEMO.clear()
-        _CSR_MEMO[self._sig] = self._csr[1:]
+        _CSR_MEMO[memo_key] = self._csr[1:]
         return self._csr[1:]
 
     def scan_target(self, target: Sequence, match: Match, emit: Callable,
@@ -246,9 +252,12 @@ class _Loader:
         from ..seqio import seq_ckey
         memo_base = None
         if known is not None and not ambig:
+            # len + end words pin the word-set structurally; the hash
+            # alone could collide across different sets
             memo_base = (seq_ckey(target), self.wordlen, softmask,
                          self.nsym, self.target_is_translated,
-                         hash(known.tobytes()))
+                         hash(known.tobytes()), len(known),
+                         int(known[0]), int(known[-1]))
         for frame in frames:
             hit_pw = None
             if memo_base is not None:
@@ -383,6 +392,19 @@ class Seeder:
                  saturate_threshold: int = 0):
         self.args = args or SeederArgs()
         self.report_func = report_func
+        # the reference builds ONE FSM over the comparison alphabet for
+        # all hsp params; a word of one length that prefixes a word of
+        # another length hits the FSM combine func which g_errors
+        # (ref: seeder.c:159-163 Seeder_FSM_combine_func).  With real
+        # word sets any length mismatch produces such a prefix pair, so
+        # mixed word lengths (e.g. genome2genome --dnawordlen 10 with
+        # codonwordlen 12) abort up front with the reference's FATAL.
+        if len({p.wordlen for p in comparison_params.values()}) > 1:
+            import sys as _sys
+            _sys.stderr.write("** FATAL ERROR **: Seeder implementation"
+                              " assumes words of same length\n"
+                              "exiting ...\n")
+            raise SystemExit(1)
         self.loaders = {kind: _Loader(p, kind, self.args)
                         for kind, p in comparison_params.items()}
         self.wordhoods = wordhoods or {}

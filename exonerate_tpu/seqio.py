@@ -252,6 +252,22 @@ def _clone_seq(t: Sequence) -> Sequence:
 # RAM for the process lifetime (FastaDB routes very large files through
 # EXTMEM anyway)
 _FASTA_MEMO_MAX_BYTES = 64 << 20
+# total residue bytes the memo may pin across entries
+_FASTA_MEMO_BUDGET = 256 << 20
+
+
+def _probe_file(path: str) -> tuple:
+    """First/last 64 raw bytes — the cheap staleness probe."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(64)
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            fh.seek(max(0, size - 64))
+            tail = fh.read(64)
+        return head, tail
+    except OSError:
+        return None, None
 
 
 def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
@@ -268,9 +284,15 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
     if key is not None:
         hit = _FASTA_MEMO.get(key)
         if hit is not None:
-            for t in hit:
-                yield _clone_seq(t)
-            return
+            # cheap content probe on hit: a rewrite with identical size
+            # inside the filesystem's mtime granularity must not serve
+            # stale sequences to a warm process (resident server)
+            probe_head, probe_tail, templates = hit
+            if (probe_head, probe_tail) == _probe_file(path):
+                for t in templates:
+                    yield _clone_seq(t)
+                return
+            del _FASTA_MEMO[key]
     out = [] if key is not None else None
     sid = None
     definition = None
@@ -300,11 +322,20 @@ def iter_fasta(path: str, alphabet: Optional[Alphabet] = None
         else:
             yield seq
     if out is not None:
-        if len(_FASTA_MEMO) > 16:
-            _FASTA_MEMO.clear()
         for t in out:
             seq_ckey(t)        # hash once; every clone inherits it
-        _FASTA_MEMO[key] = out
+        head, tail = _probe_file(path)
+        _FASTA_MEMO[key] = (head, tail, out)
+        # byte-budget eviction, oldest first (dict preserves insertion
+        # order): bounds resident pinning instead of a count clear
+        total = sum(len(s.data) for _, _, seqs in _FASTA_MEMO.values()
+                    for s in seqs)
+        while total > _FASTA_MEMO_BUDGET and len(_FASTA_MEMO) > 1:
+            old_key = next(iter(_FASTA_MEMO))
+            if old_key == key:
+                break
+            _, _, seqs = _FASTA_MEMO.pop(old_key)
+            total -= sum(len(s.data) for s in seqs)
 
 
 def _make_seq(sid, definition, chunks, alphabet) -> Sequence:

@@ -37,6 +37,14 @@ MODELS = [
     ("ner", D + "/ner1.fa", D + "/ner2.fa", "prot"),
     ("coding2coding", D + "/short1.fa", D + "/short2.fa", "trans"),
     ("ungapped:trans", D + "/cdna_mut.fa", C, "trans"),
+    # genome x genome: the round-4 judge found a g2g minus/minus parity
+    # bug precisely because this pool had no genome2genome row (fixed by
+    # the submodel close-order fix, model/intron.py); both pairs sample
+    # dual-sided (query+joint) introns on both strand combinations
+    ("genome2genome", D + "/g2g_small_q.fa", D + "/g2g_small_t.fa",
+     "intron-trans"),
+    ("genome2genome", D + "/genome_small.fa", D + "/genome.fa",
+     "intron-trans"),
 ]
 
 # always-applicable flag axes
