@@ -154,6 +154,15 @@ def main():
         if pr is not None:
             extras.update(pr)
 
+    # --- section 4b: the north star at device scale (VERDICT r4 #3):
+    # 64 mutated CALM proteins x 10 Mb genome — large enough that the
+    # per-comparison DPs clear the device floor and batch into kernel
+    # dispatches -----------------------------------------------------
+    if os.environ.get("EXONERATE_TPU_BENCH_P2G_SCALE", "1") != "0":
+        ps = _retry("p2g_scale", _p2g_scale_benchmark, extras)
+        if ps is not None:
+            extras.update(ps)
+
     # --- section 5: resident serving throughput (queries/s at 1 chip,
     # the north star's serving metric): our server owns the indexed
     # 1 Mb genome, our client streams the 16 scan queries ------------
@@ -257,6 +266,50 @@ def _p2g_scan_benchmark() -> dict:
     return extra
 
 
+def _p2g_scale_benchmark() -> dict:
+    """North star at device scale: 64 mutated CALM proteins x 10 Mb
+    genome, protein2genome bestn 1, vs single-core C on the identical
+    workload (bench_baseline.py config 8).  Reports cold and warm
+    seconds plus the engine split so the device share is visible."""
+    import io
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "refbuild"))
+    from bench_baseline import p2g_scale_fixture
+    pf, tf, nq = p2g_scale_fixture()
+    from exonerate_tpu.cli.exonerate import main as exo_main
+    from exonerate_tpu import observe
+    argv = ["-m", "protein2genome", "--bestn", "1",
+            "--maxintron", "20000", pf, tf,
+            "--showalignment", "no", "--showvulgar", "yes"]
+    t0 = time.perf_counter()
+    exo_main(list(argv), out=io.StringIO())
+    cold = time.perf_counter() - t0
+    observe.engine_counts.clear()
+    t0 = time.perf_counter()
+    out = io.StringIO()
+    exo_main(list(argv), out=out)
+    dt = time.perf_counter() - t0
+    engines = dict(observe.engine_counts)
+    n_vulgar = sum(1 for ln in out.getvalue().splitlines()
+                   if ln.startswith("vulgar:"))
+    c_seconds = None
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.exists(measured):
+        with open(measured) as f:
+            m = json.load(f)
+        c_seconds = m["results"].get("p2g_scale_scan", {}).get("seconds")
+    extra = {"p2g_scale_cold_seconds": round(cold, 2),
+             "p2g_scale_seconds": round(dt, 2),
+             "p2g_scale_queries_per_sec": round(nq / dt, 2),
+             "p2g_scale_alignments": n_vulgar}
+    if engines:
+        extra["p2g_scale_engines"] = engines
+    if c_seconds:
+        extra["p2g_scale_vs_c_heuristic"] = round(c_seconds / dt, 2)
+    return extra
+
+
 def _serving_benchmark() -> dict:
     """Warm resident-server queries/s (the honest answer to the ~3 s
     CLI startup tax): our ExonerateServer owns the .esd/.esi-indexed
@@ -303,20 +356,56 @@ def _serving_benchmark() -> dict:
                 best = dt
             n_vulgar = sum(1 for ln in out.getvalue().splitlines()
                            if ln.startswith("vulgar:"))
+        # concurrent clients (VERDICT r4 #5): the server threads per
+        # connection (ThreadingTCPServer, the reference's
+        # thread-per-connection model, exonerate-server.c:866-877);
+        # 4 in-process client threads stream 4 queries each and the
+        # aggregate wall gives concurrent queries/s.  Conservative vs
+        # the C baseline's 4 client PROCESSES: our clients also share
+        # one GIL (native DP releases it).
+        from concurrent.futures import ThreadPoolExecutor
+        from bench_baseline import _split_fasta
+        parts = _split_fasta(qf, 4)
+
+        def one(part):
+            b = io.StringIO()
+            exo_main(["-m", "est2genome", "--bestn", "1", "--maxintron",
+                      "20000", part, f"localhost:{port}",
+                      "--showalignment", "no", "--showvulgar", "yes"],
+                     out=b)
+            return sum(1 for ln in b.getvalue().splitlines()
+                       if ln.startswith("vulgar:"))
+        best_c, nv_c = None, 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                nvs = list(ex.map(one, parts))
+            dt_c = time.perf_counter() - t0
+            if best_c is None or dt_c < best_c:
+                best_c = dt_c
+            nv_c = sum(nvs)
     finally:
         srv.shutdown()
     extra = {"serving_cold_seconds": round(cold, 2),
              "serving_seconds": round(best, 2),
              "serving_queries_per_sec": round(nq / best, 2),
-             "serving_alignments": n_vulgar}
+             "serving_alignments": n_vulgar,
+             "serving_concurrent_clients": 4,
+             "serving_concurrent_seconds": round(best_c, 2),
+             "serving_concurrent_queries_per_sec": round(nq / best_c, 2),
+             "serving_concurrent_alignments": nv_c}
     measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_MEASURED.json")
     if os.path.exists(measured):
         with open(measured) as f:
             m = json.load(f)
-        c = m["results"].get("serving_genome_scan", {}).get("seconds")
+        sg = m["results"].get("serving_genome_scan", {})
+        c = sg.get("seconds")
         if c:
             extra["serving_vs_c"] = round(c / best, 2)
+        cc = sg.get("concurrent_seconds")
+        if cc:
+            extra["serving_concurrent_vs_c"] = round(cc / best_c, 2)
     return extra
 
 

@@ -223,19 +223,32 @@ DEVICE_MIN_W = 16384
 # compresses to W<=46k but only ~7M cells (~30 ms host), while one
 # est2genome plus-strand comparison is >=35M cells (measured round 4)
 DEVICE_MIN_CELLS = 16_000_000
+# ... and below this query length the anti-diagonal band kernel is
+# shape-starved regardless of total cells: its step count is W+Q+1
+# (driven by the huge band width) while each step only fills Q lanes
+# of the vector unit.  Measured round 5 on 64 x 149 aa x 10 Mb
+# protein2genome (W~160k per comparison): kernel path 143.6 s vs host
+# 33.0 s — the device loses 4.3x on exactly the workload whose cell
+# count clears DEVICE_MIN_CELLS.  A row-scan recurrence (steps ∝ Q,
+# vectors along W) is the right device shape for these; until it
+# exists, short-query comparisons stay host (see BASELINE.md round 5).
+DEVICE_MIN_Q = 512
 
 
 def device_worthwhile(plan, query_length: int = None) -> bool:
-    """Size gate for the DEFAULT (non-forced) device routing: tiny
-    comparisons stay on the host scheduler."""
+    """Size/shape gate for the DEFAULT (non-forced) device routing:
+    tiny comparisons and lane-starved shapes stay on the host
+    scheduler."""
     import os
     if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
         return True
     if plan is None or plan.W < DEVICE_MIN_W:
         return False
-    if query_length is not None \
-            and (query_length + 1) * (plan.W + 1) < DEVICE_MIN_CELLS:
-        return False
+    if query_length is not None:
+        if (query_length + 1) * (plan.W + 1) < DEVICE_MIN_CELLS:
+            return False
+        if query_length < DEVICE_MIN_Q:
+            return False
     return True
 
 
@@ -266,12 +279,45 @@ def _kernel_usable(model: Model, pair: SDPPair, plan) -> bool:
 SCAN_DIAG_CAP = 8192
 
 
+def _cross_chip_config(plan) -> int:
+    """Production cross-chip routing (VERDICT r4 #4): with
+    EXONERATE_TPU_CROSS_CHIP=N (N>=2) set and enough devices attached,
+    a comparison whose compressed band exceeds
+    EXONERATE_TPU_CROSS_CHIP_MIN_W (default 1M columns — a
+    chromosome-scale pair that would blow a single chip's HBM windows)
+    runs the band-scan kernel ONE-pair-across-chips with exact halo
+    relay (sdp_pallas.run_kernel_cross_chip).  Returns the chip count
+    to use, or 0 for the normal single-chip path."""
+    import os
+    n = int(os.environ.get("EXONERATE_TPU_CROSS_CHIP", "0") or 0)
+    if n < 2 or plan is None:
+        return 0
+    min_w = int(os.environ.get("EXONERATE_TPU_CROSS_CHIP_MIN_W",
+                               str(1 << 20)))
+    if plan.W < min_w:
+        return 0
+    try:
+        import jax
+        if len(jax.devices()) < n:
+            return 0
+    except Exception:
+        return 0
+    return n
+
+
 def run_device(model: Model, pair: SDPPair,
                plan: sdp_bands.BandPlan) -> dict:
     """Single-comparison device call (the pooled path batches many)."""
     from .wavefront import _bucket
     if _kernel_usable(model, pair, plan):
         from . import sdp_pallas
+        n_chips = _cross_chip_config(plan)
+        if n_chips:
+            import jax
+            observe.count_engine("sdp-kernel-xchip")
+            return sdp_pallas.run_kernel_cross_chip(
+                model, pair, plan, pair.args.dropoff, n_chips,
+                devices=jax.devices()[:n_chips])
         observe.count_engine("sdp-kernel")
         return sdp_pallas.run_kernel(model, [(pair, plan)],
                                      pair.args.dropoff)[0]
@@ -313,6 +359,13 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
     # through it (bucketed internally); the rest use the XLA scan
     kernelable = [ix for ix, (pair, plan) in enumerate(jobs)
                   if _kernel_usable(model, pair, plan)]
+    # chromosome-scale pairs split across chips (env-gated, see
+    # _cross_chip_config); they leave the batch and run one-by-one
+    xchip = [ix for ix in kernelable
+             if _cross_chip_config(jobs[ix][1])]
+    for ix in xchip:
+        out[ix] = run_device(model, *jobs[ix])
+    kernelable = [ix for ix in kernelable if ix not in set(xchip)]
     if kernelable:
         from . import sdp_pallas
         by_drop: dict = {}
@@ -325,8 +378,10 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
             kres = sdp_pallas.run_kernel(model, kjobs, dropoff)
             for ix, r in zip(ixs, kres):
                 out[ix] = r
+    if kernelable or xchip:
+        done = set(kernelable) | set(xchip)
         jobs = [(ix, j) for ix, j in enumerate(jobs)
-                if ix not in set(kernelable)]
+                if ix not in done]
         if not jobs:
             return out
         remap = [ix for ix, _ in jobs]

@@ -90,6 +90,42 @@ def p2g_scan_fixture(n_queries=8, tmp="/tmp/bl"):
     return pf, tf, n_queries
 
 
+def p2g_scale_fixture(n_queries=64, n_genes=40, genome_mb=10.0,
+                      tmp="/tmp/bl_scale"):
+    """Device-scale north-star workload (VERDICT r4 #3): 64 mutated
+    CALM proteins vs a 10 Mb genome with 40 gene loci — large enough
+    that batched device dispatch can amortize tunnel latency."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import numpy as np
+    from genome_scan import synthesize
+    os.makedirs(tmp, exist_ok=True)
+    tf = os.path.join(tmp, "t10.fa")
+    pf = os.path.join(tmp, "p64.fa")
+    if not (os.path.exists(tf) and os.path.exists(pf)):
+        rng = np.random.default_rng(7)
+        _, genome, _ = synthesize(n_genes, int(genome_mb * 1e6), rng)
+        with open(tf, "w") as f:
+            f.write(">genome10\n")
+            for i in range(0, len(genome), 60):
+                f.write(genome[i:i + 60] + "\n")
+        prot = []
+        with open(os.path.join(DATA, "protein",
+                               "calm.human.protein.fasta")) as f:
+            for ln in f:
+                if not ln.startswith(">"):
+                    prot.append(ln.strip())
+        prot = "".join(prot)
+        rng = np.random.default_rng(13)
+        aas = list("ACDEFGHIKLMNPQRSTVWY")
+        with open(pf, "w") as f:
+            for i in range(n_queries):
+                p = list(prot)
+                for _ in range(len(p) // 20):
+                    p[int(rng.integers(0, len(p)))] = str(rng.choice(aas))
+                f.write(f">p{i}\n{''.join(p)}\n")
+    return pf, tf, n_queries
+
+
 def _c_serving_baseline(exo, qf, tf, reps=3):
     """Resident C server + C client queries/s on the 1 Mb genome."""
     import socket
@@ -129,12 +165,58 @@ def _c_serving_baseline(exo, qf, tf, reps=3):
                 best = dt if best is None else min(best, dt)
                 out = r.stdout
         nv = sum(1 for ln in out.splitlines() if ln.startswith("vulgar:"))
-        return {"seconds": best, "queries": 16,
-                "queries_per_sec": 16 / best if best else None,
-                "alignments": nv}
+        res = {"seconds": best, "queries": 16,
+               "queries_per_sec": 16 / best if best else None,
+               "alignments": nv}
+        # concurrent clients: the reference server threads per
+        # connection (ref: exonerate-server.c:866-877); drive it with 4
+        # simultaneous C client processes, 4 queries each, and report
+        # aggregate wall-clock queries/s
+        import concurrent.futures as cf
+        qparts = _split_fasta(qf, 4)
+        def one(part):
+            r = subprocess.run(
+                [exo, "-m", "est2genome", "--bestn", "1", "--maxintron",
+                 "20000", part, f"localhost:{port}",
+                 "--showalignment", "no", "--showvulgar", "yes"],
+                capture_output=True, text=True, timeout=900)
+            return sum(1 for ln in r.stdout.splitlines()
+                       if ln.startswith("vulgar:"))
+        best_c = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                nvs = list(ex.map(one, qparts))
+            dt = time.perf_counter() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        res["concurrent_clients"] = 4
+        res["concurrent_seconds"] = best_c
+        res["concurrent_queries_per_sec"] = 16 / best_c
+        res["concurrent_alignments"] = sum(nvs)
+        return res
     finally:
         proc.kill()
         proc.wait()
+
+
+def _split_fasta(qf, n):
+    """Split a FASTA into n part files (round-robin by record)."""
+    recs = []
+    cur = None
+    for ln in open(qf):
+        if ln.startswith(">"):
+            cur = [ln]
+            recs.append(cur)
+        elif cur is not None:
+            cur.append(ln)
+    parts = []
+    for k in range(n):
+        p = qf + f".part{k}"
+        with open(p, "w") as f:
+            for r in recs[k::n]:
+                f.writelines(r)
+        parts.append(p)
+    return parts
 
 
 def main():
@@ -195,6 +277,16 @@ def main():
     nvulgar = sum(1 for ln in out.splitlines() if ln.startswith("vulgar:"))
     results["p2g_genome_scan"] = {
         "seconds": dt, "queries": npq, "queries_per_sec": npq / dt,
+        "alignments": nvulgar}
+
+    # config 8 (north star at device scale, VERDICT r4 #3): 64 mutated
+    # CALM proteins vs a 10 Mb genome, protein2genome bestn 1
+    pf3, tf3, nsq = p2g_scale_fixture()
+    dt, out = run([exo, "-m", "protein2genome", "--bestn", "1",
+                   "--maxintron", "20000", pf3, tf3] + noal, reps=1)
+    nvulgar = sum(1 for ln in out.splitlines() if ln.startswith("vulgar:"))
+    results["p2g_scale_scan"] = {
+        "seconds": dt, "queries": nsq, "queries_per_sec": nsq / dt,
         "alignments": nvulgar}
 
     # config 7 (serving): resident C exonerate-server over the indexed
