@@ -261,14 +261,15 @@ class _Pass:
             # resurrecting the path (scheduler.c:1019 has no skip).  Our
             # fast path skips NEG sources, so flag the transitions whose
             # minimum calc value can wrap and process NEG sources there.
+            from .sdp_native import _min_memo
             if gmode == 6:
-                _min_calc = int(np.min(grid[0])) + int(np.min(grid[1]))
+                _min_calc = _min_memo(grid[0]) + _min_memo(grid[1])
             elif gmode == 4:
-                _min_calc = int(np.min(grid[0]))
+                _min_calc = _min_memo(grid[0])
             elif gmode == 0:
                 _min_calc = gval
             elif grid is not None:
-                _min_calc = int(np.min(grid))
+                _min_calc = _min_memo(grid)
             else:
                 _min_calc = 0
             can_wrap = _min_calc < (-(1 << 31) - NEG)

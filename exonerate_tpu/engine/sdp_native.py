@@ -132,6 +132,23 @@ def supported(model: Model) -> bool:
     return True
 
 
+_MIN_MEMO: dict = {}
+
+
+def _min_memo(a) -> int:
+    """min() of a (memoized) array, cached by identity; the value keeps
+    the array alive so id() stays unambiguous."""
+    a = np.asarray(a)
+    hit = _MIN_MEMO.get(id(a))
+    if hit is not None:
+        return hit[1]
+    v = int(np.min(a)) if a.size else 0
+    if len(_MIN_MEMO) > 512:
+        _MIN_MEMO.clear()
+    _MIN_MEMO[id(a)] = (a, v)
+    return v
+
+
 class _Keep:
     """Holds numpy arrays alive across the ctypes call."""
 
@@ -195,22 +212,22 @@ class _TransTables:
                 m[5] = G_NONE
             elif qt is not None and id(c) in qt:
                 m[5] = G_QTSUM
-                qv = k.add(qt[id(c)][0].astype(np.int32))
-                tv = k.add(qt[id(c)][1].astype(np.int32))
+                qv = k.add(qt[id(c)][0].astype(np.int32, copy=False))
+                tv = k.add(qt[id(c)][1].astype(np.int32, copy=False))
                 self.t_qvec[i] = qv.ctypes.data
                 self.t_tvec[i] = tv.ctypes.data
             elif id(c) in factored:
                 m[5] = G_FACTORED
                 table, q_idx, t_idx, q_over = factored[id(c)]
-                table = k.add(table.astype(np.int32))
-                q_idx = k.add(q_idx.astype(np.int32))
-                t_idx = k.add(t_idx.astype(np.int32))
+                table = k.add(table.astype(np.int32, copy=False))
+                q_idx = k.add(q_idx.astype(np.int32, copy=False))
+                t_idx = k.add(t_idx.astype(np.int32, copy=False))
                 self.t_table[i] = table.ctypes.data
                 self.t_qidx[i] = q_idx.ctypes.data
                 self.t_tidx[i] = t_idx.ctypes.data
                 m[7] = table.shape[1]
                 if q_over is not None:
-                    q_over = k.add(q_over.astype(np.int32))
+                    q_over = k.add(q_over.astype(np.int32, copy=False))
                     self.t_qover[i] = q_over.ctypes.data
             else:
                 g = grids[id(c)]
@@ -221,11 +238,11 @@ class _TransTables:
                     raise ValueError("full 2-D grid not native")
                 elif g.shape[0] > 1:
                     m[5] = G_QVEC
-                    v = k.add(g[:, 0].astype(np.int32))
+                    v = k.add(np.ascontiguousarray(g[:, 0], dtype=np.int32))
                     self.t_qvec[i] = v.ctypes.data
                 else:
                     m[5] = G_TVEC
-                    v = k.add(g[0, :].astype(np.int32))
+                    v = k.add(np.ascontiguousarray(g[0, :], dtype=np.int32))
                     self.t_tvec[i] = v.ctypes.data
             # shadow kind
             if c is not None and c.native_shadow is not None:
@@ -292,17 +309,18 @@ class _TransTables:
             # source past INT32_MIN into a large positive gint (stacked
             # splice penalties, e.g. --forcegtag joint introns); the
             # native pass must then process NEG sources like the
-            # reference (see sdplib.cpp TransDesc.can_wrap)
+            # reference (see sdplib.cpp TransDesc.can_wrap).  The mins
+            # memoize per array identity: the vectors come from
+            # content-keyed memos, so every pair of a scan reuses them
             min_calc = 0
             if c is not None:
                 if qt is not None and id(c) in qt:
-                    min_calc = (int(np.min(qt[id(c)][0]))
-                                + int(np.min(qt[id(c)][1])))
+                    min_calc = (_min_memo(qt[id(c)][0])
+                                + _min_memo(qt[id(c)][1]))
                 elif id(c) in factored:
-                    min_calc = int(np.min(factored[id(c)][0]))
+                    min_calc = _min_memo(factored[id(c)][0])
                 else:
-                    g = grids[id(c)]
-                    min_calc = int(np.min(g))
+                    min_calc = _min_memo(grids[id(c)])
             m[26] = 1 if min_calc < (-(1 << 31) + 987654321) else 0
         self.tmeta = k.add(self.tmeta)
         self.starts_des = k.add(np.asarray(starts_des, dtype=np.int32))

@@ -165,20 +165,38 @@ class Match:
         (ref: Match_swap, src/comparison/match.c)."""
         return Match(_MIRROR[self.type], self._mas)
 
+    # padded target-index windows memoize too: every query of a scan
+    # slices + pads the SAME 10 Mb row-index vector otherwise (a 40 MB
+    # alloc+copy per comparison, ~25 s of a 64-query 10 Mb scan)
+    _PAD_MEMO: dict = {}
+
+    def _padded_window(self, seq: Sequence, advance: int, start: int,
+                       n: int) -> np.ndarray:
+        from ..seqio import seq_ckey
+        rows = self._row_indices(seq, advance)
+        key = (seq_ckey(seq), advance, id(rows), start, n)
+        hit = Match._PAD_MEMO.get(key)
+        if hit is not None:
+            return hit[1]
+        out = np.zeros(n + 1, dtype=np.int32)
+        out[:n] = rows[start:start + n]
+        out[n:] = 24
+        out.setflags(write=False)
+        if len(Match._PAD_MEMO) > 64:
+            Match._PAD_MEMO.clear()
+        Match._PAD_MEMO[key] = (rows, out)
+        return out
+
     def score_factored(self, query: Sequence, target: Sequence,
                        region: Region) -> dict:
         """Factored form: grid[i,j] = table[q_idx[i], t_idx[j]] + q_add[i]
         (see Calc.factored_fn).  The CDS annotation veto becomes a q_add
         plane of IMPOSSIBLY_LOW offsets."""
         qlen, tlen = region.query_length, region.target_length
-        qi = np.zeros(qlen + 1, dtype=np.int32)
-        ti = np.zeros(tlen + 1, dtype=np.int32)
-        qi[:qlen] = self._row_indices(query, self.advance_query)[
-            region.query_start:region.query_start + qlen]
-        ti[:tlen] = self._row_indices(target, self.advance_target)[
-            region.target_start:region.target_start + tlen]
-        qi[qlen:] = 24
-        ti[tlen:] = 24
+        qi = self._padded_window(query, self.advance_query,
+                                 region.query_start, qlen)
+        ti = self._padded_window(target, self.advance_target,
+                                 region.target_start, tlen)
         # q_override REPLACES the table value where nonzero (the CDS
         # annotation veto, ref: match.c:276-281, 513-519)
         override = np.zeros(qlen + 1, dtype=np.int32)
