@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import sys
 import time
-from functools import partial
+from functools import partial  # noqa: F401
 
 import numpy as np
 
@@ -67,9 +67,9 @@ def make_fn(Q, W, gap_open=-12, gap_ext=-4, dropoff=50,
     del_steps = int(np.ceil(np.log2(max_del))) + 1
     pre_steps = int(np.ceil(np.log2(max(W, 2))))
 
-    def row_step(carry, xs):
+    def row_step(carry, xs, s5_row, s3_row):
         m_prev, i_prev = carry
-        ms_row, s5_row, s3_row = xs
+        ms_row = xs
         # codon match from (q-1, w-3); insert (query gap) from (q-1, w)
         m_shift = jnp.concatenate(
             [jnp.full(3, NEG, jnp.int32), m_prev[:-3]])
@@ -103,7 +103,8 @@ def make_fn(Q, W, gap_open=-12, gap_ext=-4, dropoff=50,
         # engine's factored submat lookup)
         ms = table[q_sym][:, t_sym]          # [Q, W]
         init = (jnp.full(W, 0, jnp.int32), jnp.full(W, NEG, jnp.int32))
-        (_m, _i), row_best = lax.scan(row_step, init, (ms, s5, s3))
+        (_m, _i), row_best = lax.scan(
+            partial(row_step, s5_row=s5, s3_row=s3), init, ms)
         return jnp.max(row_best)
 
     import jax
