@@ -366,6 +366,10 @@ def _serving_benchmark() -> dict:
         from concurrent.futures import ThreadPoolExecutor
         from bench_baseline import _split_fasta
         parts = _split_fasta(qf, 4)
+        # 4 client threads x the default per-client resolve pool would
+        # be 8+ runnable threads on this 2-CPU box; pin each client to
+        # one resolve thread for the concurrent phase
+        os.environ["EXONERATE_TPU_RESOLVE_THREADS"] = "1"
 
         def one(part):
             b = io.StringIO()
@@ -376,14 +380,17 @@ def _serving_benchmark() -> dict:
             return sum(1 for ln in b.getvalue().splitlines()
                        if ln.startswith("vulgar:"))
         best_c, nv_c = None, 0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            with ThreadPoolExecutor(max_workers=4) as ex:
-                nvs = list(ex.map(one, parts))
-            dt_c = time.perf_counter() - t0
-            if best_c is None or dt_c < best_c:
-                best_c = dt_c
-            nv_c = sum(nvs)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                with ThreadPoolExecutor(max_workers=4) as ex:
+                    nvs = list(ex.map(one, parts))
+                dt_c = time.perf_counter() - t0
+                if best_c is None or dt_c < best_c:
+                    best_c = dt_c
+                nv_c = sum(nvs)
+        finally:
+            os.environ.pop("EXONERATE_TPU_RESOLVE_THREADS", None)
     finally:
         srv.shutdown()
     extra = {"serving_cold_seconds": round(cold, 2),

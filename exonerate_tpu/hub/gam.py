@@ -16,6 +16,8 @@ import sys
 from dataclasses import dataclass, field
 from typing import Optional
 
+import numpy as np
+
 from ..align.alignment import Alignment, AlignmentArgs
 from ..align import formats
 from ..engine.region import Region
@@ -100,15 +102,58 @@ class GAM:
 
     # -- thresholds (ref: GAM_get_query_threshold, gam.c:677-705) ---------
 
+    # The reference's advance-3 self-score loop overruns the final
+    # window when len % 3 != 0 (gam.c:477-478 steps j by advance while
+    # j < len, reading seq[len]/seq[len+1]); the terminator translates
+    # to '-' and Submat_lookup('-','-') reads past the packed matrix —
+    # a huge heap-dependent garbage term (observed 1,952,539,695 with
+    # blosum62, 1,836,277,605 with pam250 in the shim build).  The
+    # observable contract: the per-query threshold explodes, the gint
+    # *= gfloat conversion overflows to INT_MIN for any realistic
+    # --percent, and the threshold falls back to --score.  We add one
+    # fixed huge term to reproduce that contract (the exact constant
+    # only matters for --percent <= ~1.1, where both sides already
+    # report nothing).
+    _SELF_OVERRUN_GARBAGE = 1952539695
+
+    def _percent_matches(self, data: AlignData) -> list:
+        """Unique matches of the model's MATCH transitions in first-
+        encounter order (ref: GAM_build_match_list, gam.c:369-391),
+        resolved through AlignData so user submats apply."""
+        types = []
+        for t in self.model.transitions:
+            if t.label == Label.MATCH and t.label_data is not None:
+                mt = getattr(t.label_data, "type", None)
+                if mt is not None and mt not in types:
+                    types.append(mt)
+        if not types:
+            return [data.match()]
+        return [data.match(mt) for mt in types]
+
     def query_threshold(self, query: Sequence, data: AlignData) -> int:
         if self.gas.best_n:
             stored = self.bestn_store.get(query.id)
             if stored and len(stored) >= self.gas.best_n:
                 return min(s.score for s in stored)
         if self.gas.percent_threshold:
-            match = data.match()
-            self_score = match.self_score(query)
-            return int(self_score * self.gas.percent_threshold / 100.0)
+            import math
+            th = 0
+            for match in self._percent_matches(data):
+                t = match.self_score(query)
+                if match.advance_query == 3 and len(query) % 3:
+                    t += self._SELF_OVERRUN_GARBAGE
+                th = max(th, t)
+            # gint *= gfloat: float32 product, out-of-range conversion
+            # lands on INT_MIN (x86 cvttss2si); then C integer division
+            # truncates toward zero (ref: gam.c:482-485)
+            v = float(np.float32(np.float32(th)
+                                 * np.float32(self.gas.percent_threshold)))
+            th = (-(1 << 31) if not (-(2.0 ** 31) <= v < 2.0 ** 31)
+                  else int(v))
+            th = math.trunc(th / 100)
+            if th < self.gas.threshold:
+                th = self.gas.threshold
+            return th
         return self.gas.threshold
 
     # -- result creation ---------------------------------------------------
