@@ -106,6 +106,11 @@ def seed_all(q_idx, t_idx, submat, q_veto, q_mask, t_mask,
         seed_repeat,
         ptr(seeds_q, ctypes.c_int64), ptr(seeds_t, ctypes.c_int64),
         len(seeds_q), out, cap)
+    if n == -2:
+        # negative initial seed: the reference FATALs (hspset.c:740-743)
+        bad = np.ctypeslib.as_array(out, shape=(cap,))[0]
+        return ("bad_seed", int(bad["q"]), int(bad["t"]),
+                int(bad["len"]), int(bad["score"]))
     res = np.ctypeslib.as_array(out, shape=(cap,))[:n]
     return (res["q"].copy(), res["t"].copy(), res["len"].copy(),
             res["score"].copy(), res["cobs"].copy())

@@ -173,6 +173,13 @@ int64_t seedlib_seed_all(
         Hsp h{query_start, target_start, seedlen, 0, 0};
         trim_ends(p, h);
         init_score(p, h);
+        if (h.score < 0) {
+            // (ref: HSP_init, hspset.c:740-743): a negative initial
+            // seed aborts the reference with a FATAL; report it back
+            // so the caller raises the same error
+            out[0] = h;
+            return -2;
+        }
         if (forbid_masked) {
             extend(p, h, true);
             if (h.score < threshold) {

@@ -251,6 +251,32 @@ class HspSet:
         qpos = h.query_start + np.arange(h.length) * self.qadv
         tpos = h.target_start + np.arange(h.length) * self.tadv
         h.score = int(self._diag_scores(qpos, tpos).sum())
+        if h.score < 0:
+            self._bad_seed_fatal(h)
+
+    def _bad_seed_fatal(self, h: HSP):
+        """A trimmed seed word scoring negative aborts the reference
+        (ref: HSP_init, hspset.c:740-743) after dumping the HSP to
+        stdout.  The dump's interior (HSP info block + alignment
+        panels) embeds a STACK POINTER (`HSP info (0x7ffc...)`) so two
+        reference runs differ byte-for-byte there; we emit the
+        deterministic frame of the dump (the draw_hsp line and the
+        sugar line) and the FATAL, and the fuzzer normalizes the
+        nondeterministic interior on both sides."""
+        import sys as _sys
+        print(f'draw_hsp({h.query_start}, {h.target_start}, '
+              f'{h.length}, {h.cobs}, {self.qadv}, {self.tadv}, '
+              f'"Bad HSP seed")', file=_sys.stdout)
+        qc = getattr(self.query, "strand", "+") or "+"
+        tc = getattr(self.target, "strand", "+") or "+"
+        print(f'sugar: {self.query.id} {h.query_start} '
+              f'{h.length * self.qadv} {qc} {self.target.id} '
+              f'{h.target_start} {h.length * self.tadv} {tc} '
+              f'{h.score}', file=_sys.stdout)
+        _sys.stdout.flush()
+        _sys.stderr.write(f"** FATAL ERROR **: Initial HSP score "
+                          f"[{h.score}] less than zero\nexiting ...\n")
+        raise SystemExit(1)
 
     def find_cobs(self, h: HSP) -> int:
         """Centre offset by score (ref: HSP_find_cobs, hspset.c:426-441)."""
@@ -366,6 +392,10 @@ class HspSet:
             for q, t in seeds:
                 self.seed(q, t)
             return
+        if isinstance(res[0], str):       # ("bad_seed", q, t, len, score)
+            _, bq, bt, blen, bscore = res
+            bad = HSP(bq, bt, blen, bscore)
+            self._bad_seed_fatal(bad)
         qs, ts, lens, scores, cobs = res
         for k in range(len(qs)):
             self.hsps.append(HSP(int(qs[k]), int(ts[k]), int(lens[k]),

@@ -97,10 +97,28 @@ DISPLAYS = [
 
 
 def norm(b):
-    return "\n".join(
-        l for l in b.decode(errors="replace").splitlines()
-        if not (l.startswith("Command line") or l.startswith("Hostname")
-                or l.startswith("##date") or l.startswith("##source-version")))
+    lines = [l for l in b.decode(errors="replace").splitlines()
+             if not (l.startswith("Command line") or l.startswith("Hostname")
+                     or l.startswith("##date")
+                     or l.startswith("##source-version"))]
+    # The reference's "Bad HSP seed" FATAL dump (HSP_print,
+    # hspset.c:693-706) embeds a STACK POINTER ("HSP info (0x7ffc...)")
+    # in its interior, so even two reference runs differ there.  Keep
+    # the deterministic frame (draw_hsp + sugar lines) and drop the
+    # interior on both sides.
+    out, dropping = [], False
+    for l in lines:
+        if l.startswith("draw_hsp("):
+            out.append(l)
+            dropping = True
+            continue
+        if dropping:
+            if l.startswith("sugar: "):
+                out.append(l)
+                dropping = False
+            continue
+        out.append(l)
+    return "\n".join(out)
 
 
 def run_fuzz(seed=77, n_trials=24, verbose=True, ref=REF):
