@@ -165,6 +165,15 @@ def run_fuzz(seed=77, n_trials=24, verbose=True, ref=REF):
             bad += 1
             failures.append(argv)
             continue
+        if r1.returncode < 0:
+            # the REFERENCE crashed (e.g. SIGSEGV on cdna2genome
+            # --gappedextension no, round-5 probe): there is no
+            # behavior to match — producing a sane result instead of a
+            # crash is not a divergence
+            if verbose:
+                print(f"SKIP(ref-crash rc={r1.returncode}) {trial}: "
+                      f"{' '.join(argv[:8])}")
+            continue
         run += 1
         if (r1.returncode != 0) != (r2.returncode != 0):
             print(f"RC-DIFF {trial} ({r1.returncode} vs {r2.returncode}):"
