@@ -397,11 +397,13 @@ HELP_TEXT = (
 
 class ExonerateServer:
     def __init__(self, dataset: Dataset, index: Index, port: int = 12886,
-                 verbosity: int = 0, use_device_index: bool = False):
+                 verbosity: int = 0, use_device_index: bool = False,
+                 max_connections: int = 4):
         self.dataset = dataset
         self.index = index
         self.port = port
         self.verbosity = verbosity
+        self.max_connections = max(1, int(max_connections))
         self._httpd = None
         self.device_index = None
         if use_device_index:
@@ -442,9 +444,31 @@ class ExonerateServer:
                     self.wfile.write(reply.encode())
                     self.wfile.flush()
 
+        # --maxconnections bounds concurrent connection threads the
+        # same way the reference counts active connections and rejects
+        # beyond the limit (ref: exonerate-server.c:866-877); a
+        # semaphore gate makes excess connections wait in the accept
+        # queue instead
+        conn_gate = threading.BoundedSemaphore(self.max_connections)
+
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def process_request(self, request, client_address):
+                conn_gate.acquire()
+                try:
+                    super().process_request(request, client_address)
+                except BaseException:
+                    conn_gate.release()
+                    raise
+
+            def process_request_thread(self, request, client_address):
+                try:
+                    super().process_request_thread(request,
+                                                   client_address)
+                finally:
+                    conn_gate.release()
 
         self._httpd = Server(("0.0.0.0", self.port), Handler)
         self._httpd.serve_forever()
@@ -503,7 +527,8 @@ def main(argv=None, out=None):
         dataset = index.dataset
     out.write(f"listening on port {v['port']}\n")
     srv = ExonerateServer(dataset, index, v["port"], v["verbosity"],
-                          use_device_index=v["deviceindex"])
+                          use_device_index=v["deviceindex"],
+                          max_connections=v["maxconnections"])
     srv.serve_forever()
     return 0
 
