@@ -93,17 +93,21 @@ class HybridSDPPair:
             return
         if self.plan is None or self.device_out is None:
             plan = make_plan(self.model, pair)
-            if not device_worthwhile(plan, pair.region.query_length):
+            if not device_worthwhile(
+                    plan, pair.region.query_length,
+                    rows_ok=rows_usable(self.model, pair, plan)):
                 observe.count_fallback(
                     "sdp device->host: below device size floor")
                 raise HybridFallback()
             out = run_device(self.model, pair, plan)
             self.plan, self.device_out = plan, out
         out = self.device_out
-        if out["live"] or out["xband"]:
+        if out["live"] or out["xband"] or out.get("unconverged", False):
             observe.count_fallback(
-                "sdp device->host: band edge liveness"
-                if out["live"] else "sdp device->host: cross-locus thaw")
+                "sdp device->host: band edge liveness" if out["live"]
+                else ("sdp device->host: cross-locus thaw"
+                      if out["xband"]
+                      else "sdp device->host: row fixpoint unconverged"))
             raise HybridFallback()
         self._locus_scores = np.asarray(
             out["band_end"][:len(self.plan.loci)], np.int64)
@@ -235,10 +239,13 @@ DEVICE_MIN_CELLS = 16_000_000
 DEVICE_MIN_Q = 512
 
 
-def device_worthwhile(plan, query_length: int = None) -> bool:
+def device_worthwhile(plan, query_length: int = None,
+                      rows_ok: bool = False) -> bool:
     """Size/shape gate for the DEFAULT (non-forced) device routing:
     tiny comparisons and lane-starved shapes stay on the host
-    scheduler."""
+    scheduler.  `rows_ok` lifts the short-query gate: the q-major
+    row-scan engine (sdp_rows.py) is exactly the device shape the
+    anti-diagonal kernel is starved on (BASELINE.md round 5)."""
     import os
     if os.environ.get("EXONERATE_TPU_SDP", "") == "device":
         return True
@@ -247,9 +254,98 @@ def device_worthwhile(plan, query_length: int = None) -> bool:
     if query_length is not None:
         if (query_length + 1) * (plan.W + 1) < DEVICE_MIN_CELLS:
             return False
-        if query_length < DEVICE_MIN_Q:
+        if query_length < DEVICE_MIN_Q and not rows_ok:
             return False
     return True
+
+
+def rows_usable(model: Model, pair: SDPPair, plan=None) -> bool:
+    """Route through the q-major row-scan engine (sdp_rows.py)?  Only
+    on a real TPU backend unless forced (EXONERATE_TPU_SDP_ROWS=1),
+    for models the row sweep can express with this pair's static gap
+    extends."""
+    import os
+    env = os.environ.get("EXONERATE_TPU_SDP_ROWS", "")
+    if env == "0":
+        return False
+    try:
+        import jax
+        if jax.default_backend() in ("cpu",) and env not in ("1", "all"):
+            return False
+    except Exception:
+        return False
+    from . import sdp_rows
+    if not sdp_rows.supported(model):
+        return False
+    try:
+        sdp_rows.chain_ext_values(model, pair)
+    except sdp_rows.RowUnsupported:
+        return False
+    return True
+
+
+def _rows_preferred(model: Model, pair: SDPPair, plan) -> bool:
+    """Among the device tiers, pick the row scan when the shape favors
+    it: short queries starve the anti-diagonal kernel (steps ∝ W, ~Q
+    useful lanes), and any kernel-ineligible job beats the XLA-scan /
+    host fallback on the row engine.  EXONERATE_TPU_SDP_ROWS=all
+    forces it for every supported job (A/B switch)."""
+    import os
+    if not rows_usable(model, pair, plan):
+        return False
+    env = os.environ.get("EXONERATE_TPU_SDP_ROWS", "")
+    if env in ("1", "all"):
+        return True
+    if pair.region.query_length < DEVICE_MIN_Q:
+        return True
+    return not _kernel_usable(model, pair, plan)
+
+
+def run_rows_batch(model: Model, jobs: list) -> list[dict]:
+    """Batched q-major row-scan passes: one vmapped call per
+    (shape, kinds, exts) bucket (mirrors the XLA-scan bucketing in
+    run_device_batch)."""
+    import jax
+    from .wavefront import _bucket
+    from . import sdp_rows
+    out: list = [None] * len(jobs)
+    shape_max: dict = {}
+    for ix, (pair, plan) in enumerate(jobs):
+        gkey = (pair.use_boundary, pair.args.dropoff)
+        cur = shape_max.get(gkey, (0, 0, 0))
+        shape_max[gkey] = (max(cur[0], pair.region.query_length),
+                           max(cur[1], len(pair.seeds)),
+                           max(cur[2], len(plan.loci) + 1))
+    buckets: dict = {}
+    for ix, (pair, plan) in enumerate(jobs):
+        gkey = (pair.use_boundary, pair.args.dropoff)
+        mq, ms, mg = shape_max[gkey]
+        Qp = _bucket(mq)
+        Wp = _pow2(max(plan.W, 1024))
+        n_seed_pad, n_seg_pad = _pow2(ms), _pow2(mg)
+        inputs, kinds = sdp_device.prepare_inputs(model, pair, plan,
+                                                  pad_to=(Qp, Wp))
+        inputs.update(sdp_device.prepare_seeds(pair, plan, n_seed_pad))
+        exts = sdp_rows.chain_ext_values(model, pair)
+        key = (Qp, Wp, kinds, pair.use_boundary, n_seed_pad, n_seg_pad,
+               pair.args.dropoff, exts)
+        buckets.setdefault(key, []).append((ix, inputs))
+    for (Qp, Wp, kinds, ub, nsp, ngp, dropoff, exts), items \
+            in buckets.items():
+        fn = sdp_rows.get_fn(model, Qp, Wp, kinds, ub, nsp, ngp,
+                             dropoff, exts, batched=len(items) > 1)
+        observe.count_engine("sdp-rows", len(items))
+        if len(items) > 1:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *[inp for _, inp in items])
+            res = jax.tree_util.tree_map(np.asarray,
+                                         fn(jax.device_put(stacked)))
+            for b, (ix, _) in enumerate(items):
+                out[ix] = jax.tree_util.tree_map(lambda a: a[b], res)
+        else:
+            ix, inputs = items[0]
+            out[ix] = jax.tree_util.tree_map(np.asarray, fn(inputs))
+    return out
 
 
 def _kernel_usable(model: Model, pair: SDPPair, plan) -> bool:
@@ -309,6 +405,8 @@ def run_device(model: Model, pair: SDPPair,
                plan: sdp_bands.BandPlan) -> dict:
     """Single-comparison device call (the pooled path batches many)."""
     from .wavefront import _bucket
+    if _rows_preferred(model, pair, plan):
+        return run_rows_batch(model, [(pair, plan)])[0]
     if _kernel_usable(model, pair, plan):
         from . import sdp_pallas
         n_chips = _cross_chip_config(plan)
@@ -355,7 +453,23 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
     import jax
     from .wavefront import _bucket
     out: list = [None] * len(jobs)
-    # fused-kernel tier first: jobs the Pallas band scan can serve go
+    # row-scan tier first: short-query shapes (and kernel-ineligible
+    # jobs) run the q-major sweep (see _rows_preferred)
+    rows_jobs = [ix for ix, (pair, plan) in enumerate(jobs)
+                 if _rows_preferred(model, pair, plan)]
+    if rows_jobs:
+        rres = run_rows_batch(model, [jobs[ix] for ix in rows_jobs])
+        for ix, r in zip(rows_jobs, rres):
+            out[ix] = r
+        rest = [(ix, j) for ix, j in enumerate(jobs)
+                if ix not in set(rows_jobs)]
+        if not rest:
+            return out
+        remap0 = [ix for ix, _ in rest]
+        jobs = [j for _, j in rest]
+    else:
+        remap0 = list(range(len(jobs)))
+    # fused-kernel tier next: jobs the Pallas band scan can serve go
     # through it (bucketed internally); the rest use the XLA scan
     kernelable = [ix for ix, (pair, plan) in enumerate(jobs)
                   if _kernel_usable(model, pair, plan)]
@@ -364,7 +478,7 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
     xchip = [ix for ix in kernelable
              if _cross_chip_config(jobs[ix][1])]
     for ix in xchip:
-        out[ix] = run_device(model, *jobs[ix])
+        out[remap0[ix]] = run_device(model, *jobs[ix])
     kernelable = [ix for ix in kernelable if ix not in set(xchip)]
     if kernelable:
         from . import sdp_pallas
@@ -377,17 +491,17 @@ def run_device_batch(model: Model, jobs: list) -> list[dict]:
             observe.count_engine("sdp-kernel", len(kjobs))
             kres = sdp_pallas.run_kernel(model, kjobs, dropoff)
             for ix, r in zip(ixs, kres):
-                out[ix] = r
+                out[remap0[ix]] = r
     if kernelable or xchip:
         done = set(kernelable) | set(xchip)
         jobs = [(ix, j) for ix, j in enumerate(jobs)
                 if ix not in done]
         if not jobs:
             return out
-        remap = [ix for ix, _ in jobs]
+        remap = [remap0[ix] for ix, _ in jobs]
         jobs = [j for _, j in jobs]
     else:
-        remap = list(range(len(jobs)))
+        remap = list(remap0)
     # coarse pow2 rungs on the compressed width keep the compiled-shape
     # count small (2-3 per scan) without the 2x+ padded-cell waste of a
     # single max-shape bucket; Q/seed/segment pads take the group max

@@ -294,9 +294,10 @@ class GAM:
                 return False
         except Exception:
             return False
-        from ..engine import sdp_pallas
-        if not sdp_pallas.kernel_supported(
-                self.model, model_uses_boundary(self.model), 1):
+        from ..engine import sdp_pallas, sdp_rows
+        if not (sdp_pallas.kernel_supported(
+                    self.model, model_uses_boundary(self.model), 1)
+                or sdp_rows.supported(self.model)):
             return False
         return sdp_hybrid.eligible(self.model, args, None)
 
@@ -330,7 +331,9 @@ class GAM:
                     if gpair.seeds else None)
             if plan is not None \
                     and not sdp_hybrid.device_worthwhile(
-                        plan, gpair.region.query_length):
+                        plan, gpair.region.query_length,
+                        rows_ok=sdp_hybrid.rows_usable(
+                            self.model, gpair, plan)):
                 # tiny comparison: host scheduler directly (no device
                 # dispatch, no first-time kernel compile)
                 metas.append((comp, data, gpair, "host"))

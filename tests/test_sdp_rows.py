@@ -127,6 +127,7 @@ def test_est2genome_spliced():
          [(10, 210, 120, 400), (160, 458, 130, 430)], margin=96)
 
 
+@pytest.mark.slow
 def test_est2genome_cross_segment_intron():
     """Exons in separate segments of one locus: the span prefix must
     teleport across the removed gap with absolute window checks."""
@@ -162,6 +163,7 @@ def test_coding2genome():
          qadv=3, tadv=3, margin=80)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("trial", range(4))
 def test_est2genome_fuzz(trial):
     r = np.random.default_rng(100 + trial)
@@ -206,6 +208,7 @@ def test_cdna2genome():
          [(10, 130, 120, 400), (160, 378, 130, 430)], margin=96)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("trial", range(3))
 def test_protein2genome_fuzz(trial):
     """Short-query shape fuzz — the row engine's reason to exist."""
