@@ -260,19 +260,18 @@ def device_worthwhile(plan, query_length: int = None,
 
 
 def rows_usable(model: Model, pair: SDPPair, plan=None) -> bool:
-    """Route through the q-major row-scan engine (sdp_rows.py)?  Only
-    on a real TPU backend unless forced (EXONERATE_TPU_SDP_ROWS=1),
-    for models the row sweep can express with this pair's static gap
-    extends."""
+    """Route through the q-major row-scan engine (sdp_rows.py)?
+    OPT-IN ONLY (EXONERATE_TPU_SDP_ROWS=1 or =all): the engine is
+    byte-parity-proven (differential suite + 15 CLI goldens) but
+    measured MEMORY-TRAFFIC-BOUND on the current chip — the exact
+    scheduler semantics cost ~400-2000 vector passes over the band per
+    row against the cost skeleton's ~50 (tools/kexp_row.py), landing at
+    3.1-3.8 s/DP on the 152aa x 131k-column north-star shape where the
+    sparse host walk takes ~0.15 s/DP (BASELINE.md round 6).  The knob
+    stays for A/B on future chips/compilers."""
     import os
     env = os.environ.get("EXONERATE_TPU_SDP_ROWS", "")
-    if env == "0":
-        return False
-    try:
-        import jax
-        if jax.default_backend() in ("cpu",) and env not in ("1", "all"):
-            return False
-    except Exception:
+    if env not in ("1", "all"):
         return False
     from . import sdp_rows
     if not sdp_rows.supported(model):
@@ -285,20 +284,9 @@ def rows_usable(model: Model, pair: SDPPair, plan=None) -> bool:
 
 
 def _rows_preferred(model: Model, pair: SDPPair, plan) -> bool:
-    """Among the device tiers, pick the row scan when the shape favors
-    it: short queries starve the anti-diagonal kernel (steps ∝ W, ~Q
-    useful lanes), and any kernel-ineligible job beats the XLA-scan /
-    host fallback on the row engine.  EXONERATE_TPU_SDP_ROWS=all
-    forces it for every supported job (A/B switch)."""
-    import os
-    if not rows_usable(model, pair, plan):
-        return False
-    env = os.environ.get("EXONERATE_TPU_SDP_ROWS", "")
-    if env in ("1", "all"):
-        return True
-    if pair.region.query_length < DEVICE_MIN_Q:
-        return True
-    return not _kernel_usable(model, pair, plan)
+    """Among the device tiers, pick the row scan only when forced (see
+    rows_usable: the measured traffic wall keeps it off by default)."""
+    return rows_usable(model, pair, plan)
 
 
 def run_rows_batch(model: Model, jobs: list) -> list[dict]:

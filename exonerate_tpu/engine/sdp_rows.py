@@ -277,7 +277,7 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
         shf = (lambda v, n, fill: shift_r(v, n, fill)) if is_forward \
             else (lambda v, n, fill: shift_l(v, n, fill))
 
-        def build_row_ctx(q, inputs):
+        def build_row_ctx(q, inputs, planes):
             """Sweep-invariant per-row quantities."""
             qlen = inputs["_qlen"]
             wlen = inputs["_wlen"]
@@ -288,7 +288,7 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
             seg_row = inputs["_seg"][:Wp1]
             ctx = dict(q=q, qlen=qlen, wlen=wlen, cell_ok=cell_ok,
                        abs_tv=abs_tv, seg_row=seg_row,
-                       contig={}, cmemo={})
+                       contig={}, cmemo={}, planes=planes)
             return ctx
 
         def contig(ctx, d):
@@ -310,7 +310,14 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
             """Transition score vector [Wp1] at the calc position:
             forward = source cell (q - aq, t - at) -> shift by at;
             reverse = destination cell (q, t) -> unshifted
-            (ref: scheduler.c:880-886 role swap)."""
+            (ref: scheduler.c:880-886 role swap).
+
+            Factored calcs read a per-query-symbol score PLANE
+            (precomputed once per call, see _factored_planes): XLA TPU
+            gathers run near-serial (~90 M elem/s measured through the
+            tunnel), so a per-row `take(row, t_idx)` would dominate the
+            whole scan; a one-hot select over <=32 plane rows fuses
+            into the step's elementwise bundle instead."""
             c = e["calc"]
             if c is None:
                 return jnp.zeros((), jnp.int32)
@@ -327,8 +334,15 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
             if kind == "qt":
                 out = v["q"][qi] + shf(v["t"][:Wp1], at, 0)
             elif kind == "factored":
-                row = v["table"][v["q_idx"][qi]]
-                g = jnp.take(row, v["t_idx"][:Wp1])
+                plane = ctx["planes"].get(ci)
+                qsel = v["q_idx"][qi]
+                if plane is not None:
+                    n_rows = plane.shape[0]
+                    g = jnp.broadcast_to(jnp.int32(0), (Wp1,))
+                    for k in range(n_rows):
+                        g = jnp.where(qsel == k, plane[k], g)
+                else:
+                    g = jnp.take(v["table"][qsel], v["t_idx"][:Wp1])
                 qo = v["q_over"][qi]
                 out = jnp.where(qo != 0, qo, shf(g, at, 0))
             elif kind == "scalar":
@@ -492,35 +506,38 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     sub_ln = ln[st] if has_lanes else {}
                 cand = ctx["cell_ok"] & (sub_sc >= 0)
                 v = jnp.where(cand, sub_sc, NEG)
-                idx = jnp.where(cand, jnp.asarray(col), 0)
+                # payloads ride the combine (XLA TPU gathers are
+                # near-serial; fused selects are ~free per level)
+                pay = {"te": abs_tv, "sg": seg_row, "pm": sub_pm}
+                if has_lanes:
+                    for des in lane_keys[st]:
+                        pay[f"l{des}"] = sub_ln.get(
+                            des, jnp.zeros(Wp1, jnp.int32))
                 # inclusive prefix max, later submit wins ties
                 for k in range(prefix_levels):
                     d = 1 << k
                     if d > Wp:
                         break
                     sv = shift_r(v, d, NEG)
-                    si = shift_r(idx, d, 0)
                     take = sv > v
                     v = jnp.where(take, sv, v)
-                    idx = jnp.where(take, si, idx)
+                    pay = {n: jnp.where(take, shift_r(p, d, 0), p)
+                           for n, p in pay.items()}
                 if sp["submit_post_thaw"]:
                     # thaw precedes the loop submit in the per-cell
                     # order: same-cell submits are invisible
                     v = shift_r(v, 1, NEG)
-                    idx = shift_r(idx, 1, 0)
-                st_te = jnp.take(abs_tv, idx)
-                ok = (v > NEG) & ((st_te + sp["max_target"]) >= abs_tv)
+                    pay = {n: shift_r(p, 1, 0) for n, p in pay.items()}
+                ok = (v > NEG) & \
+                    ((pay["te"] + sp["max_target"]) >= abs_tv)
                 th = thaw_row & ok & (sc[st] < v)
-                st_sg = jnp.take(seg_row, idx)
-                xb |= jnp.any(th & (st_sg != seg_row))
+                xb |= jnp.any(th & (pay["sg"] != seg_row))
                 sc[st] = jnp.where(th, v, sc[st])
-                pm[st] = jnp.where(th, jnp.take(sub_pm, idx), pm[st])
+                pm[st] = jnp.where(th, pay["pm"], pm[st])
                 if has_lanes:
                     for des in list(ln[st]):
-                        src = sub_ln.get(des,
-                                         jnp.zeros(Wp1, jnp.int32))
-                        ln[st][des] = jnp.where(
-                            th, jnp.take(src, idx), ln[st][des])
+                        ln[st][des] = jnp.where(th, pay[f"l{des}"],
+                                                ln[st][des])
             return (sc, pm, sd, ln, ev_score, ev_sid), xb
 
         inputs_ref = [None]   # visible to accept() for shadow vecs
@@ -670,16 +687,24 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
             init = (h0, jnp.full(Wp1, NEG, jnp.int32),
                     jnp.zeros(Wp1, jnp.int32), jnp.zeros((), jnp.int32),
                     jnp.ones((), bool), jnp.zeros((), bool))
-            h, ev_score, ev_sid, n_it, changed, xb = lax.while_loop(
-                cond, body, init)
+            fixed = int(os.environ.get("EXONERATE_TPU_SDP_ROWS_FIXED",
+                                       "0"))
+            if fixed:
+                carry = init
+                for _ in range(fixed):
+                    carry = body(carry)
+                h, ev_score, ev_sid, n_it, changed, xb = carry
+            else:
+                h, ev_score, ev_sid, n_it, changed, xb = lax.while_loop(
+                    cond, body, init)
             unconverged = changed            # hit max_sweeps still hot
             return unpack(h), ev_score, ev_sid, xb, unconverged, n_it
 
         def step(carry, xs):
             ring, acc, live, xband, unconv = carry
-            q, inj_words, inputs = xs
+            q, inj_words, inputs, planes = xs
             inputs_ref[0] = inputs
-            ctx = build_row_ctx(q, inputs)
+            ctx = build_row_ctx(q, inputs, planes)
             neg = jnp.full(Wp1, NEG, jnp.int32)
             zero = jnp.zeros(Wp1, jnp.int32)
             # --- injection row ----------------------------------------
@@ -738,10 +763,8 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
                     flag |= sc[sp["state"]] > 0
                 flag &= ctx["cell_ok"]
                 ys = (_pack_bits(flag, n_words), n_it)
-            zrow = jnp.zeros(Wp1, jnp.int32)
             row_final = (tuple(sc), tuple(pm),
-                         tuple(sd) if (sd[0] is not None) else
-                         tuple(zrow for _ in range(S)),
+                         tuple(sd) if has_sid else (),
                          tuple(dict(d) if d is not None else {}
                                for d in ln))
             ring = (row_final,) + ring[:-1]
@@ -756,12 +779,31 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
         neg = jnp.full(Wp1, NEG, jnp.int32)
         zero = jnp.zeros(Wp1, jnp.int32)
         has_lanes = is_forward and bool(lanes_live)
+        has_sid = (not is_forward) and track_sid
         row = (tuple(neg for _ in range(S)),
                tuple(neg for _ in range(S)),
-               tuple(zero for _ in range(S)),
+               tuple(zero for _ in range(S)) if has_sid else (),
                tuple({des: zero for des in lane_keys[s]}
                      if has_lanes else {} for s in range(S)))
         return tuple(row for _ in range(K))
+
+    def _factored_planes(inputs):
+        """Per-query-symbol factored score planes [n_rows, Wp1], built
+        gather-free (one-hot f32 matmul, exact for integer scores up to
+        2^24) once per call; rows select them by symbol compare."""
+        planes = {}
+        for ci, _c in enumerate(model.calcs):
+            if kind_map.get(f"c{ci}") != "factored":
+                continue
+            v = inputs[f"c{ci}"]
+            n_rows, n_cols = v["table"].shape
+            if n_rows > 32 or n_cols > 512:
+                continue
+            oh = jax.nn.one_hot(v["t_idx"][:Wp1], n_cols,
+                                dtype=jnp.float32)
+            planes[ci] = jnp.round(
+                v["table"].astype(jnp.float32) @ oh.T).astype(jnp.int32)
+        return planes
 
     def run(inputs):
         q_seq = jnp.arange(Qp + 1, dtype=jnp.int32)
@@ -770,11 +812,12 @@ def build_row_pass(model: Model, Qp: int, Wp: int, kinds: tuple,
         if track_sid:
             acc0["rev_start"] = jnp.full(n_seed_pad, NEG, jnp.int32)
         dummy_words = jnp.zeros((Qp + 1, n_words), jnp.uint32)
+        planes = _factored_planes(inputs)
 
         def wrap(step_fn):
             def one(carry, xs):
                 q, inj = xs
-                return step_fn(carry, (q, inj, inputs))
+                return step_fn(carry, (q, inj, inputs, planes))
             return one
 
         carry0 = (init_ring(False), acc0, jnp.zeros((), bool),

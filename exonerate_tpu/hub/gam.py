@@ -295,9 +295,11 @@ class GAM:
         except Exception:
             return False
         from ..engine import sdp_pallas, sdp_rows
+        rows_on = os.environ.get("EXONERATE_TPU_SDP_ROWS", "") in \
+            ("1", "all")
         if not (sdp_pallas.kernel_supported(
                     self.model, model_uses_boundary(self.model), 1)
-                or sdp_rows.supported(self.model)):
+                or (rows_on and sdp_rows.supported(self.model))):
             return False
         return sdp_hybrid.eligible(self.model, args, None)
 
