@@ -42,7 +42,8 @@ ROWS_CASES = [
 _SLOW = {"protein2genome_gff", "cdna2genome_annot", "annotation_minus",
          "est2genome_bestn", "refine_region", "coding2genome",
          "geneseed", "forcegtag", "subopt_no", "querygff",
-         "intron_penalty_opts", "bestn_ties", "gapped_no_extension"}
+         "intron_penalty_opts", "bestn_ties", "gapped_no_extension",
+         "affine_local_dna_cross"}
 
 
 def _params():

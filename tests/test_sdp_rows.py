@@ -23,6 +23,8 @@ from exonerate_tpu.engine import sdp_rows, sdp_bands
 
 rng = np.random.default_rng(7)
 
+_slow_mark = pytest.mark.slow
+
 DD = (AlphabetType.DNA, AlphabetType.DNA)
 PD = (AlphabetType.PROTEIN, AlphabetType.DNA)
 
@@ -100,6 +102,7 @@ def test_affine_local_single_band():
     _run("AFFINE_LOCAL", q, t, [(60, 10, 80, 300)])
 
 
+@_slow_mark
 def test_affine_local_two_bands():
     base = "".join(rng.choice(list("ACGT"), 400))
     q = base[:200]
@@ -154,6 +157,7 @@ def test_protein2genome_split_codon():
          qadv=1, tadv=3, margin=80, qt=PD)
 
 
+@_slow_mark
 def test_coding2genome():
     ex1, ex2, intr = _gene()
     genome = ("".join(rng.choice(list("acgt"), 120)) + ex1 + intr + ex2
@@ -178,6 +182,7 @@ def test_est2genome_fuzz(trial):
     _run("EST2GENOME", qq, g, hl, margin=int(r.integers(48, 200)))
 
 
+@_slow_mark
 def test_protein2dna_multi_portal_boundary():
     from exonerate_tpu.translate import default_code
     r = np.random.default_rng(21)
@@ -190,6 +195,7 @@ def test_protein2dna_multi_portal_boundary():
          qadv=1, tadv=3, margin=90, qt=PD)
 
 
+@_slow_mark
 def test_coding2coding_frameshifts():
     r = np.random.default_rng(22)
     base = "".join(r.choice(list("ACGT"), 500))
@@ -199,6 +205,7 @@ def test_coding2coding_frameshifts():
          qadv=3, tadv=3, margin=120)
 
 
+@_slow_mark
 def test_cdna2genome():
     ex1, ex2, intr = _gene()
     genome = ("".join(rng.choice(list("acgt"), 120)) + ex1 + intr + ex2
